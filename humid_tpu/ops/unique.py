@@ -1,0 +1,53 @@
+"""Exact-duplicate counting over packed word fingerprints.
+
+Replaces the reference's trie insertion + leaf counts (humid.cc:92-99,
+trie.add at humid.cc:95).  The trie's lexicographic ``walk()`` order
+(humid.cc:117,178) is reproduced for free: unique fingerprints are returned
+in ascending lane-lexicographic order, which equals lexicographic word
+order because :func:`humid_tpu.words.pack_words` packs big-endian.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def unique_words(packed: np.ndarray):
+    """Group identical fingerprints.
+
+    Args:
+      packed: [N, W] uint32 fingerprint lanes (unfiltered words only).
+
+    Returns:
+      uniq:       [U, W] uint32, ascending lexicographic order.
+      counts:     [U]   int64 exact-duplicate count per unique word
+                  (== trie leaf ``count``).
+      first_occ:  [U]   int64 index (into the N input rows) of the first
+                  occurrence of each unique word in input order — the
+                  representative the dedup writer emits (humid.cc:224-231).
+      inverse:    [N]   int64 mapping row -> unique index.
+    """
+    n, w = packed.shape
+    if n == 0:
+        return (
+            np.zeros((0, w), np.uint32),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+        )
+    # Stable lexsort: least-significant key last in np.lexsort's tuple.
+    order = np.lexsort(tuple(packed[:, w - 1 - i] for i in range(w)))
+    s = packed[order]
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (s[1:] != s[:-1]).any(axis=1)
+    group_start = np.flatnonzero(new_group)
+    uniq = s[group_start]
+    counts = np.diff(np.append(group_start, n)).astype(np.int64)
+    # lexsort is stable -> within a group original indices ascend, so the
+    # group's first sorted element is the first occurrence in input order.
+    first_occ = order[group_start].astype(np.int64)
+    gid = np.cumsum(new_group) - 1
+    inverse = np.empty(n, dtype=np.int64)
+    inverse[order] = gid
+    return uniq, counts, first_occ, inverse

@@ -1,0 +1,234 @@
+"""End-to-end deduplication pipeline.
+
+TPU-native rebuild of the reference's ``humid()`` driver (humid.cc:369-409):
+
+  pass 1  read + pack words     (host, vectorized)     <- readData
+  unique  sort/unique counting  (host lexsort)         <- trie leaf counts
+  search  XOR+popcount blocks   (TPU, jax/pallas)      <- asymmetricHamming
+  cluster exact traversal       (host/C++, iterative)  <- cluster.cc
+  pass 2  write outputs         (host, streaming)      <- writeFiltered/
+                                                          writeAnnotated
+
+The output contract (duplicate sets, annotations, statistics files, file
+naming, log phases) is bit-compatible with the reference binary.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import words as W
+from .io import FastqWriter, make_file_names, peek_first_record, read_tuples
+from .ops import find_neighbor_pairs, pairs_to_csr, unique_words
+from .cluster import cluster_exact
+from .phaselog import PhaseLog
+from .stats import write_statistics
+
+
+@dataclass
+class PipelineResult:
+    total: int = 0
+    usable: int = 0
+    unique: int = 0
+    clusters: int = 0
+    # Arrays for inspection/testing:
+    labels: np.ndarray | None = None        # [U] cluster id per unique word
+    counts: np.ndarray | None = None        # [U] duplicate count
+    rep_reads: np.ndarray | None = None     # representative read indices
+    cluster_of_read: np.ndarray | None = None  # [N] id per read (0=filtered)
+    degree: np.ndarray | None = None        # [U] neighbour count
+    sizes: np.ndarray | None = None         # [K] cluster sizes
+    extra: dict = field(default_factory=dict)
+
+
+def peek_umi_size(path: str) -> int:
+    """UMI length of the first record of ``path`` (humid.cc:24-33)."""
+    name, _seq = peek_first_record(path)
+    return len(W.extract_umi(name.decode("latin1")))
+
+
+def _pass1(files, nt_to_take, header_umi_size, batch_records):
+    """Stream all files in lockstep; return (packed [N,W], filtered [N])."""
+    packed_parts: list[np.ndarray] = []
+    filt_parts: list[np.ndarray] = []
+    for batches in read_tuples(files, batch_records):
+        umi_chars = None
+        if header_umi_size > 0:
+            umi_chars = W.extract_umi_matrix(
+                batches[0].name_matrix(), header_umi_size
+            )
+        seq_chars = [b.seq_prefix(k) for b, k in zip(batches, nt_to_take)]
+        codes, filtered = W.build_words(umi_chars, seq_chars)
+        packed_parts.append(W.pack_words(codes))
+        filt_parts.append(filtered)
+    if not packed_parts:
+        wl = header_umi_size + sum(nt_to_take)
+        return (np.zeros((0, W.num_lanes(wl)), np.uint32),
+                np.zeros(0, bool))
+    return np.concatenate(packed_parts), np.concatenate(filt_parts)
+
+
+def run(
+    files: list[str],
+    *,
+    word_length: int = 24,
+    distance: int = 1,
+    log_name: str = "/dev/stderr",
+    dir_name: str = ".",
+    run_stats: bool = False,
+    write_dedup: bool = True,
+    write_annotated: bool = False,
+    edit: bool = False,
+    maximum: bool = False,
+    batch_records: int = 1 << 19,
+    neighbor_opts: dict | None = None,
+) -> PipelineResult:
+    """Deduplicate ``files``; mirrors humid(wordLength, distance, ...)
+    (humid.cc:369-409 and CLI defaults humid.cc:413-429)."""
+    if not files:
+        raise ValueError("at least one FastQ file required")
+    log = PhaseLog(log_name)
+    res = PipelineResult()
+
+    # --- nucleotide budgeting (humid.cc:38-59) ---
+    t = log.start("Determing nucleotides to take")
+    umi_len = peek_umi_size(files[0])
+    header_umi_size, nt_to_take = W.pre_compute(
+        umi_len, len(files), word_length
+    )
+    log.end(t)
+    log.write(f"  header: {header_umi_size}")
+    for f, k in zip(files, nt_to_take):
+        log.write(f"\n  {f}: {k}")
+    log.write("\n")
+
+    # --- pass 1: read + pack (readData, humid.cc:70-103) ---
+    t = log.start("Reading data")
+    packed, filtered = _pass1(files, nt_to_take, header_umi_size,
+                              batch_records)
+    res.total = int(len(packed))
+    res.usable = int((~filtered).sum())
+    log.end(t)
+
+    # --- exact duplicate counting (replaces trie leaf counts) ---
+    usable_packed = packed[~filtered]
+    uniq, counts, first_occ_usable, inverse = unique_words(usable_packed)
+    res.unique = len(uniq)
+    res.counts = counts
+    # first_occ indexes usable rows; convert to global read indices.
+    usable_to_read = np.flatnonzero(~filtered)
+    first_occ = (usable_to_read[first_occ_usable]
+                 if len(first_occ_usable) else first_occ_usable)
+
+    # --- neighbour search (humid.cc:113-158) ---
+    if edit:
+        t = log.start("Calculating neighbours using Levenshtein distance")
+    else:
+        t = log.start("Calculating neighbours using Hamming distance")
+    nb = dict(neighbor_opts or {})
+    pa, pb = find_neighbor_pairs(
+        uniq, distance,
+        metric="edit" if edit else "hamming",
+        word_length=word_length, **nb,
+    )
+    indptr, indices = pairs_to_csr(pa, pb, len(uniq))
+    res.degree = np.diff(indptr)
+    log.end(t)
+
+    # --- clustering (humid.cc:167-193, cluster.cc) ---
+    if maximum:
+        t = log.start("Calculating maximum clusters")
+    else:
+        t = log.start("Calculating directional clusters")
+    cl = cluster_exact(counts, indptr, indices, maximum=maximum)
+    res.clusters = cl.num_clusters
+    res.labels = cl.labels
+    res.sizes = cl.size
+    log.end(t)
+
+    os.makedirs(dir_name, exist_ok=True)
+
+    # Representative read per cluster: the first read (file order) whose
+    # word is the cluster's maxLeaf (humid.cc:223-232).
+    if cl.num_clusters:
+        rep_reads = np.sort(first_occ[cl.max_leaf])
+    else:
+        rep_reads = np.zeros(0, np.int64)
+    res.rep_reads = rep_reads
+
+    # Per-read cluster id (0 for filtered reads; humid.cc:271-278).
+    cluster_of_read = np.zeros(res.total, dtype=np.int64)
+    if res.unique:
+        cluster_of_read[usable_to_read] = cl.labels[inverse]
+    res.cluster_of_read = cluster_of_read
+
+    # --- pass 2: outputs ---
+    if write_dedup:
+        t = log.start("Writing filtered results")
+        _write_selected(files, dir_name, "dedup", rep_reads, batch_records)
+        log.end(t)
+    if write_annotated:
+        t = log.start("Writing annotated results")
+        _write_annotated(files, dir_name, cluster_of_read, batch_records)
+        log.end(t)
+
+    if run_stats:
+        t = log.start("Calculating count and neighbour stats")
+        log.end(t)
+        write_statistics(
+            counts=res.counts,
+            degrees=res.degree,
+            sizes=res.sizes,
+            total=res.total,
+            usable=res.usable,
+            unique=res.unique,
+            num_clusters=res.clusters,
+            dir_name=dir_name,
+        )
+
+    log.close()
+    return res
+
+
+def _write_selected(files, dir_name, suffix, selected, batch_records):
+    """Second pass: write only reads whose global index is in ``selected``
+    (sorted)."""
+    names = make_file_names(list(files), dir_name, suffix)
+    writers = [FastqWriter(n) for n in names]
+    base = 0
+    ptr = 0
+    try:
+        for batches in read_tuples(files, batch_records):
+            n = batches[0].n
+            end = ptr
+            while end < len(selected) and selected[end] < base + n:
+                end += 1
+            local = (selected[ptr:end] - base).astype(np.int64)
+            for b, w in zip(batches, writers):
+                w.write_records(b, local)
+            ptr = end
+            base += n
+    finally:
+        for w in writers:
+            w.close()
+
+
+def _write_annotated(files, dir_name, cluster_of_read, batch_records):
+    """Second pass: every read annotated with ``:<cluster_id>``
+    (humid.cc:251-292)."""
+    names = make_file_names(list(files), dir_name, "annotated")
+    writers = [FastqWriter(n) for n in names]
+    base = 0
+    try:
+        for batches in read_tuples(files, batch_records):
+            n = batches[0].n
+            ids = cluster_of_read[base:base + n]
+            for b, w in zip(batches, writers):
+                w.write_records_annotated(b, ids)
+            base += n
+    finally:
+        for w in writers:
+            w.close()

@@ -1,0 +1,142 @@
+"""Clustering semantics tests.
+
+Includes the reference's hand-built chain scenario
+(/root/reference/tests/test_cluster.cc:73-137) and randomized equivalence
+against the literal-recursion oracle.
+"""
+
+import numpy as np
+
+from humid_tpu.cluster import cluster_exact
+from humid_tpu.cluster.exact import _cluster_directional_py, _cluster_max_py
+
+from oracle import _Leaf, _Cluster, _assign_directional, _assign_max
+
+
+def _csr(neigh_lists):
+    indptr = np.zeros(len(neigh_lists) + 1, np.int64)
+    indices = []
+    for i, lst in enumerate(neigh_lists):
+        indptr[i + 1] = indptr[i] + len(lst)
+        indices.extend(lst)
+    return indptr, np.asarray(indices, np.int64)
+
+
+def test_reference_chain_directional():
+    # test_cluster.cc:73-137 — chain 2-4-8-10-3 splits into {2,4,8} and
+    # {10,3} with maxLeafs 8 and 10.
+    counts = np.array([2, 4, 8, 10, 3], np.int64)
+    neigh = [[1], [0, 2], [1, 3], [2, 4], [3]]
+    indptr, indices = _csr(neigh)
+    res = cluster_exact(counts, indptr, indices, maximum=False)
+    assert res.labels.tolist() == [1, 1, 1, 2, 2]
+    assert res.size.tolist() == [14, 13]
+    assert res.max_leaf.tolist() == [2, 3]
+    assert res.max_count.tolist() == [8, 10]
+
+
+def test_reference_chain_max():
+    counts = np.array([2, 4, 8, 10, 3], np.int64)
+    neigh = [[1], [0, 2], [1, 3], [2, 4], [3]]
+    indptr, indices = _csr(neigh)
+    res = cluster_exact(counts, indptr, indices, maximum=True)
+    # Flood fill from node 0 gets the whole chain; global max is node 3.
+    assert res.labels.tolist() == [1, 1, 1, 1, 1]
+    assert res.size.tolist() == [27]
+    assert res.max_leaf.tolist() == [3]
+    assert res.max_count.tolist() == [10]
+
+
+def test_hillclimb_blocked_by_assigned():
+    # test_cluster.cc:30-43 — an already-assigned neighbour is not climbed.
+    # Simulate: node1 (count 2) already in cluster via earlier seed; node0
+    # (count 1) seeds its own cluster.
+    counts = np.array([4, 2, 1], np.int64)
+    # node1 neighbours: node0 (bigger, absorbs it), node2 too small to climb
+    neigh = [[1], [0, 2], [1]]
+    indptr, indices = _csr(neigh)
+    res = cluster_exact(counts, indptr, indices, maximum=False)
+    # seed 0: climb stuck (4 -> no neighbour >= 8). descend: absorb node1
+    # (4 >= 4), from node1 absorb node2 (2 >= 2). One cluster.
+    assert res.labels.tolist() == [1, 1, 1]
+    assert res.max_leaf.tolist() == [0]
+
+
+def _random_graph(rng, n):
+    counts = rng.integers(1, 20, n).astype(np.int64)
+    neigh = [[] for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < 3.0 / max(n, 1):
+                neigh[i].append(j)
+                neigh[j].append(i)
+    # ascending lists (matches CSR construction from sorted pairs)
+    for lst in neigh:
+        lst.sort()
+    return counts, neigh
+
+
+def _oracle_cluster(counts, neigh, maximum):
+    leaves = [_Leaf(count=int(c)) for c in counts]
+    for i, lst in enumerate(neigh):
+        leaves[i].neighbours = list(lst)
+    clusters = []
+    nid = 1
+    for i in range(len(leaves)):
+        if leaves[i].cluster is None:
+            c = _Cluster(nid)
+            nid += 1
+            if maximum:
+                _assign_max(leaves, i, c)
+            else:
+                _assign_directional(leaves, i, c)
+            clusters.append(c)
+    labels = [l.cluster.id for l in leaves]
+    return labels, clusters
+
+
+def test_random_equivalence_with_oracle():
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(2, 120))
+        counts, neigh = _random_graph(rng, n)
+        indptr, indices = _csr(neigh)
+        for maximum in (False, True):
+            res = cluster_exact(counts, indptr, indices, maximum=maximum)
+            labels, clusters = _oracle_cluster(counts, neigh, maximum)
+            assert res.labels.tolist() == labels, (trial, maximum)
+            assert res.size.tolist() == [c.size for c in clusters]
+            assert res.max_leaf.tolist() == [c.max_leaf for c in clusters]
+            assert res.max_count.tolist() == [c.max_count for c in clusters]
+
+
+def test_python_vs_native_paths_agree():
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        n = int(rng.integers(2, 200))
+        counts, neigh = _random_graph(rng, n)
+        indptr, indices = _csr(neigh)
+        for maximum in (False, True):
+            a = cluster_exact(counts, indptr, indices, maximum=maximum,
+                              use_native=True)
+            fn = _cluster_max_py if maximum else _cluster_directional_py
+            b = fn(counts, indptr, indices)
+            np.testing.assert_array_equal(a.labels, b.labels)
+            np.testing.assert_array_equal(a.max_leaf, b.max_leaf)
+            np.testing.assert_array_equal(a.size, b.size)
+
+
+def test_deep_chain_no_stack_overflow():
+    # The reference segfaults on deep clusters (docs/troubleshooting.rst);
+    # the iterative implementation must not.
+    n = 50_000
+    counts = np.full(n, 4, np.int64)
+    counts[0] = 8
+    neigh = [[] for _ in range(n)]
+    for i in range(n - 1):
+        neigh[i].append(i + 1)
+        neigh[i + 1].append(i)
+    indptr, indices = _csr(neigh)
+    res = cluster_exact(counts, indptr, indices, maximum=True)
+    assert res.labels.max() == 1
+    assert res.size[0] == counts.sum()

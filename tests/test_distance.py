@@ -1,0 +1,129 @@
+"""Device distance blocks vs brute-force references."""
+
+import numpy as np
+import pytest
+
+from humid_tpu import words as W
+from humid_tpu.ops.hamming import hamming_block_xor, hamming_block_mxu
+from humid_tpu.ops.neighbors import find_neighbor_pairs, pairs_to_csr
+from humid_tpu.ops.edit import edit_block
+
+from oracle import _levenshtein
+
+
+def _rand_words(rng, n, length):
+    codes = rng.integers(0, 4, size=(n, length)).astype(np.uint8)
+    return codes, W.pack_words(codes)
+
+
+def _brute_pairs(codes, max_dist, dist_fn):
+    n = len(codes)
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if dist_fn(tuple(codes[i]), tuple(codes[j])) <= max_dist:
+                out.append((i, j))
+    return out
+
+
+def _hamming(a, b):
+    return sum(x != y for x, y in zip(a, b))
+
+
+@pytest.mark.parametrize("length", [8, 16, 24, 33])
+@pytest.mark.parametrize("m", [0, 1, 2])
+def test_hamming_block_xor(length, m):
+    rng = np.random.default_rng(length * 10 + m)
+    # Draw from a small pool + mutations to guarantee near pairs.
+    pool, _ = _rand_words(rng, 8, length)
+    idx = rng.integers(0, 8, 160)
+    codes = pool[idx].copy()
+    muts = rng.integers(0, length, 160)
+    flip = rng.random(160) < 0.7
+    codes[np.arange(160)[flip], muts[flip]] = rng.integers(0, 4, flip.sum())
+    packed = W.pack_words(codes)
+
+    r, c, cnt = hamming_block_xor(
+        packed, packed, np.int32(0), np.int32(0), np.int32(m), 4096
+    )
+    cnt = int(cnt)
+    got = sorted(zip(np.asarray(r)[:cnt].tolist(),
+                     np.asarray(c)[:cnt].tolist()))
+    expected = _brute_pairs(codes, m, _hamming)
+    assert got == expected
+
+
+def test_hamming_block_mxu_matches_xor():
+    rng = np.random.default_rng(3)
+    length = 24
+    pool, _ = _rand_words(rng, 6, length)
+    codes = pool[rng.integers(0, 6, 128)].copy()
+    muts = rng.integers(0, length, 128)
+    codes[np.arange(128), muts] = rng.integers(0, 4, 128)
+    packed = W.pack_words(codes)
+    r1, c1, n1 = hamming_block_xor(
+        packed, packed, np.int32(0), np.int32(0), np.int32(2), 4096
+    )
+    r2, c2, n2 = hamming_block_mxu(
+        packed, packed, np.int32(0), np.int32(0), np.int32(2), 4096, length
+    )
+    assert int(n1) == int(n2)
+    a = sorted(zip(np.asarray(r1)[:int(n1)].tolist(),
+                   np.asarray(c1)[:int(n1)].tolist()))
+    b = sorted(zip(np.asarray(r2)[:int(n2)].tolist(),
+                   np.asarray(c2)[:int(n2)].tolist()))
+    assert a == b
+
+
+@pytest.mark.parametrize("m", [1, 2])
+def test_edit_block(m):
+    rng = np.random.default_rng(50 + m)
+    length = 12
+    pool, _ = _rand_words(rng, 5, length)
+    codes = pool[rng.integers(0, 5, 96)].copy()
+    # random substitutions and "shifts" (simulate indel-like neighbours)
+    for i in range(96):
+        if rng.random() < 0.5:
+            codes[i, rng.integers(0, length)] = rng.integers(0, 4)
+        if rng.random() < 0.3:
+            codes[i] = np.roll(codes[i], 1)
+            codes[i, 0] = rng.integers(0, 4)
+    packed = W.pack_words(codes)
+    r, c, cnt = edit_block(
+        packed, packed, np.int32(0), np.int32(0), m, 4096, length
+    )
+    cnt = int(cnt)
+    got = sorted(zip(np.asarray(r)[:cnt].tolist(),
+                     np.asarray(c)[:cnt].tolist()))
+    expected = _brute_pairs(codes, m, _levenshtein)
+    assert got == expected
+
+
+def test_find_neighbor_pairs_blocking_and_overflow():
+    """Multi-block tiling + tiny capacity (forces the overflow-retry path)
+    must agree with a single-block run."""
+    rng = np.random.default_rng(9)
+    length = 16
+    pool, _ = _rand_words(rng, 4, length)
+    codes = pool[rng.integers(0, 4, 700)].copy()
+    muts = rng.integers(0, length, 700)
+    codes[np.arange(700), muts] = rng.integers(0, 4, 700)
+    packed = W.pack_words(codes)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(packed)
+
+    a1, b1 = find_neighbor_pairs(uniq, 1, row_block=64, col_block=128,
+                                 cap_per_block=8)
+    a2, b2 = find_neighbor_pairs(uniq, 1)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+    expected = _brute_pairs(W.unpack_words(uniq, length), 1, _hamming)
+    assert list(zip(a2.tolist(), b2.tolist())) == expected
+
+
+def test_pairs_to_csr_sorted_neighbors():
+    a = np.array([0, 0, 1, 2], np.int64)
+    b = np.array([2, 3, 3, 3], np.int64)
+    indptr, indices = pairs_to_csr(a, b, 4)
+    assert indptr.tolist() == [0, 2, 3, 5, 8]
+    assert indices.tolist() == [2, 3, 3, 0, 3, 0, 1, 2]

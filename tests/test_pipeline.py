@@ -1,0 +1,175 @@
+"""Golden end-to-end tests: full pipeline vs the literal-semantics oracle.
+
+The reference binary cannot be built in this environment (its submodules
+are not checked out), so the oracle (tests/oracle.py) — an independent
+string-based transcription of the reference's algorithms — provides the
+expected duplicate sets, annotations, and statistics.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from humid_tpu.pipeline import run
+from humid_tpu.io.names import make_file_name
+
+from genfastq import gen_dataset, parse_fastq
+from oracle import oracle_run
+
+
+def _expected_dedup(files_records, rep_tuples, f):
+    out = []
+    for t in rep_tuples:
+        name, seq = files_records[f][t]
+        out.append((name, seq, "+", "F" * len(seq)))
+    return out
+
+
+def _expected_annotated(files_records, ids, f, n_tuples):
+    out = []
+    for t in range(n_tuples):
+        name, seq = files_records[f][t]
+        out.append((f"{name}:{ids[t]}", seq, "+", "F" * len(seq)))
+    return out
+
+
+def _check_case(tmp_path, rng, *, n_files=1, umi_style="none", gz=False,
+                distance=1, word_length=24, edit=False, maximum=False,
+                ragged=False, unequal=False, n_reads=250,
+                batch_records=1 << 19):
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    os.makedirs(src, exist_ok=True)
+    paths, files_records = gen_dataset(
+        rng, str(src), n_reads=n_reads, n_files=n_files, umi_style=umi_style,
+        gz=gz, ragged=ragged, unequal_lengths=unequal,
+        read_len=18 if edit else 30,
+    )
+    res = run(
+        list(paths),
+        word_length=word_length,
+        distance=distance,
+        log_name=str(out / "log.txt"),
+        dir_name=str(out),
+        run_stats=True,
+        write_dedup=True,
+        write_annotated=True,
+        edit=edit,
+        maximum=maximum,
+        batch_records=batch_records,
+    )
+    exp = oracle_run(
+        files_records, word_length=word_length, distance=distance,
+        edit=edit, maximum=maximum,
+    )
+
+    # scalar stats
+    assert res.total == exp.total
+    assert res.usable == exp.usable
+    assert res.unique == exp.unique
+    assert res.clusters == len(exp.clusters)
+
+    # dedup output files: byte-level record equality
+    for f, p in enumerate(paths):
+        dedup = parse_fastq(make_file_name(p, str(out), "dedup"))
+        assert dedup == _expected_dedup(files_records, exp.rep_tuples, f), (
+            f"dedup mismatch file {f}"
+        )
+        annotated = parse_fastq(make_file_name(p, str(out), "annotated"))
+        assert annotated == _expected_annotated(
+            files_records, exp.cluster_of_read, f, exp.total
+        ), f"annotated mismatch file {f}"
+
+    # statistics files
+    def read_hist(name):
+        with open(out / name) as fh:
+            return {int(a): int(b) for a, b in
+                    (l.split() for l in fh if l.strip())}
+
+    assert read_hist("counts.dat") == exp.counts_hist
+    assert read_hist("neigh.dat") == exp.neigh_hist
+    assert read_hist("clusters.dat") == exp.cluster_hist
+    with open(out / "stats.dat") as fh:
+        lines = dict(l.strip().split(": ") for l in fh)
+    assert int(lines["total"]) == exp.total
+    assert int(lines["usable"]) == exp.usable
+    assert int(lines["unique"]) == exp.unique
+    assert int(lines["clusters"]) == len(exp.clusters)
+    return res, exp
+
+
+def test_single_end_no_umi(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(1))
+
+
+def test_single_end_gz(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(2), gz=True)
+
+
+def test_paired_umi_underscore(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(3), n_files=2,
+                umi_style="underscore")
+
+
+def test_paired_umi_colon(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(4), n_files=2,
+                umi_style="colon")
+
+
+def test_three_file_mode(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(5), n_files=3)
+
+
+@pytest.mark.parametrize("m", [0, 1, 2, 3])
+def test_mismatch_sweep(tmp_path, m):
+    _check_case(tmp_path, np.random.default_rng(10 + m), distance=m)
+
+
+def test_maximum_clustering(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(20), maximum=True,
+                distance=2)
+
+
+def test_edit_distance(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(21), edit=True,
+                word_length=18, n_reads=120)
+
+
+def test_ragged_reads_padding_filters(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(22), ragged=True)
+
+
+def test_unequal_file_lengths_stop_at_shortest(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(23), n_files=2,
+                unequal=True)
+
+
+def test_small_batches_exercise_lockstep(tmp_path):
+    _check_case(tmp_path, np.random.default_rng(24), n_files=2,
+                umi_style="underscore", batch_records=17)
+
+
+def test_word_length_sweep(tmp_path):
+    for wl in (8, 16, 23, 33):
+        _check_case(tmp_path / f"wl{wl}", np.random.default_rng(30 + wl),
+                    n_files=2, word_length=wl, n_reads=120)
+
+
+def test_umi_longer_than_word(tmp_path):
+    # wordLength < UMI size: header UMI is cut, files contribute nothing.
+    _check_case(tmp_path, np.random.default_rng(40), umi_style="underscore",
+                word_length=3, n_reads=100)
+
+
+def test_cli_smoke(tmp_path):
+    from humid_tpu.cli import main
+    src = tmp_path / "in"
+    os.makedirs(src)
+    paths, _ = gen_dataset(np.random.default_rng(50), str(src), n_reads=50)
+    rc = main(["-d", str(tmp_path / "o"), "-s", "-a",
+               "-l", str(tmp_path / "log"), paths[0]])
+    assert rc == 0
+    assert os.path.exists(make_file_name(paths[0], str(tmp_path / "o"),
+                                         "dedup"))
+    assert os.path.exists(tmp_path / "o" / "stats.dat")
