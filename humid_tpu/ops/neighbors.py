@@ -1,9 +1,18 @@
 """Neighbour-pair search driver.
 
-Tiles the U x U fingerprint distance problem into device blocks
-(:mod:`humid_tpu.ops.hamming`, :mod:`humid_tpu.ops.edit`), handles pair
-buffer capacity adaptively, and assembles the CSR adjacency the clustering
-stage consumes.
+Replaces the reference's per-word fuzzy trie traversal
+(``findHammingNeighbours``/``findEditNeighbours``, humid.cc:113-158) with
+ONE fused device program: a ``lax.scan`` over the upper-triangular grid of
+B x B fingerprint tiles that, per tile, computes the XOR+popcount (or
+banded-Levenshtein) distance matrix, masks hits, and compacts the matching
+(row, col) pairs into a single global device buffer with a running offset.
+All shapes are static (one XLA compile regardless of input size), padding
+rows are masked by index bound inside the kernel, and the pair buffer is
+transferred to the host exactly once — the design that keeps both HBM
+traffic and host<->device round-trips minimal.
+
+Capacity overflow (per-tile or total) is detected from the returned
+counts and retried with a larger static capacity (new compile, rare).
 
 CSR ordering invariant: every node's neighbour list is sorted ascending by
 unique-word index.  This equals the reference's neighbour-list order — the
@@ -15,14 +24,123 @@ order (humid.cc:118-124).
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from .hamming import hamming_block_xor
-from .edit import edit_block
+from .hamming import MASK_LO
+from .edit import _banded_levenshtein, _unpack
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _tile_distance(rows, cols, metric: str, max_dist_static: int,
+                   word_length: int | None):
+    """[B, Wa] x [B, Wb] -> [B, B] int32 distances (clamped for edit)."""
+    if metric == "hamming":
+        z = rows[:, None, :] ^ cols[None, :, :]
+        m = (z | (z >> 1)) & MASK_LO
+        return jax.lax.population_count(m).sum(axis=-1).astype(jnp.int32)
+    elif metric == "edit":
+        return _banded_levenshtein(rows, cols, max_dist_static, word_length)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def scan_tile_pairs(
+    row_data,
+    col_data,
+    pairs_ij,
+    u_rows,
+    u_cols,
+    max_dist,
+    upper_only,
+    enabled,
+    row_base,
+    col_base,
+    state,
+    *,
+    tile: int,
+    cap_tile: int,
+    metric: str = "hamming",
+    max_dist_static: int = 0,
+    word_length: int | None = None,
+):
+    """Scan over tile pairs, compacting matches into ``state``.
+
+    Args:
+      row_data / col_data: [Tr*tile, W] / [Tc*tile, W] padded fingerprints
+        (or [*, L] unpacked codes for the edit metric).
+      pairs_ij: [nb, 2] int32 tile indices (i into rows, j into cols).
+      u_rows / u_cols: valid LOCAL row/col counts (padding masked beyond).
+      max_dist: distance threshold (traced).
+      upper_only: traced bool — keep only global_col > global_row.
+      enabled: traced bool — if False, emit nothing (still scans).
+      row_base / col_base: traced GLOBAL index offsets of row 0 / col 0.
+      state: (out_a [cap_total], out_b [cap_total], offset) carry.
+      tile / cap_tile: static tile size and per-tile pair capacity.
+
+    Returns (state', counts [nb]) — emitted global pairs are normalized to
+    (min, max); invalid slots are -1.
+    """
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    w = row_data.shape[1]
+
+    def body(carry, ij):
+        out_a, out_b, off = carry
+        i, j = ij[0], ij[1]
+        rows = jax.lax.dynamic_slice(row_data, (i * tile, 0), (tile, w))
+        cols = jax.lax.dynamic_slice(col_data, (j * tile, 0), (tile, w))
+        dist = _tile_distance(rows, cols, metric, max_dist_static,
+                              word_length)
+        lr = i * tile + iota_r           # local row index
+        lc = j * tile + iota_c           # local col index
+        gr = row_base + lr
+        gc = col_base + lc
+        mask = (dist <= max_dist) & (lr < u_rows) & (lc < u_cols)
+        mask &= jnp.where(upper_only, gc > gr, gr != gc)
+        mask &= enabled
+        n = mask.sum(dtype=jnp.int32)
+        ri, ci = jnp.nonzero(mask, size=cap_tile, fill_value=-1)
+        valid = ri >= 0
+        ga = row_base + i * tile + ri
+        gb = col_base + j * tile + ci
+        pa = jnp.minimum(ga, gb)
+        pb = jnp.maximum(ga, gb)
+        pa = jnp.where(valid, pa, -1).astype(jnp.int32)
+        pb = jnp.where(valid, pb, -1).astype(jnp.int32)
+        out_a = jax.lax.dynamic_update_slice(out_a, pa, (off,))
+        out_b = jax.lax.dynamic_update_slice(out_b, pb, (off,))
+        return (out_a, out_b, off + n), n
+
+    return jax.lax.scan(body, state, pairs_ij)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "cap_tile", "cap_total", "metric", "max_dist_static",
+    "word_length"))
+def _all_pairs(
+    data, pairs_ij, u, max_dist, *,
+    tile: int, cap_tile: int, cap_total: int,
+    metric: str, max_dist_static: int, word_length: int | None,
+):
+    out_a = jnp.full((cap_total,), -1, jnp.int32)
+    out_b = jnp.full((cap_total,), -1, jnp.int32)
+    state = (out_a, out_b, jnp.int32(0))
+    t = jnp.bool_(True)
+    (out_a, out_b, total), counts = scan_tile_pairs(
+        data, data, pairs_ij, u, u, max_dist,
+        upper_only=t, enabled=t,
+        row_base=jnp.int32(0), col_base=jnp.int32(0),
+        state=state,
+        tile=tile, cap_tile=cap_tile, metric=metric,
+        max_dist_static=max_dist_static, word_length=word_length,
+    )
+    return out_a, out_b, total, counts
 
 
 def find_neighbor_pairs(
@@ -31,9 +149,9 @@ def find_neighbor_pairs(
     *,
     metric: str = "hamming",
     word_length: int | None = None,
-    row_block: int = 4096,
-    col_block: int = 32768,
-    cap_per_block: int = 1 << 17,
+    tile: int = 2048,
+    cap_tile: int = 1 << 15,
+    cap_total: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered pairs (a, b), a < b, of unique words within
     ``max_dist``.
@@ -50,60 +168,55 @@ def find_neighbor_pairs(
     if u <= 1:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
-    rb = min(_round_up(u, 8), row_block)
-    cb = min(_round_up(u, 128), col_block)
-    # Pad to full blocks with all-ones sentinel rows; sentinels sit at
-    # global index >= u and are filtered out after extraction.  A sentinel
-    # can never alias a real word because indices, not values, are compared.
-    u_pad = _round_up(u, rb)
-    u_pad = max(u_pad, _round_up(u, cb))
-    pad = np.full((u_pad - u, w), 0xFFFFFFFF, dtype=np.uint32)
-    data = np.concatenate([packed, pad], axis=0) if u_pad > u else packed
-
-    out_a: list[np.ndarray] = []
-    out_b: list[np.ndarray] = []
-    for r0 in range(0, u, rb):
-        rows = data[r0:r0 + rb]
-        # Column blocks start at the row block: only col > row pairs needed.
-        for c0 in range(r0, u, cb):
-            cols = data[c0:c0 + cb]
-            cap = cap_per_block
-            while True:
-                ra, ca, cnt = _run_block(
-                    metric, rows, cols, r0, c0, max_dist, cap, word_length
-                )
-                cnt = int(cnt)
-                if cnt <= cap:
-                    break
-                cap = _round_up(cnt, 1024)
-            if cnt:
-                ra = np.asarray(ra[:cnt])
-                ca = np.asarray(ca[:cnt])
-                keep = (ra < u) & (ca < u) & (ra >= 0)
-                out_a.append(ra[keep].astype(np.int64))
-                out_b.append(ca[keep].astype(np.int64))
-
-    if not out_a:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    a = np.concatenate(out_a)
-    b = np.concatenate(out_b)
-    order = np.lexsort((b, a))
-    return a[order], b[order]
-
-
-def _run_block(metric, rows, cols, r0, c0, max_dist, cap, word_length):
-    if metric == "hamming":
-        return hamming_block_xor(
-            rows, cols, np.int32(r0), np.int32(c0), np.int32(max_dist), cap
-        )
-    elif metric == "edit":
+    if metric == "edit":
         if word_length is None:
             raise ValueError("edit metric requires word_length")
-        return edit_block(
-            rows, cols, np.int32(r0), np.int32(c0), np.int32(max_dist),
-            cap, word_length
+        tile = min(tile, 512)
+        data_host: np.ndarray = packed
+    else:
+        data_host = packed
+
+    b = min(tile, _round_up(u, 256))
+    u_pad = _round_up(u, b)
+    if u_pad > u:
+        pad = np.zeros((u_pad - u, w), dtype=packed.dtype)
+        data_host = np.concatenate([data_host, pad], axis=0)
+    t = u_pad // b
+    ii, jj = np.triu_indices(t)
+    pairs_ij = np.stack([ii, jj], axis=1).astype(np.int32)
+
+    data = jnp.asarray(data_host)
+    if metric == "edit":
+        data = _unpack(data, word_length)
+
+    if cap_total is None:
+        cap_total = max(1 << 20, 4 * u)
+    cap_total = max(cap_total, cap_tile + 1024)
+    while True:
+        out_a, out_b, total, counts = _all_pairs(
+            data, jnp.asarray(pairs_ij), jnp.int32(u), jnp.int32(max_dist),
+            tile=b, cap_tile=cap_tile, cap_total=cap_total,
+            metric=metric, max_dist_static=int(max_dist),
+            word_length=word_length,
         )
-    raise ValueError(f"unknown metric {metric!r}")
+        counts_h = np.asarray(counts)
+        total_h = int(total)
+        max_tile = int(counts_h.max(initial=0))
+        if max_tile > cap_tile:
+            cap_tile = _round_up(max_tile, 1024)
+            cap_total = max(cap_total, cap_tile + 1024)
+            continue
+        if total_h + cap_tile > cap_total:
+            cap_total = _round_up(
+                int(counts_h.sum()) + cap_tile + 1024, 1 << 16
+            )
+            continue
+        break
+
+    a = np.asarray(out_a)[:total_h].astype(np.int64)
+    bb = np.asarray(out_b)[:total_h].astype(np.int64)
+    order = np.lexsort((bb, a))
+    return a[order], bb[order]
 
 
 def pairs_to_csr(

@@ -1,9 +1,18 @@
 import os
 
-# Tests run on a virtual 8-device CPU mesh; must be set before jax imports.
+# Tests run on a virtual 8-device CPU mesh; env must be set before jax
+# initializes a backend.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin (tunneled single chip) overrides JAX_PLATFORMS; force
+# the CPU backend explicitly or the whole suite silently runs on the remote
+# TPU with 1 device and tunnel-latency compiles.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"

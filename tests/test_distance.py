@@ -112,8 +112,8 @@ def test_find_neighbor_pairs_blocking_and_overflow():
     from humid_tpu.ops import unique_words
     uniq, _, _, _ = unique_words(packed)
 
-    a1, b1 = find_neighbor_pairs(uniq, 1, row_block=64, col_block=128,
-                                 cap_per_block=8)
+    a1, b1 = find_neighbor_pairs(uniq, 1, tile=256, cap_tile=8,
+                                 cap_total=1 << 12)
     a2, b2 = find_neighbor_pairs(uniq, 1)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)

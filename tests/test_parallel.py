@@ -1,0 +1,95 @@
+"""Multi-chip sharded paths vs single-device references (8-dev CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from humid_tpu import words as W
+from humid_tpu.ops import find_neighbor_pairs, unique_words
+from humid_tpu.cluster.labelprop import connected_components_device
+from humid_tpu.parallel import (
+    data_mesh,
+    dedup_step,
+    distributed_components,
+    sharded_neighbor_pairs,
+)
+
+
+def _dataset(rng, n, length, pool=6):
+    base, _ = _rand(rng, pool, length)
+    codes = base[rng.integers(0, pool, n)].copy()
+    muts = rng.integers(0, length, n)
+    flip = rng.random(n) < 0.7
+    codes[np.arange(n)[flip], muts[flip]] = rng.integers(0, 4, flip.sum())
+    return codes
+
+
+def _rand(rng, n, length):
+    codes = rng.integers(0, 4, size=(n, length)).astype(np.uint8)
+    return codes, W.pack_words(codes)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 3, 8])
+@pytest.mark.parametrize("m", [0, 1, 2])
+def test_sharded_pairs_match_single_device(n_dev, m):
+    rng = np.random.default_rng(100 + 10 * n_dev + m)
+    codes = _dataset(rng, 600, 20)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(n_dev)
+    a1, b1 = sharded_neighbor_pairs(uniq, m, mesh=mesh, cap_tile=1 << 12)
+    a2, b2 = find_neighbor_pairs(uniq, m)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_sharded_pairs_overflow_retry():
+    rng = np.random.default_rng(7)
+    codes = _dataset(rng, 500, 16, pool=3)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(4)
+    a1, b1 = sharded_neighbor_pairs(uniq, 2, mesh=mesh, cap_tile=4)
+    a2, b2 = find_neighbor_pairs(uniq, 2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_distributed_components(n_dev):
+    rng = np.random.default_rng(11)
+    num_nodes = 500
+    a = rng.integers(0, num_nodes, 300)
+    b = rng.integers(0, num_nodes, 300)
+    keep = a != b
+    a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    mesh = data_mesh(n_dev)
+    got = distributed_components(a, b, num_nodes, mesh=mesh)
+    ref = connected_components_device(
+        a.astype(np.int32), b.astype(np.int32), num_nodes
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4, 8])
+def test_dedup_step_labels_match_host_pipeline(n_dev):
+    """Fused multichip step == single-device pairs + components."""
+    rng = np.random.default_rng(21 + n_dev)
+    codes = _dataset(rng, 800, 24)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(n_dev)
+    labels, _ = dedup_step(uniq, 1, mesh=mesh, cap_tile=1 << 12)
+    a, b = find_neighbor_pairs(uniq, 1)
+    ref = connected_components_device(
+        a.astype(np.int32), b.astype(np.int32), len(uniq)
+    )
+    np.testing.assert_array_equal(labels, ref)
+
+
+def test_dedup_step_no_edges():
+    mesh = data_mesh(2)
+    codes = np.array([[0, 1, 2, 3] * 4, [3, 2, 1, 0] * 4], np.uint8)
+    packed = W.pack_words(codes)
+    labels, _ = dedup_step(packed, 0, mesh=mesh)
+    # Distance 0 and distinct words: every word its own component, but
+    # dist-0 self pairs are excluded, so labels = identity.
+    np.testing.assert_array_equal(labels, np.arange(2, dtype=np.int32))
