@@ -1,0 +1,165 @@
+// Native exact-clustering kernel for humid_tpu.
+//
+// Implements the reference's two clustering methods on a CSR adjacency
+// (semantics of /root/reference/src/cluster.cc, reproduced bit-exactly by
+// the Python oracle in humid_tpu/cluster/exact.py):
+//   * maximum (-x): pre-order flood fill, strict '>' max update
+//     (cluster.cc:20-25, 72-80)
+//   * directional (default): restart-scan hill climb to a local max
+//     (cluster.cc:39-51), then constrained >=2x descent (cluster.cc:58-69)
+// Both use an explicit stack — no recursion, no stack-overflow failure
+// mode (the reference segfaults on deep clusters,
+// docs/troubleshooting.rst:6-18).
+//
+// Exposed as the CPython module humid_tpu.cluster._ccluster, wrapped by
+// humid_tpu/cluster/_native.py.  Buffers are exchanged via the buffer
+// protocol (numpy int64 arrays); no numpy C API dependency.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <utility>
+#include <vector>
+
+namespace {
+
+struct Frame {
+  int64_t node;
+  int64_t ptr;
+};
+
+int64_t cluster_impl(const int64_t* counts, const int64_t* indptr,
+                     const int64_t* indices, int64_t u, bool maximum,
+                     int64_t* labels, int64_t* max_leaf, int64_t* max_count,
+                     int64_t* size_out) {
+  int64_t k = 0;
+  std::vector<Frame> stack;
+  stack.reserve(64);
+  for (int64_t seed = 0; seed < u; ++seed) {
+    if (labels[seed] != 0) continue;
+    const int64_t cid = k + 1;  // ids start at 1 (humid.cc:177)
+    int64_t ml = -1, mc = 0, size = 0;
+
+    int64_t root = seed;
+    if (!maximum) {
+      // Hill climb: jump to the FIRST unassigned neighbour with
+      // count >= 2*current and restart the scan (cluster.cc:39-51).
+      int64_t i = indptr[root], end = indptr[root + 1];
+      while (i < end) {
+        const int64_t nb = indices[i++];
+        if (labels[nb] == 0 && counts[nb] >= 2 * counts[root]) {
+          root = nb;
+          i = indptr[root];
+          end = indptr[root + 1];
+        }
+      }
+      // updateMaxCount_ once, on the local max only (cluster.cc:84-85).
+      ml = root;
+      mc = counts[root];
+    }
+
+    // Pre-order descent.  maximum: absorb every unassigned neighbour and
+    // track the strict max (cluster.cc:72-80).  directional: absorb
+    // unassigned neighbours with current.count >= 2*neighbour.count
+    // (cluster.cc:58-69).
+    labels[root] = cid;
+    size += counts[root];
+    if (maximum && counts[root] > mc) {
+      mc = counts[root];
+      ml = root;
+    }
+    stack.clear();
+    stack.push_back({root, indptr[root]});
+    while (!stack.empty()) {
+      Frame& top = stack.back();
+      if (top.ptr == indptr[top.node + 1]) {
+        stack.pop_back();
+        continue;
+      }
+      const int64_t cur = top.node;
+      const int64_t nb = indices[top.ptr++];
+      if (labels[nb] != 0) continue;
+      if (maximum) {
+        labels[nb] = cid;
+        size += counts[nb];
+        if (counts[nb] > mc) {
+          mc = counts[nb];
+          ml = nb;
+        }
+        stack.push_back({nb, indptr[nb]});
+      } else if (counts[cur] >= 2 * counts[nb]) {
+        labels[nb] = cid;
+        size += counts[nb];
+        stack.push_back({nb, indptr[nb]});
+      }
+    }
+    max_leaf[k] = ml;
+    max_count[k] = mc;
+    size_out[k] = size;
+    ++k;
+  }
+  return k;
+}
+
+PyObject* cluster_into(PyObject* /*self*/, PyObject* args) {
+  Py_buffer counts_b, indptr_b, indices_b, labels_b, ml_b, mc_b, sz_b;
+  int maximum;
+  if (!PyArg_ParseTuple(args, "y*y*y*pw*w*w*w*", &counts_b, &indptr_b,
+                        &indices_b, &maximum, &labels_b, &ml_b, &mc_b,
+                        &sz_b)) {
+    return nullptr;
+  }
+  const int64_t u = static_cast<int64_t>(counts_b.len / 8);
+  int64_t k = 0;
+  if (static_cast<int64_t>(indptr_b.len / 8) != u + 1 ||
+      static_cast<int64_t>(labels_b.len / 8) != u ||
+      static_cast<int64_t>(ml_b.len / 8) < u ||
+      static_cast<int64_t>(mc_b.len / 8) < u ||
+      static_cast<int64_t>(sz_b.len / 8) < u) {
+    PyBuffer_Release(&counts_b);
+    PyBuffer_Release(&indptr_b);
+    PyBuffer_Release(&indices_b);
+    PyBuffer_Release(&labels_b);
+    PyBuffer_Release(&ml_b);
+    PyBuffer_Release(&mc_b);
+    PyBuffer_Release(&sz_b);
+    PyErr_SetString(PyExc_ValueError, "cluster_into: bad buffer sizes");
+    return nullptr;
+  }
+  Py_BEGIN_ALLOW_THREADS;
+  k = cluster_impl(static_cast<const int64_t*>(counts_b.buf),
+                   static_cast<const int64_t*>(indptr_b.buf),
+                   static_cast<const int64_t*>(indices_b.buf), u,
+                   maximum != 0, static_cast<int64_t*>(labels_b.buf),
+                   static_cast<int64_t*>(ml_b.buf),
+                   static_cast<int64_t*>(mc_b.buf),
+                   static_cast<int64_t*>(sz_b.buf));
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&counts_b);
+  PyBuffer_Release(&indptr_b);
+  PyBuffer_Release(&indices_b);
+  PyBuffer_Release(&labels_b);
+  PyBuffer_Release(&ml_b);
+  PyBuffer_Release(&mc_b);
+  PyBuffer_Release(&sz_b);
+  return PyLong_FromLongLong(static_cast<long long>(k));
+}
+
+PyMethodDef methods[] = {
+    {"cluster_into", cluster_into, METH_VARARGS,
+     "cluster_into(counts, indptr, indices, maximum, labels, max_leaf, "
+     "max_count, size) -> num_clusters.  All buffers int64; labels must be "
+     "zero-initialized."},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef module = {
+    PyModuleDef_HEAD_INIT, "_ccluster",
+    "Native CSR clustering (reference semantics of cluster.cc).", -1,
+    methods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__ccluster(void) { return PyModule_Create(&module); }

@@ -1,0 +1,32 @@
+"""ctypes-free wrapper around the native clustering extension.
+
+Raises ImportError when the extension is not built, which makes
+:func:`humid_tpu.cluster.exact.cluster_exact` fall back to the pure
+Python implementation (same semantics, slower).
+Build with: python setup.py build_ext --inplace
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import _ccluster
+
+
+def cluster(counts, indptr, indices, maximum):
+    """Native CSR clustering; mirrors the pure-Python reference in
+    humid_tpu/cluster/exact.py (semantics of cluster.cc)."""
+    u = len(counts)
+    labels = np.zeros(u, dtype=np.int64)
+    cap = max(u, 1)
+    max_leaf = np.empty(cap, dtype=np.int64)
+    max_count = np.empty(cap, dtype=np.int64)
+    size = np.empty(cap, dtype=np.int64)
+    if u:
+        k = _ccluster.cluster_into(
+            counts, indptr, indices, bool(maximum),
+            labels, max_leaf, max_count, size,
+        )
+    else:
+        k = 0
+    return labels, max_leaf[:k].copy(), max_count[:k].copy(), size[:k].copy()

@@ -24,6 +24,11 @@ import numpy as np
 _NEWLINE = 10
 _CR = 13
 
+try:  # native bulk framing (csrc/fastqio.cpp); numpy fallback below
+    from ._fastqio import frame as _frame_native
+except ImportError:  # pragma: no cover - extension not built
+    _frame_native = None
+
 
 def _open_stream(path: str):
     """Raw byte stream with transparent gzip decoding."""
@@ -88,6 +93,8 @@ class FastqBatch:
 def _frame(buf: np.ndarray, base: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
     """Find complete 4-line records in ``buf``.  Returns (starts, ends,
     consumed_bytes) where starts/ends are [n,4] spans."""
+    if _frame_native is not None:
+        return _frame_native(buf)
     nl = np.flatnonzero(buf == _NEWLINE)
     n = len(nl) // 4
     if n == 0:

@@ -99,10 +99,10 @@ def distributed_components(
 # Fused device-side dedup step (neighbour search + clustering in one jit)
 # ---------------------------------------------------------------------------
 
-def _dedup_step_local(local, u, max_dist, *, tile: int, cap_tile: int,
+def _dedup_step_local(local, u, max_dist, *, tile: int, cap_row: int,
                       cap_total: int, n_shards: int):
     out_a, out_b, total, counts = _ring_pairs_local(
-        local, u, max_dist, tile=tile, cap_tile=cap_tile,
+        local, u, max_dist, tile=tile, cap_row=cap_row,
         cap_total=cap_total, n_shards=n_shards,
     )
     valid = out_a >= 0
@@ -114,12 +114,12 @@ def _dedup_step_local(local, u, max_dist, *, tile: int, cap_tile: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile", "cap_tile", "cap_total", "n_shards", "mesh"))
-def _dedup_step(packed, u, max_dist, *, tile: int, cap_tile: int,
+    "tile", "cap_row", "cap_total", "n_shards", "mesh"))
+def _dedup_step(packed, u, max_dist, *, tile: int, cap_row: int,
                 cap_total: int, n_shards: int, mesh):
     fn = shard_map(
         functools.partial(
-            _dedup_step_local, tile=tile, cap_tile=cap_tile,
+            _dedup_step_local, tile=tile, cap_row=cap_row,
             cap_total=cap_total, n_shards=n_shards,
         ),
         mesh=mesh,
@@ -136,7 +136,7 @@ def dedup_step(
     *,
     mesh=None,
     tile: int = 2048,
-    cap_tile: int = 1 << 15,
+    cap_row: int = 16,
     cap_total: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One fused device pass: unique fingerprints -> component labels.
@@ -153,28 +153,27 @@ def dedup_step(
     if u == 0:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     tile = min(tile, _round_up(-(-u // d), 256))
+    cap_row = min(cap_row, tile)
     data = pad_to_shards(packed, d, multiple=tile, fill=0)
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     dev = jax.device_put(data, sharding)
     if cap_total is None:
         cap_total = max(1 << 18, 8 * (u // d + 1))
-    cap_total = max(cap_total, cap_tile + 1024)
     while True:
         labels, counts = _dedup_step(
             dev, jnp.int32(u), jnp.int32(max_dist),
-            tile=tile, cap_tile=cap_tile, cap_total=cap_total,
+            tile=tile, cap_row=cap_row, cap_total=cap_total,
             n_shards=d, mesh=mesh,
         )
         counts_h = np.asarray(counts)
-        max_tile = int(counts_h.max(initial=0))
-        if max_tile > cap_tile:
-            cap_tile = _round_up(max_tile, 1024)
-            cap_total = max(cap_total, cap_tile + 1024)
+        row_max = int(counts_h[:, 1].max(initial=0))
+        if row_max > cap_row:
+            cap_row = min(1 << (row_max - 1).bit_length(), tile)
             continue
-        per_shard = counts_h.reshape(d, -1).sum(axis=1)
-        if int((per_shard + cap_tile).max()) > cap_total:
+        per_shard_total = counts_h.reshape(d, -1, 2)[:, :, 0].sum(axis=1)
+        if int(per_shard_total.max(initial=0)) > cap_total:
             cap_total = _round_up(
-                int(per_shard.max()) + cap_tile + 1024, 1 << 14
+                int(per_shard_total.max()) + 1024, 1 << 14
             )
             continue
         break

@@ -39,12 +39,12 @@ from ..ops.neighbors import scan_tile_pairs, _round_up
 from .mesh import DATA_AXIS, data_mesh, pad_to_shards
 
 
-def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_tile: int,
+def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
                       cap_total: int, n_shards: int):
     """shard_map body: local [B, W] shard block -> compacted pair buffer.
 
     Returns (out_a [cap_total], out_b [cap_total], total [1],
-    counts [S*nb]) with pairs as (min, max) global indices, -1 padded.
+    counts [S*nb, 2]) with pairs as (min, max) global indices, -1 padded.
     """
     d = n_shards
     bsh = local.shape[0]
@@ -75,7 +75,7 @@ def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_tile: int,
             local, rot, pairs_ij, u_rows, u_cols, max_dist,
             upper_only=upper_only, enabled=enabled,
             row_base=me * bsh, col_base=q * bsh,
-            state=state, tile=tile, cap_tile=cap_tile,
+            state=state, tile=tile, cap_row=cap_row,
         )
         nxt = jax.lax.ppermute(rot, DATA_AXIS, perm) if d > 1 else rot
         return (nxt, state), counts
@@ -83,16 +83,16 @@ def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_tile: int,
     (_, (out_a, out_b, total)), counts = jax.lax.scan(
         step, (local, state0), jnp.arange(steps, dtype=jnp.int32)
     )
-    return out_a, out_b, total[None], counts.reshape(-1)
+    return out_a, out_b, total[None], counts.reshape(-1, 2)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile", "cap_tile", "cap_total", "n_shards", "mesh"))
-def _ring_pairs(packed, u, max_dist, *, tile: int, cap_tile: int,
+    "tile", "cap_row", "cap_total", "n_shards", "mesh"))
+def _ring_pairs(packed, u, max_dist, *, tile: int, cap_row: int,
                 cap_total: int, n_shards: int, mesh):
     fn = shard_map(
         functools.partial(
-            _ring_pairs_local, tile=tile, cap_tile=cap_tile,
+            _ring_pairs_local, tile=tile, cap_row=cap_row,
             cap_total=cap_total, n_shards=n_shards,
         ),
         mesh=mesh,
@@ -110,7 +110,7 @@ def sharded_neighbor_pairs(
     *,
     mesh=None,
     tile: int = 2048,
-    cap_tile: int = 1 << 15,
+    cap_row: int = 16,
     cap_total: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered fingerprint pairs within ``max_dist``, computed on the
@@ -123,30 +123,26 @@ def sharded_neighbor_pairs(
     if u <= 1:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     tile = min(tile, _round_up(-(-u // d), 256))
+    cap_row = min(cap_row, tile)
     data = pad_to_shards(packed, d, multiple=tile, fill=0)
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     dev = jax.device_put(data, sharding)
     if cap_total is None:
         cap_total = max(1 << 18, 8 * (u // d + 1))
-    cap_total = max(cap_total, cap_tile + 1024)
     while True:
         out_a, out_b, totals, counts = _ring_pairs(
             dev, jnp.int32(u), jnp.int32(max_dist),
-            tile=tile, cap_tile=cap_tile, cap_total=cap_total,
+            tile=tile, cap_row=cap_row, cap_total=cap_total,
             n_shards=d, mesh=mesh,
         )
         counts_h = np.asarray(counts)
         totals_h = np.asarray(totals)
-        max_tile = int(counts_h.max(initial=0))
-        if max_tile > cap_tile:
-            cap_tile = _round_up(max_tile, 1024)
-            cap_total = max(cap_total, cap_tile + 1024)
+        row_max = int(counts_h[:, 1].max(initial=0))
+        if row_max > cap_row:
+            cap_row = min(1 << (row_max - 1).bit_length(), tile)
             continue
-        per_shard = counts_h.reshape(d, -1).sum(axis=1)
-        if int((per_shard + cap_tile).max()) > cap_total:
-            cap_total = _round_up(
-                int(per_shard.max()) + cap_tile + 1024, 1 << 14
-            )
+        if int(totals_h.max(initial=0)) > cap_total:
+            cap_total = _round_up(int(totals_h.max()) + 1024, 1 << 14)
             continue
         break
     a = np.asarray(out_a)

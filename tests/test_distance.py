@@ -112,7 +112,7 @@ def test_find_neighbor_pairs_blocking_and_overflow():
     from humid_tpu.ops import unique_words
     uniq, _, _, _ = unique_words(packed)
 
-    a1, b1 = find_neighbor_pairs(uniq, 1, tile=256, cap_tile=8,
+    a1, b1 = find_neighbor_pairs(uniq, 1, tile=256, cap_row=2,
                                  cap_total=1 << 12)
     a2, b2 = find_neighbor_pairs(uniq, 1)
     np.testing.assert_array_equal(a1, a2)
@@ -127,3 +127,19 @@ def test_pairs_to_csr_sorted_neighbors():
     indptr, indices = pairs_to_csr(a, b, 4)
     assert indptr.tolist() == [0, 2, 3, 5, 8]
     assert indices.tolist() == [2, 3, 3, 0, 3, 0, 1, 2]
+
+
+def test_find_neighbor_pairs_mxu_impl_matches_xor():
+    rng = np.random.default_rng(31)
+    length = 24
+    pool, _ = _rand_words(rng, 5, length)
+    codes = pool[rng.integers(0, 5, 900)].copy()
+    muts = rng.integers(0, length, 900)
+    codes[np.arange(900), muts] = rng.integers(0, 4, 900)
+    packed = W.pack_words(codes)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(packed)
+    a1, b1 = find_neighbor_pairs(uniq, 2, impl="xor", word_length=length)
+    a2, b2 = find_neighbor_pairs(uniq, 2, impl="mxu", word_length=length)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)

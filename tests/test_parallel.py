@@ -37,7 +37,7 @@ def test_sharded_pairs_match_single_device(n_dev, m):
     codes = _dataset(rng, 600, 20)
     uniq, _, _, _ = unique_words(W.pack_words(codes))
     mesh = data_mesh(n_dev)
-    a1, b1 = sharded_neighbor_pairs(uniq, m, mesh=mesh, cap_tile=1 << 12)
+    a1, b1 = sharded_neighbor_pairs(uniq, m, mesh=mesh, cap_row=4)
     a2, b2 = find_neighbor_pairs(uniq, m)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
@@ -48,7 +48,7 @@ def test_sharded_pairs_overflow_retry():
     codes = _dataset(rng, 500, 16, pool=3)
     uniq, _, _, _ = unique_words(W.pack_words(codes))
     mesh = data_mesh(4)
-    a1, b1 = sharded_neighbor_pairs(uniq, 2, mesh=mesh, cap_tile=4)
+    a1, b1 = sharded_neighbor_pairs(uniq, 2, mesh=mesh, cap_row=2)
     a2, b2 = find_neighbor_pairs(uniq, 2)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
@@ -77,7 +77,7 @@ def test_dedup_step_labels_match_host_pipeline(n_dev):
     codes = _dataset(rng, 800, 24)
     uniq, _, _, _ = unique_words(W.pack_words(codes))
     mesh = data_mesh(n_dev)
-    labels, _ = dedup_step(uniq, 1, mesh=mesh, cap_tile=1 << 12)
+    labels, _ = dedup_step(uniq, 1, mesh=mesh, cap_row=4)
     a, b = find_neighbor_pairs(uniq, 1)
     ref = connected_components_device(
         a.astype(np.int32), b.astype(np.int32), len(uniq)
