@@ -3,16 +3,55 @@
 The reference uses fastp's ``Writer`` which gzip-compresses when the output
 name ends in ``.gz`` (humid.cc:216-217).  Records are written as canonical
 4-line blocks, byte-identical to fastp's ``Read::toString()``.
+
+Record assembly is fully vectorized: the selected line spans are gathered
+from the batch buffer into one contiguous output buffer with a ragged
+gather/scatter (no per-record Python on the hot path).
 """
 
 from __future__ import annotations
 
 import gzip
-from typing import Iterable
 
 import numpy as np
 
 from .reader import FastqBatch
+
+
+def _build_output(src: np.ndarray, seg_start: np.ndarray,
+                  seg_len: np.ndarray, nl_after: np.ndarray) -> np.ndarray:
+    """Concatenate ragged segments of ``src`` (uint8), appending a newline
+    after each segment where ``nl_after`` is True.
+
+    seg_start/seg_len: [M] int64 flat segment table, in output order.
+    """
+    seg_start = seg_start.astype(np.int64, copy=False)
+    seg_len = seg_len.astype(np.int64, copy=False)
+    total_data = int(seg_len.sum())
+    out_len = total_data + int(nl_after.sum())
+    out = np.empty(out_len, np.uint8)
+    if out_len == 0:
+        return out
+    cum_in = np.concatenate([[0], np.cumsum(seg_len)[:-1]])
+    out_start = cum_in + np.concatenate([[0], np.cumsum(nl_after)[:-1]])
+    nl_pos = (out_start + seg_len)[nl_after]
+    out[nl_pos] = 10
+    r = np.arange(total_data, dtype=np.int64)
+    rep_src = np.repeat(seg_start - cum_in, seg_len) + r
+    rep_dst = np.repeat(out_start - cum_in, seg_len) + r
+    out[rep_dst] = src[rep_src]
+    return out
+
+
+def _ann_buffer(cluster_ids: np.ndarray):
+    """Vectorized b":<id>" annotation strings -> (flat uint8 buffer,
+    starts [n], lens [n])."""
+    s = np.char.mod(b":%d", cluster_ids.astype(np.int64))
+    itemsize = s.dtype.itemsize
+    buf = np.frombuffer(s.tobytes(), dtype=np.uint8)
+    lens = np.char.str_len(s).astype(np.int64)
+    starts = np.arange(len(s), dtype=np.int64) * itemsize
+    return buf, starts, lens
 
 
 class FastqWriter:
@@ -30,39 +69,40 @@ class FastqWriter:
         """Write the selected records of a batch in index order."""
         if len(indices) == 0:
             return
-        parts: list[bytes] = []
-        starts, ends, buf = batch.starts, batch.ends, batch.buf
-        nl = b"\n"
-        for i in indices:
-            parts.append(buf[starts[i, 0]:ends[i, 0]].tobytes())
-            parts.append(nl)
-            parts.append(buf[starts[i, 1]:ends[i, 1]].tobytes())
-            parts.append(nl)
-            parts.append(buf[starts[i, 2]:ends[i, 2]].tobytes())
-            parts.append(nl)
-            parts.append(buf[starts[i, 3]:ends[i, 3]].tobytes())
-            parts.append(nl)
-        self._f.write(b"".join(parts))
+        starts = batch.starts[indices]          # [k, 4]
+        ends = batch.ends[indices]
+        seg_start = starts.ravel()
+        seg_len = (ends - starts).ravel()
+        nl_after = np.ones(len(seg_start), dtype=bool)
+        out = _build_output(batch.buf, seg_start, seg_len, nl_after)
+        self._f.write(out.tobytes())
 
     def write_records_annotated(
         self, batch: FastqBatch, cluster_ids: np.ndarray
     ) -> None:
         """Write ALL records, appending ``:<cluster_id>`` to every name line
         (humid.cc:280-284)."""
-        parts: list[bytes] = []
-        starts, ends, buf = batch.starts, batch.ends, batch.buf
-        nl = b"\n"
-        for i in range(batch.n):
-            parts.append(buf[starts[i, 0]:ends[i, 0]].tobytes())
-            parts.append(b":%d" % int(cluster_ids[i]))
-            parts.append(nl)
-            parts.append(buf[starts[i, 1]:ends[i, 1]].tobytes())
-            parts.append(nl)
-            parts.append(buf[starts[i, 2]:ends[i, 2]].tobytes())
-            parts.append(nl)
-            parts.append(buf[starts[i, 3]:ends[i, 3]].tobytes())
-            parts.append(nl)
-        self._f.write(b"".join(parts))
+        k = batch.n
+        if k == 0:
+            return
+        ann_buf, ann_starts, ann_lens = _ann_buffer(cluster_ids)
+        src = np.concatenate([batch.buf, ann_buf])
+        base = len(batch.buf)
+        # 5 segments/record: name (no newline), ":id", seq, strand, qual.
+        seg_start = np.empty((k, 5), np.int64)
+        seg_len = np.empty((k, 5), np.int64)
+        seg_start[:, 0] = batch.starts[:, 0]
+        seg_len[:, 0] = batch.ends[:, 0] - batch.starts[:, 0]
+        seg_start[:, 1] = base + ann_starts
+        seg_len[:, 1] = ann_lens
+        seg_start[:, 2:] = batch.starts[:, 1:]
+        seg_len[:, 2:] = batch.ends[:, 1:] - batch.starts[:, 1:]
+        nl_after = np.tile(
+            np.array([False, True, True, True, True]), (k, 1)
+        ).ravel()
+        out = _build_output(src, seg_start.ravel(), seg_len.ravel(),
+                            nl_after)
+        self._f.write(out.tobytes())
 
     def close(self) -> None:
         self._f.close()

@@ -84,6 +84,8 @@ def scan_tile_pairs(
     metric: str = "hamming",
     max_dist_static: int = 0,
     word_length: int | None = None,
+    row_ids=None,
+    col_ids=None,
 ):
     """Scan over tile pairs, compacting matches into ``state``.
 
@@ -98,7 +100,12 @@ def scan_tile_pairs(
       row_data / col_data: [Tr*tile, D] / [Tc*tile, D] padded fingerprint
         representations (packed uint32 lanes, one-hot bf16, or unpacked
         codes, depending on ``metric``).
-      pairs_ij: [nb, 2] int32 tile indices (i into rows, j into cols).
+      pairs_ij: [nb, 3] int32 (tile_i, tile_j, on) — disabled rows (on=0)
+        are scanned but emit nothing, letting drivers pad the tile-pair
+        list to a bucketed length so nb changes don't recompile.
+      row_ids / col_ids: optional [Tr*tile] / [Tc*tile] int32 bucket ids;
+        when given, only pairs with equal ids match (the pigeonhole
+        candidate filter of the bucketed driver).
       u_rows / u_cols: valid LOCAL row/col counts (padding masked beyond).
       max_dist: distance threshold (traced).
       upper_only: traced bool — keep only global_col > global_row.
@@ -122,6 +129,7 @@ def scan_tile_pairs(
     def body(carry, ij):
         out_a, out_b, off = carry
         i, j = ij[0], ij[1]
+        on = ij[2] > 0
         rows = jax.lax.dynamic_slice(row_data, (i * tile, 0), (tile, w))
         cols = jax.lax.dynamic_slice(col_data, (j * tile, 0), (tile, w))
         dist = _tile_distance(rows, cols, metric, max_dist_static,
@@ -132,7 +140,11 @@ def scan_tile_pairs(
         gc = col_base + lc
         mask = (dist <= max_dist) & (lr < u_rows) & (lc < u_cols)
         mask &= jnp.where(upper_only, gc > gr, gr != gc)
-        mask &= enabled
+        mask &= enabled & on
+        if row_ids is not None:
+            rid = jax.lax.dynamic_slice(row_ids, (i * tile,), (tile,))
+            cid = jax.lax.dynamic_slice(col_ids, (j * tile,), (tile,))
+            mask &= rid[:, None] == cid[None, :]
         rowcnt = mask.sum(axis=1, dtype=jnp.int32)       # [tile]
         rowmax = rowcnt.max()
         n = rowcnt.sum()
@@ -155,11 +167,12 @@ def scan_tile_pairs(
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "cap_row", "cap_total", "metric", "max_dist_static",
-    "word_length"))
+    "word_length", "with_ids"))
 def _all_pairs(
     data, pairs_ij, u, max_dist, *,
     tile: int, cap_row: int, cap_total: int,
     metric: str, max_dist_static: int, word_length: int | None,
+    ids=None, with_ids: bool = False,
 ):
     out_a = jnp.full((cap_total,), -1, jnp.int32)
     out_b = jnp.full((cap_total,), -1, jnp.int32)
@@ -172,8 +185,72 @@ def _all_pairs(
         state=state,
         tile=tile, cap_row=cap_row, metric=metric,
         max_dist_static=max_dist_static, word_length=word_length,
+        row_ids=ids if with_ids else None,
+        col_ids=ids if with_ids else None,
     )
     return out_a, out_b, total, counts
+
+
+def _pad_pairs(pairs: np.ndarray) -> np.ndarray:
+    """[nb, 2] tile pairs -> [nb_pad, 3] with an on-flag column, padded
+    with disabled rows to the next power of two so the scan length is
+    bucketed (few distinct compiles, <2x wasted tiles)."""
+    nb = len(pairs)
+    nb_pad = 1 << max(nb - 1, 0).bit_length()
+    out = np.zeros((nb_pad, 3), np.int32)
+    out[:nb, :2] = pairs
+    out[:nb, 2] = 1
+    return out
+
+
+def _resolve_metric(metric: str, impl: str | None, word_length, tile: int):
+    """Pick the device implementation; returns (metric_key, tile)."""
+    if metric == "edit":
+        if word_length is None:
+            raise ValueError("edit metric requires word_length")
+        return "edit", min(tile, 512)
+    if metric == "hamming":
+        if impl is None:
+            impl = "mxu" if jax.default_backend() == "tpu" else "xor"
+        if impl == "mxu":
+            if word_length is None:
+                raise ValueError("mxu impl requires word_length")
+            return "hamming_mxu", tile
+        return "hamming", tile
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _device_rep(data_host, metric: str, word_length):
+    data = jnp.asarray(data_host)
+    if metric == "edit":
+        return _unpack(data, word_length)
+    if metric == "hamming_mxu":
+        return onehot_bases(data, word_length)
+    return data
+
+
+def _extract_with_retry(run, u, b, cap_row, cap_total):
+    """Run the capacity-retry loop around a scan launcher.
+
+    ``run(cap_row, cap_total)`` -> (out_a, out_b, total, counts).
+    Returns (a, b) int64 sorted by (a, b).
+    """
+    while True:
+        out_a, out_b, total, counts = run(cap_row, cap_total)
+        counts_h = np.asarray(counts)
+        total_h = int(total)
+        row_max = int(counts_h[:, 1].max(initial=0))
+        if row_max > cap_row:
+            cap_row = min(1 << (row_max - 1).bit_length(), b)
+            continue
+        if total_h > cap_total:
+            cap_total = _round_up(total_h + 1024, 1 << 16)
+            continue
+        break
+    a = np.asarray(out_a)[:total_h].astype(np.int64)
+    bb = np.asarray(out_b)[:total_h].astype(np.int64)
+    order = np.lexsort((bb, a))
+    return a[order], bb[order]
 
 
 def find_neighbor_pairs(
@@ -186,6 +263,8 @@ def find_neighbor_pairs(
     cap_row: int = 16,
     cap_total: int | None = None,
     impl: str | None = None,
+    strategy: str = "auto",
+    dense_threshold: int = 1 << 17,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered pairs (a, b), a < b, of unique words within
     ``max_dist``.
@@ -196,6 +275,9 @@ def find_neighbor_pairs(
       metric: "hamming" (default) or "edit" (-e flag, Levenshtein).
       impl: Hamming tile backend — "mxu" (one-hot bf16 matmul; default on
         TPU) or "xor" (VPU bitops; default elsewhere).
+      strategy: "dense" (all U x U tiles), "bucketed" (pigeonhole segment
+        partitions, subquadratic for large U), or "auto" (bucketed for
+        Hamming above ``dense_threshold`` unique words).
 
     Returns:
       (a, b): int64 arrays with a < b, sorted by (a, b).
@@ -204,17 +286,20 @@ def find_neighbor_pairs(
     if u <= 1:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
-    if metric == "edit":
-        if word_length is None:
-            raise ValueError("edit metric requires word_length")
-        tile = min(tile, 512)
-    elif metric == "hamming":
-        if impl is None:
-            impl = "mxu" if jax.default_backend() == "tpu" else "xor"
-        if impl == "mxu":
-            if word_length is None:
-                raise ValueError("mxu impl requires word_length")
-            metric = "hamming_mxu"
+    if strategy == "auto":
+        strategy = (
+            "bucketed"
+            if metric == "hamming" and max_dist >= 1 and u > dense_threshold
+            and word_length is not None
+            else "dense"
+        )
+    if strategy == "bucketed":
+        return find_neighbor_pairs_bucketed(
+            packed, max_dist, word_length=word_length, tile=tile,
+            cap_row=cap_row, cap_total=cap_total, impl=impl,
+        )
+
+    metric, tile = _resolve_metric(metric, impl, word_length, tile)
     data_host: np.ndarray = packed
 
     b = min(tile, _round_up(u, 256))
@@ -224,39 +309,139 @@ def find_neighbor_pairs(
         data_host = np.concatenate([data_host, pad], axis=0)
     t = u_pad // b
     ii, jj = np.triu_indices(t)
-    pairs_ij = np.stack([ii, jj], axis=1).astype(np.int32)
+    pairs_ij = _pad_pairs(np.stack([ii, jj], axis=1).astype(np.int32))
 
-    data = jnp.asarray(data_host)
-    if metric == "edit":
-        data = _unpack(data, word_length)
-    elif metric == "hamming_mxu":
-        data = onehot_bases(data, word_length)
+    data = _device_rep(data_host, metric, word_length)
 
     if cap_total is None:
         cap_total = max(1 << 20, 4 * u)
     cap_row = min(cap_row, b)
-    while True:
-        out_a, out_b, total, counts = _all_pairs(
+
+    def run(cr, ct):
+        return _all_pairs(
             data, jnp.asarray(pairs_ij), jnp.int32(u), jnp.int32(max_dist),
-            tile=b, cap_row=cap_row, cap_total=cap_total,
+            tile=b, cap_row=cr, cap_total=ct,
             metric=metric, max_dist_static=int(max_dist),
             word_length=word_length,
         )
-        counts_h = np.asarray(counts)
-        total_h = int(total)
-        row_max = int(counts_h[:, 1].max(initial=0))
-        if row_max > cap_row:
-            cap_row = min(1 << (row_max - 1).bit_length(), b)
-            continue
-        if total_h > cap_total:
-            cap_total = _round_up(total_h + 1024, 1 << 16)
-            continue
-        break
 
-    a = np.asarray(out_a)[:total_h].astype(np.int64)
-    bb = np.asarray(out_b)[:total_h].astype(np.int64)
-    order = np.lexsort((bb, a))
-    return a[order], bb[order]
+    return _extract_with_retry(run, u, b, cap_row, cap_total)
+
+
+def _segment_run_ids(packed: np.ndarray, word_length: int, n_seg: int):
+    """Per-partition bucket keys: [n_seg][U] uint64 packed segment values."""
+    from .. import words as W
+
+    codes = W.unpack_words(packed, word_length).astype(np.uint64)
+    bounds = [word_length * s // n_seg for s in range(n_seg + 1)]
+    keys = []
+    for s in range(n_seg):
+        seg = codes[:, bounds[s]:bounds[s + 1]]
+        k = np.zeros(len(packed), np.uint64)
+        for c in range(seg.shape[1]):
+            k = (k << np.uint64(2)) | seg[:, c]
+        keys.append(k)
+    return keys
+
+
+def find_neighbor_pairs_bucketed(
+    packed: np.ndarray,
+    max_dist: int,
+    *,
+    word_length: int,
+    tile: int = 2048,
+    cap_row: int = 16,
+    cap_total: int | None = None,
+    impl: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Subquadratic Hamming neighbour pairs via pigeonhole partitions.
+
+    Split each word into ``max_dist + 1`` contiguous segments: a pair
+    within distance m agrees exactly on at least one segment (pigeonhole),
+    so it suffices to compare words sharing a segment value.  Per
+    partition, words are sorted by segment key; equal-key runs become
+    contiguous, and only the tile pairs that overlap a run are scanned,
+    with an in-kernel run-id equality mask rejecting cross-bucket pairs.
+    A pair agreeing on several segments is found once per such partition;
+    duplicates are removed at the end.
+
+    Complexity per partition ~ O(U/tile) diagonal tiles plus extra tiles
+    for runs crossing tile boundaries — versus O((U/tile)^2) dense.
+    """
+    if word_length is None:
+        raise ValueError("bucketed strategy requires word_length")
+    u, w = packed.shape
+    if u <= 1 or max_dist == 0:
+        # Unique words are pairwise distinct: no pairs at distance 0.
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    metric, tile = _resolve_metric("hamming", impl, word_length, tile)
+    n_seg = max_dist + 1
+    b = min(tile, _round_up(u, 256))
+    u_pad = _round_up(u, b)
+    t = u_pad // b
+    if cap_total is None:
+        cap_total = max(1 << 20, 4 * u)
+    cap_row = min(cap_row, b)
+
+    out_as: list[np.ndarray] = []
+    out_bs: list[np.ndarray] = []
+    for key in _segment_run_ids(packed, word_length, n_seg):
+        order = np.argsort(key, kind="stable")
+        kperm = key[order]
+        dperm = packed[order]
+        # Dense int32 run ids (key equality == run-id equality).
+        new_run = np.empty(u, bool)
+        new_run[0] = True
+        np.not_equal(kperm[1:], kperm[:-1], out=new_run[1:])
+        rid = (np.cumsum(new_run) - 1).astype(np.int32)
+        # Pad: distinct negative ids never match anything.
+        if u_pad > u:
+            dperm = np.concatenate(
+                [dperm, np.zeros((u_pad - u, w), dperm.dtype)]
+            )
+            rid = np.concatenate(
+                [rid, -np.arange(1, u_pad - u + 1, dtype=np.int32)]
+            )
+        # Tile pairs: diagonal always; run crossing tiles a..c adds the
+        # tile pairs it spans (rare unless a bucket is huge).
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.append(run_starts[1:], u)
+        t0 = run_starts // b
+        t1 = (run_ends - 1) // b
+        pairs = {(i, i) for i in range(t)}
+        for a0, a1 in zip(t0[t1 > t0], t1[t1 > t0]):
+            for i in range(int(a0), int(a1) + 1):
+                for j in range(i, int(a1) + 1):
+                    pairs.add((i, j))
+        pairs_ij = _pad_pairs(
+            np.array(sorted(pairs), np.int32).reshape(-1, 2)
+        )
+
+        data = _device_rep(dperm, metric, word_length)
+        rid_dev = jnp.asarray(rid)
+
+        def run(cr, ct, data=data, rid_dev=rid_dev, pairs_ij=pairs_ij):
+            return _all_pairs(
+                data, jnp.asarray(pairs_ij), jnp.int32(u),
+                jnp.int32(max_dist),
+                tile=b, cap_row=cr, cap_total=ct,
+                metric=metric, max_dist_static=int(max_dist),
+                word_length=word_length, ids=rid_dev, with_ids=True,
+            )
+
+        pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
+        # Permuted positions -> original unique-word indices.
+        ga = order[pa]
+        gb = order[pb]
+        out_as.append(np.minimum(ga, gb))
+        out_bs.append(np.maximum(ga, gb))
+
+    a = np.concatenate(out_as)
+    bb = np.concatenate(out_bs)
+    # A pair agreeing on k>1 segments appears k times; dedupe + sort.
+    pairs = np.unique(np.stack([a, bb], axis=1), axis=0)
+    return (pairs[:, 0].astype(np.int64), pairs[:, 1].astype(np.int64))
 
 
 def pairs_to_csr(

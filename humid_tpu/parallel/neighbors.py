@@ -52,9 +52,9 @@ def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
     steps = d // 2 + 1
     t = bsh // tile
     ii, jj = np.meshgrid(np.arange(t), np.arange(t), indexing="ij")
-    pairs_ij = jnp.asarray(
-        np.stack([ii.ravel(), jj.ravel()], axis=1).astype(np.int32)
-    )
+    pairs_ij = jnp.asarray(np.stack(
+        [ii.ravel(), jj.ravel(), np.ones(t * t)], axis=1
+    ).astype(np.int32))
     perm = [(i, (i - 1) % d) for i in range(d)]
 
     out_a = jnp.full((cap_total,), -1, jnp.int32)

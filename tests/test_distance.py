@@ -143,3 +143,49 @@ def test_find_neighbor_pairs_mxu_impl_matches_xor():
     a2, b2 = find_neighbor_pairs(uniq, 2, impl="mxu", word_length=length)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_bucketed_matches_dense(m):
+    """Pigeonhole-bucketed search finds exactly the dense pair set."""
+    from humid_tpu.ops.neighbors import find_neighbor_pairs_bucketed
+    rng = np.random.default_rng(60 + m)
+    length = 20
+    pool, _ = _rand_words(rng, 12, length)
+    codes = pool[rng.integers(0, 12, 1500)].copy()
+    # up to m mutations per read so pairs exist at every distance <= m
+    for _ in range(m):
+        sel = rng.random(1500) < 0.5
+        codes[np.flatnonzero(sel), rng.integers(0, length, int(sel.sum()))] = (
+            rng.integers(0, 4, int(sel.sum()))
+        )
+    packed = W.pack_words(codes)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(packed)
+    a1, b1 = find_neighbor_pairs_bucketed(uniq, m, word_length=length)
+    a2, b2 = find_neighbor_pairs(uniq, m, strategy="dense",
+                                 word_length=length)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_bucketed_huge_run_spans_tiles():
+    """A giant bucket spanning several tiles must still yield all pairs."""
+    from humid_tpu.ops.neighbors import find_neighbor_pairs_bucketed
+    rng = np.random.default_rng(77)
+    length = 16
+    # All words share segment 0 (first 8 bases identical) -> one giant
+    # bucket in partition 0 crossing tile boundaries (tile=256).
+    base = rng.integers(0, 4, 8).astype(np.uint8)
+    codes = np.empty((900, length), np.uint8)
+    codes[:, :8] = base
+    codes[:, 8:] = rng.integers(0, 4, (900, 8))
+    packed = W.pack_words(codes)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(packed)
+    a1, b1 = find_neighbor_pairs_bucketed(uniq, 1, word_length=length,
+                                          tile=256)
+    a2, b2 = find_neighbor_pairs(uniq, 1, strategy="dense",
+                                 word_length=length)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
