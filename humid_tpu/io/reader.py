@@ -134,7 +134,8 @@ class FastqReader:
                     leftover = data
                     continue
                 leftover = data[consumed:]
-                yield FastqBatch(buf[:consumed].copy(), starts, ends)
+                # Read-only view; `data` stays alive via the view. No copy.
+                yield FastqBatch(buf[:consumed], starts, ends)
             if leftover.strip():
                 # Trailing data without final newline: frame what remains by
                 # appending a synthetic newline (fastp tolerates a missing
@@ -143,7 +144,7 @@ class FastqReader:
                 buf = np.frombuffer(data, dtype=np.uint8)
                 starts, ends, _ = _frame(buf)
                 if starts.shape[0]:
-                    yield FastqBatch(buf.copy(), starts, ends)
+                    yield FastqBatch(buf, starts, ends)
         finally:
             stream.close()
 

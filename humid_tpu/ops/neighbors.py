@@ -58,12 +58,18 @@ def _tile_distance(rows, cols, metric: str, max_dist_static: int,
 
 
 def onehot_bases(packed, word_length: int):
-    """[N, W] uint32 packed fingerprints -> [N, 4*L] one-hot bf16."""
+    """[N, W] uint32 packed fingerprints -> [N, D] one-hot bf16 with D =
+    4*L zero-padded up to a multiple of 128 (TPU lane width; the padding
+    contributes nothing to match counts)."""
     codes = _unpack(packed, word_length)  # [N, L] int32
     onehot = (codes[:, :, None] ==
               jnp.arange(4, dtype=jnp.int32)[None, None, :])
-    return onehot.reshape(codes.shape[0], 4 * word_length).astype(
+    oh = onehot.reshape(codes.shape[0], 4 * word_length).astype(
         jnp.bfloat16)
+    d = _round_up(4 * word_length, 128)
+    if d > 4 * word_length:
+        oh = jnp.pad(oh, ((0, 0), (0, d - 4 * word_length)))
+    return oh
 
 
 def scan_tile_pairs(
@@ -126,12 +132,7 @@ def scan_tile_pairs(
     w = row_data.shape[1]
     cap_total = state[0].shape[0]
 
-    def body(carry, ij):
-        out_a, out_b, off = carry
-        i, j = ij[0], ij[1]
-        on = ij[2] > 0
-        rows = jax.lax.dynamic_slice(row_data, (i * tile, 0), (tile, w))
-        cols = jax.lax.dynamic_slice(col_data, (j * tile, 0), (tile, w))
+    def _matches_xla(i, j, on, rows, cols):
         dist = _tile_distance(rows, cols, metric, max_dist_static,
                               word_length)
         lr = i * tile + iota_r           # local row index
@@ -146,11 +147,20 @@ def scan_tile_pairs(
             cid = jax.lax.dynamic_slice(col_ids, (j * tile,), (tile,))
             mask &= rid[:, None] == cid[None, :]
         rowcnt = mask.sum(axis=1, dtype=jnp.int32)       # [tile]
-        rowmax = rowcnt.max()
-        n = rowcnt.sum()
         # All matching columns of a row == its top-cap_row masked indices.
         vals = jnp.where(mask, lc, -1)
         topv, _ = jax.lax.top_k(vals, cap_row)           # [tile, cap_row]
+        return rowcnt, topv
+
+    def body(carry, ij):
+        out_a, out_b, off = carry
+        i, j = ij[0], ij[1]
+        on = ij[2] > 0
+        rows = jax.lax.dynamic_slice(row_data, (i * tile, 0), (tile, w))
+        cols = jax.lax.dynamic_slice(col_data, (j * tile, 0), (tile, w))
+        rowcnt, topv = _matches_xla(i, j, on, rows, cols)
+        rowmax = rowcnt.max()
+        n = rowcnt.sum()
         valid = (iota_k < rowcnt[:, None]) & (topv >= 0)
         roff = off + jnp.cumsum(rowcnt) - rowcnt
         tgt = jnp.where(valid, roff[:, None] + iota_k, cap_total)
@@ -212,10 +222,11 @@ def _resolve_metric(metric: str, impl: str | None, word_length, tile: int):
     if metric == "hamming":
         if impl is None:
             impl = "mxu" if jax.default_backend() == "tpu" else "xor"
-        if impl == "mxu":
+        if impl in ("mxu", "pallas"):
             if word_length is None:
-                raise ValueError("mxu impl requires word_length")
-            return "hamming_mxu", tile
+                raise ValueError(f"{impl} impl requires word_length")
+            return ("hamming_mxu" if impl == "mxu"
+                    else "hamming_pallas"), tile
         return "hamming", tile
     raise ValueError(f"unknown metric {metric!r}")
 
@@ -224,9 +235,43 @@ def _device_rep(data_host, metric: str, word_length):
     data = jnp.asarray(data_host)
     if metric == "edit":
         return _unpack(data, word_length)
-    if metric == "hamming_mxu":
+    if metric in ("hamming_mxu", "hamming_pallas"):
         return onehot_bases(data, word_length)
     return data
+
+
+def _pallas_chunked_run(data, ids, pairs_np, u, max_dist, *,
+                        tile, word_length, interpret,
+                        chunk_nb: int = 1024):
+    """Chunked launcher for the Pallas sweep; same (out_a, out_b, total,
+    counts) contract as _all_pairs so _extract_with_retry wraps it.
+    Chunking bounds the [nb, tile, cap_row] kernel output memory."""
+    from .pallas_hamming import pallas_all_pairs
+
+    def run(cr, ct):
+        outs_a, outs_b, counts = [], [], []
+        for lo in range(0, len(pairs_np), chunk_nb):
+            chunk = _pad_pairs(pairs_np[lo:lo + chunk_nb, :2])
+            oa, ob, t, c = pallas_all_pairs(
+                jnp.asarray(data), jnp.asarray(ids), jnp.asarray(chunk),
+                jnp.int32(u), jnp.int32(max_dist),
+                tile=tile, cap_row=cr, cap_total=ct,
+                word_length=word_length, interpret=interpret,
+            )
+            t = int(t)
+            counts.append(np.asarray(c))
+            if t > ct:
+                # Chunk overflowed the output buffer: report the true
+                # total so the retry loop grows cap_total and reruns.
+                return (np.zeros(0, np.int32), np.zeros(0, np.int32), t,
+                        np.concatenate(counts))
+            outs_a.append(np.asarray(oa)[:t])
+            outs_b.append(np.asarray(ob)[:t])
+        out_a = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int32)
+        out_b = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int32)
+        return out_a, out_b, len(out_a), np.concatenate(counts)
+
+    return run
 
 
 def _extract_with_retry(run, u, b, cap_row, cap_total):
@@ -309,7 +354,7 @@ def find_neighbor_pairs(
         data_host = np.concatenate([data_host, pad], axis=0)
     t = u_pad // b
     ii, jj = np.triu_indices(t)
-    pairs_ij = _pad_pairs(np.stack([ii, jj], axis=1).astype(np.int32))
+    pairs_raw = np.stack([ii, jj], axis=1).astype(np.int32)
 
     data = _device_rep(data_host, metric, word_length)
 
@@ -317,13 +362,23 @@ def find_neighbor_pairs(
         cap_total = max(1 << 20, 4 * u)
     cap_row = min(cap_row, b)
 
-    def run(cr, ct):
-        return _all_pairs(
-            data, jnp.asarray(pairs_ij), jnp.int32(u), jnp.int32(max_dist),
-            tile=b, cap_row=cr, cap_total=ct,
-            metric=metric, max_dist_static=int(max_dist),
-            word_length=word_length,
+    if metric == "hamming_pallas":
+        run = _pallas_chunked_run(
+            data, np.zeros(u_pad, np.int32), pairs_raw, u, max_dist,
+            tile=b, word_length=word_length,
+            interpret=jax.default_backend() != "tpu",
         )
+    else:
+        pairs_ij = _pad_pairs(pairs_raw)
+
+        def run(cr, ct):
+            return _all_pairs(
+                data, jnp.asarray(pairs_ij), jnp.int32(u),
+                jnp.int32(max_dist),
+                tile=b, cap_row=cr, cap_total=ct,
+                metric=metric, max_dist_static=int(max_dist),
+                word_length=word_length,
+            )
 
     return _extract_with_retry(run, u, b, cap_row, cap_total)
 
@@ -414,21 +469,29 @@ def find_neighbor_pairs_bucketed(
             for i in range(int(a0), int(a1) + 1):
                 for j in range(i, int(a1) + 1):
                     pairs.add((i, j))
-        pairs_ij = _pad_pairs(
-            np.array(sorted(pairs), np.int32).reshape(-1, 2)
-        )
+        pairs_raw = np.array(sorted(pairs), np.int32).reshape(-1, 2)
 
         data = _device_rep(dperm, metric, word_length)
-        rid_dev = jnp.asarray(rid)
 
-        def run(cr, ct, data=data, rid_dev=rid_dev, pairs_ij=pairs_ij):
-            return _all_pairs(
-                data, jnp.asarray(pairs_ij), jnp.int32(u),
-                jnp.int32(max_dist),
-                tile=b, cap_row=cr, cap_total=ct,
-                metric=metric, max_dist_static=int(max_dist),
-                word_length=word_length, ids=rid_dev, with_ids=True,
+        if metric == "hamming_pallas":
+            run = _pallas_chunked_run(
+                data, rid, pairs_raw, u, max_dist,
+                tile=b, word_length=word_length,
+                interpret=jax.default_backend() != "tpu",
             )
+        else:
+            pairs_ij = _pad_pairs(pairs_raw)
+            rid_dev = jnp.asarray(rid)
+
+            def run(cr, ct, data=data, rid_dev=rid_dev,
+                    pairs_ij=pairs_ij):
+                return _all_pairs(
+                    data, jnp.asarray(pairs_ij), jnp.int32(u),
+                    jnp.int32(max_dist),
+                    tile=b, cap_row=cr, cap_total=ct,
+                    metric=metric, max_dist_static=int(max_dist),
+                    word_length=word_length, ids=rid_dev, with_ids=True,
+                )
 
         pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
         # Permuted positions -> original unique-word indices.

@@ -83,7 +83,7 @@ def run(
     write_annotated: bool = False,
     edit: bool = False,
     maximum: bool = False,
-    batch_records: int = 1 << 19,
+    batch_records: int = 1 << 17,
     neighbor_opts: dict | None = None,
 ) -> PipelineResult:
     """Deduplicate ``files``; mirrors humid(wordLength, distance, ...)

@@ -1,0 +1,96 @@
+"""Golden end-to-end tests: humid_tpu vs the independently implemented
+single-core C++ baseline (baseline/humid_ref.cpp, reference semantics).
+
+Byte-identical dedup FastQ, annotated FastQ, and statistics files across
+UMI styles, file counts, mismatch settings, and clustering methods is the
+project's core correctness claim (BASELINE.md: "bit-exact duplicate
+sets").
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from genfastq import gen_dataset  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = os.path.join(REPO, "baseline", "humid_ref.cpp")
+
+
+@pytest.fixture(scope="session")
+def humid_ref():
+    exe = os.path.join(REPO, "baseline", "humid_ref")
+    if not os.path.exists(exe) or (
+        os.path.getmtime(exe) < os.path.getmtime(SRC)
+    ):
+        gxx = shutil.which("g++")
+        if gxx is None:
+            pytest.skip("g++ not available")
+        subprocess.run(
+            [gxx, "-O2", "-std=c++17", "-o", exe, SRC, "-lz"], check=True
+        )
+    return exe
+
+
+CASES = [
+    # (n_reads, n_files, umi_style, gz, extra_flags)
+    (500, 1, "none", False, []),
+    (400, 2, "underscore", False, []),
+    (400, 2, "colon", True, []),
+    (300, 3, "none", False, []),
+    (400, 1, "none", False, ["-m", "2"]),
+    (400, 2, "underscore", False, ["-x"]),
+    (300, 2, "underscore", False, ["-m", "0"]),
+    (300, 1, "none", False, ["-n", "16"]),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[
+    "single", "paired_umi", "colon_gz", "threefile", "m2", "max", "m0",
+    "n16",
+])
+def test_golden_outputs_match(case, humid_ref, tmp_path):
+    n_reads, n_files, umi_style, gz, extra = case
+    rng = np.random.default_rng(hash(str(case)) % (2**32))
+    data = tmp_path / "data"
+    data.mkdir()
+    gen_dataset(rng, str(data), n_reads=n_reads, n_files=n_files,
+                umi_style=umi_style, gz=gz)
+    ext = "fastq.gz" if gz else "fastq"
+    files = [str(data / f"file{i}.{ext}") for i in range(n_files)]
+
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+
+    subprocess.run(
+        [humid_ref, "-d", str(out_ref), "-s", "-a", *extra, *files],
+        check=True, capture_output=True,
+    )
+    from humid_tpu.cli import main
+    main(["-d", str(out_tpu), "-s", "-a", "-l", os.devnull, *extra,
+          *files])
+
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_tpu))
+    for name in names:
+        ref_bytes = _read(out_ref / name)
+        tpu_bytes = _read(out_tpu / name)
+        assert ref_bytes == tpu_bytes, f"{name} differs for {case}"
+
+
+def _read(path):
+    import gzip
+
+    p = str(path)
+    if p.endswith(".gz"):
+        with gzip.open(p, "rb") as f:
+            return f.read()
+    with open(p, "rb") as f:
+        return f.read()
