@@ -8,12 +8,14 @@ and prints ONE JSON line:
   {"metric": "reads_per_sec", "value": N, "unit": "reads/s",
    "vs_baseline": R}
 
-Baseline: the reference publishes no numbers (BASELINE.md).  The only
-in-repo evidence is the troubleshooting log of a WGS-scale run
-(/root/reference/docs/troubleshooting.rst:13-15): 22m42s trie build +
-17m10s neighbour search for >=100M reads implies ~40k reads/s on a single
-core, ignoring its output pass.  Until a measured single-core baseline
-binary lands, vs_baseline is computed against BASELINE_READS_PER_SEC=40000.
+Baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is MEASURED by timing baseline/humid_ref — the single-core C++
+implementation of the reference semantics (trie + asymmetric Hamming
+search + directional clustering + dedup output) — on the same dataset
+and flags, built on the fly with g++ if needed.  If that fails, the
+fallback is the ~40k reads/s estimate from the reference's own
+troubleshooting log (22m42s + 17m10s for a WGS-scale run,
+/root/reference/docs/troubleshooting.rst:13-15).
 
 Runs on whatever jax backend is default (the real TPU chip under the
 driver); first invocation pays one jit compile per block shape, so the
@@ -49,19 +51,31 @@ def gen_dataset(path: str, n_reads: int, read_len: int = 100,
     seqs[np.flatnonzero(mut), pos[mut]] = bases[
         rng.integers(0, 4, int(mut.sum()))
     ]
-    qual = np.full((n_reads, read_len), ord("I"), np.uint8)
     with open(path, "wb") as f:
-        chunk = 1 << 16
+        chunk = 1 << 18
         for lo in range(0, n_reads, chunk):
             hi = min(lo + chunk, n_reads)
-            parts = []
-            for i in range(lo, hi):
-                parts.append(b"@read%d\n" % i)
-                parts.append(seqs[i].tobytes())
-                parts.append(b"\n+\n")
-                parts.append(qual[i].tobytes())
-                parts.append(b"\n")
-            f.write(b"".join(parts))
+            k = hi - lo
+            # Fixed-width names "@read<9 digits>": fully vectorized.
+            ids = np.arange(lo, hi, dtype=np.int64)
+            digits = np.empty((k, 9), np.uint8)
+            v = ids
+            for p in range(8, -1, -1):
+                digits[:, p] = (v % 10) + ord("0")
+                v = v // 10
+            nlen = 5 + 9  # "@read" + 9 digits
+            rec_len = nlen + 1 + read_len + 3 + read_len + 1
+            rec = np.full((k, rec_len), ord("I"), np.uint8)
+            rec[:, 0:5] = np.frombuffer(b"@read", np.uint8)
+            rec[:, 5:14] = digits
+            rec[:, 14] = 10
+            rec[:, 15:15 + read_len] = seqs[lo:hi]
+            rec[:, 15 + read_len] = 10
+            rec[:, 16 + read_len] = ord("+")
+            rec[:, 17 + read_len] = 10
+            # qual region already 'I'-filled
+            rec[:, rec_len - 1] = 10
+            f.write(rec.tobytes())
 
 
 def run_once(files, out_dir, **kw):
@@ -70,6 +84,33 @@ def run_once(files, out_dir, **kw):
     t0 = time.perf_counter()
     res = run(files, dir_name=out_dir, log_name=os.devnull, **kw)
     return time.perf_counter() - t0, res
+
+
+def measure_baseline(fq: str, n_reads: int) -> float:
+    """Single-core reference-semantics reads/s (baseline/humid_ref)."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    exe = os.path.join(repo, "baseline", "humid_ref")
+    src = os.path.join(repo, "baseline", "humid_ref.cpp")
+    try:
+        if not os.path.exists(exe) or (
+            os.path.getmtime(exe) < os.path.getmtime(src)
+        ):
+            gxx = shutil.which("g++")
+            if gxx is None:
+                return BASELINE_READS_PER_SEC
+            subprocess.run([gxx, "-O2", "-std=c++17", "-o", exe, src,
+                            "-lz"], check=True)
+        out = os.path.join(BENCH_DIR, "out_ref")
+        os.makedirs(out, exist_ok=True)
+        t0 = time.perf_counter()
+        subprocess.run([exe, "-d", out, fq], check=True,
+                       capture_output=True)
+        return n_reads / (time.perf_counter() - t0)
+    except Exception:
+        return BASELINE_READS_PER_SEC
 
 
 def main() -> int:
@@ -93,12 +134,14 @@ def main() -> int:
     dt, res = run_once([fq], out_dir, **kw)
 
     rps = args.reads / dt
+    base_rps = measure_baseline(fq, args.reads)
     print(json.dumps({
         "metric": "reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 2),
+        "vs_baseline": round(rps / base_rps, 2),
     }))
+    print(f"# baseline humid_ref: {base_rps:.0f} reads/s", file=sys.stderr)
     print(
         f"# {args.reads} reads in {dt:.2f}s; unique={res.unique} "
         f"clusters={res.clusters} total={res.total}",

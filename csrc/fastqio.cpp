@@ -85,12 +85,167 @@ PyObject* fill_frames(PyObject* /*self*/, PyObject* args) {
   return PyLong_FromLongLong(static_cast<long long>(consumed));
 }
 
+// Gather the first k bytes of each span into a strided output matrix,
+// padding short spans with 'N' (fastq.cc:131-142 cut/pad semantics).
+PyObject* gather_prefix(PyObject* /*self*/, PyObject* args) {
+  Py_buffer data_b, starts_b, ends_b, out_b;
+  Py_ssize_t stride, col_off, k;
+  if (!PyArg_ParseTuple(args, "y*y*y*w*nnn", &data_b, &starts_b, &ends_b,
+                        &out_b, &stride, &col_off, &k)) {
+    return nullptr;
+  }
+  const Py_ssize_t n = starts_b.len / 8;
+  bool ok = ends_b.len / 8 >= n &&
+            out_b.len >= (n > 0 ? (n - 1) * stride + col_off + k : 0);
+  if (ok) {
+    const char* base = static_cast<const char*>(data_b.buf);
+    const int64_t* st = static_cast<const int64_t*>(starts_b.buf);
+    const int64_t* en = static_cast<const int64_t*>(ends_b.buf);
+    char* out = static_cast<char*>(out_b.buf);
+    Py_BEGIN_ALLOW_THREADS;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      char* row = out + i * stride + col_off;
+      const int64_t len = en[i] - st[i];
+      const int64_t c = len < k ? len : k;
+      memcpy(row, base + st[i], size_t(c));
+      if (c < k) memset(row + c, 'N', size_t(k - c));
+    }
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&data_b);
+  PyBuffer_Release(&starts_b);
+  PyBuffer_Release(&ends_b);
+  PyBuffer_Release(&out_b);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError, "gather_prefix: bad buffer sizes");
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
+// ACGT -> 2-bit encode (other chars -> G=2 + filtered flag,
+// fastq.cc:146-161) and big-endian packing into uint32 lanes
+// (humid_tpu.words.pack_words layout: base 0 in the two most significant
+// bits of lane 0).
+PyObject* encode_pack(PyObject* /*self*/, PyObject* args) {
+  Py_buffer chars_b, lanes_b, filt_b;
+  Py_ssize_t n, L, W;
+  if (!PyArg_ParseTuple(args, "y*nnw*nw*", &chars_b, &n, &L, &lanes_b, &W,
+                        &filt_b)) {
+    return nullptr;
+  }
+  bool ok = chars_b.len >= n * L && lanes_b.len >= n * W * 4 &&
+            filt_b.len >= n;
+  if (ok) {
+    static uint8_t lut[256];
+    static uint8_t bad[256];
+    static bool init = false;
+    if (!init) {
+      for (int i = 0; i < 256; ++i) {
+        lut[i] = 2;
+        bad[i] = 1;
+      }
+      lut['A'] = 0; lut['C'] = 1; lut['G'] = 2; lut['T'] = 3;
+      bad['A'] = bad['C'] = bad['G'] = bad['T'] = 0;
+      init = true;
+    }
+    const uint8_t* ch = static_cast<const uint8_t*>(chars_b.buf);
+    uint32_t* lanes = static_cast<uint32_t*>(lanes_b.buf);
+    uint8_t* filt = static_cast<uint8_t*>(filt_b.buf);
+    Py_BEGIN_ALLOW_THREADS;
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      const uint8_t* row = ch + i * L;
+      uint8_t f = 0;
+      uint32_t* out = lanes + i * W;
+      for (Py_ssize_t w = 0; w < W; ++w) {
+        uint32_t acc = 0;
+        const Py_ssize_t lo = w * 16;
+        for (Py_ssize_t b = 0; b < 16; ++b) {
+          const Py_ssize_t p = lo + b;
+          uint32_t code = 0;
+          if (p < L) {
+            const uint8_t c = row[p];
+            code = lut[c];
+            f |= bad[c];
+          }
+          acc = (acc << 2) | code;
+        }
+        out[w] = acc;
+      }
+      filt[i] = f;
+    }
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&chars_b);
+  PyBuffer_Release(&lanes_b);
+  PyBuffer_Release(&filt_b);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError, "encode_pack: bad buffer sizes");
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
+// Concatenate ragged segments of src into out, appending '\n' after each
+// segment whose nl flag is set (vectorized writer backend).
+PyObject* concat_segments(PyObject* /*self*/, PyObject* args) {
+  Py_buffer src_b, start_b, len_b, nl_b, out_b;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*w*", &src_b, &start_b, &len_b,
+                        &nl_b, &out_b)) {
+    return nullptr;
+  }
+  const Py_ssize_t m = start_b.len / 8;
+  const char* src = static_cast<const char*>(src_b.buf);
+  const int64_t* st = static_cast<const int64_t*>(start_b.buf);
+  const int64_t* ln = static_cast<const int64_t*>(len_b.buf);
+  const uint8_t* nl = static_cast<const uint8_t*>(nl_b.buf);
+  char* out = static_cast<char*>(out_b.buf);
+  char* const out_end = out + out_b.len;
+  bool ok = len_b.len / 8 >= m && Py_ssize_t(nl_b.len) >= m;
+  int64_t written = 0;
+  if (ok) {
+    Py_BEGIN_ALLOW_THREADS;
+    char* p = out;
+    for (Py_ssize_t i = 0; i < m; ++i) {
+      const int64_t L = ln[i];
+      if (p + L + 1 > out_end) {
+        ok = false;
+        break;
+      }
+      memcpy(p, src + st[i], size_t(L));
+      p += L;
+      if (nl[i]) *p++ = '\n';
+    }
+    written = p - out;
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&src_b);
+  PyBuffer_Release(&start_b);
+  PyBuffer_Release(&len_b);
+  PyBuffer_Release(&nl_b);
+  PyBuffer_Release(&out_b);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError, "concat_segments: bad sizes");
+    return nullptr;
+  }
+  return PyLong_FromLongLong(static_cast<long long>(written));
+}
+
 PyMethodDef methods[] = {
     {"count_newlines", count_newlines, METH_VARARGS,
      "count_newlines(buf) -> number of '\\n' bytes."},
     {"fill_frames", fill_frames, METH_VARARGS,
      "fill_frames(buf, starts, ends, n_records) -> consumed bytes.  Fills "
      "[n, 4] int64 line spans with trailing \\r stripped."},
+    {"gather_prefix", gather_prefix, METH_VARARGS,
+     "gather_prefix(buf, starts, ends, out, stride, col_off, k): copy the "
+     "first k bytes of each span into a strided matrix, padding with 'N'."},
+    {"encode_pack", encode_pack, METH_VARARGS,
+     "encode_pack(chars, n, L, lanes, W, filtered): ACGT->2-bit encode and "
+     "pack into big-endian uint32 lanes; non-ACGT marks filtered."},
+    {"concat_segments", concat_segments, METH_VARARGS,
+     "concat_segments(src, seg_start, seg_len, nl_flags, out) -> bytes "
+     "written; ragged concat with optional newline after each segment."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -11,6 +11,46 @@ import numpy as np
 from . import _cfastqio
 
 
+def gather_prefix(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                  out: np.ndarray, col_off: int, k: int) -> None:
+    """Copy the first ``k`` bytes of each (start, end) span of ``buf`` into
+    ``out[:, col_off:col_off+k]`` (row-major, C-contiguous), padding short
+    spans with 'N'."""
+    _cfastqio.gather_prefix(
+        buf, np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(ends, np.int64), out, out.strides[0],
+        col_off, k,
+    )
+
+
+def encode_pack(chars: np.ndarray):
+    """[N, L] ASCII -> ([N, W] uint32 big-endian 2-bit lanes,
+    [N] bool filtered); mirrors humid_tpu.words.pack_words +
+    the ACGT validity rule (fastq.cc:146-161)."""
+    n, L = chars.shape
+    w = max(1, -(-L // 16))
+    lanes = np.empty((n, w), np.uint32)
+    filtered = np.empty(n, np.uint8)
+    _cfastqio.encode_pack(
+        np.ascontiguousarray(chars), n, L, lanes, w, filtered
+    )
+    return lanes, filtered.astype(bool)
+
+
+def concat_segments(src: np.ndarray, seg_start: np.ndarray,
+                    seg_len: np.ndarray, nl_after: np.ndarray) -> np.ndarray:
+    """Ragged segment concat with optional newline after each segment."""
+    out_len = int(seg_len.sum()) + int(nl_after.sum())
+    out = np.empty(out_len, np.uint8)
+    written = _cfastqio.concat_segments(
+        src, np.ascontiguousarray(seg_start, np.int64),
+        np.ascontiguousarray(seg_len, np.int64),
+        np.ascontiguousarray(nl_after, np.uint8), out,
+    )
+    assert written == out_len, (written, out_len)
+    return out
+
+
 def frame(buf: np.ndarray):
     """Frame complete 4-line records in ``buf`` (uint8).
 

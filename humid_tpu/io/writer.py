@@ -17,6 +17,11 @@ import numpy as np
 
 from .reader import FastqBatch
 
+try:
+    from ._fastqio import concat_segments as _concat_native
+except ImportError:  # pragma: no cover - extension not built
+    _concat_native = None
+
 
 def _build_output(src: np.ndarray, seg_start: np.ndarray,
                   seg_len: np.ndarray, nl_after: np.ndarray) -> np.ndarray:
@@ -27,6 +32,8 @@ def _build_output(src: np.ndarray, seg_start: np.ndarray,
     """
     seg_start = seg_start.astype(np.int64, copy=False)
     seg_len = seg_len.astype(np.int64, copy=False)
+    if _concat_native is not None:
+        return _concat_native(src, seg_start, seg_len, nl_after)
     total_data = int(seg_len.sum())
     out_len = total_data + int(nl_after.sum())
     out = np.empty(out_len, np.uint8)

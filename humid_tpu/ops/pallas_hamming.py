@@ -3,29 +3,27 @@
 The XLA path (humid_tpu.ops.neighbors, ``lax.scan`` over tile pairs)
 materializes each [tile, tile] distance matrix in HBM between the MXU
 matmul and the masking/extraction consumers, and serializes tile pairs in
-a While loop.  This kernel instead walks the whole tile-pair LIST inside
-one ``pallas_call`` grid — the pair list is a scalar-prefetch operand, so
-the BlockSpec index maps gather the right row/column blocks per grid step
-and Mosaic double-buffers them — and performs the per-tile pipeline in
-VMEM:
+a While loop.  This kernel walks the tile-pair LIST as its grid and runs
+the whole per-tile pipeline in VMEM:
 
-  one-hot bf16 matmul on the MXU (matches = <oh(a), oh(b)>)
+  manual async DMA of the paired row/col one-hot blocks from HBM
+  (tile indices come from a per-step SMEM block of the pair list —
+  scalar-prefetch grids hang the AOT compiler on this backend, manual
+  DMA with dynamic slices compiles fine)
+  -> one-hot bf16 matmul on the MXU, bm rows at a time
   -> distance threshold + index/bucket masks on the VPU
   -> per-row match counts
   -> per-row top-``cap_row`` matching column extraction via iterative
      masked argmax (columns are unique per row, so equality masking
      removes exactly the taken column)
 
-writing only counts and column indices back to HBM — ~tile/cap_row x
-less traffic than the distance matrix, with no per-tile XLA op overhead.
-
-(The kernel is deliberately NOT wrapped in ``lax.scan``: Mosaic
-custom-calls inside While ops hang the AOT compiler on this backend.)
+writing only counts and column indices back to HBM — ~tile/cap_row x less
+traffic than the distance matrix, with no per-tile XLA op overhead.
 
 Scalar operands:
   pairs [nb, 3] int32 — (tile_i, tile_j, on); disabled rows emit nothing.
-  glob  [8] int32 — u_rows, u_cols, max_dist, upper_only, enabled,
-                    row_base, col_base, unused.
+  glob  [1, 8] int32 — u_rows, u_cols, max_dist, upper_only, enabled,
+                       row_base, col_base, unused.
 
 Replaces the per-word fuzzy trie queries of ``findHammingNeighbours``
 (humid.cc:113-130).
@@ -41,55 +39,73 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(pairs_ref, glob_ref, rows_ref, cols_ref, rid_ref, cid_ref,
-            counts_ref, topv_ref, *, bm: int, tile: int, cap_row: int,
-            word_length: int):
+def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref, ids_r_ref,
+            ids_c_ref, counts_ref, topv_ref, rows_v, cols_v, rid_v, cid_v,
+            sems, *, bm: int, tile: int, cap_row: int, word_length: int,
+            d: int):
     n = pl.program_id(0)
-    b = pl.program_id(1)
     ti = pairs_ref[n, 0]
     tj = pairs_ref[n, 1]
     on = pairs_ref[n, 2]
-    u_rows = glob_ref[0]
-    u_cols = glob_ref[1]
-    max_dist = glob_ref[2]
-    upper_only = glob_ref[3]
-    enabled = glob_ref[4]
-    row_base = glob_ref[5]
-    col_base = glob_ref[6]
+    u_rows = glob_ref[0, 0]
+    u_cols = glob_ref[0, 1]
+    max_dist = glob_ref[0, 2]
+    upper_only = glob_ref[0, 3]
+    enabled = glob_ref[0, 4]
+    row_base = glob_ref[0, 5]
+    col_base = glob_ref[0, 6]
 
-    a = rows_ref[...]                       # [bm, D] bf16 one-hot
-    bb = cols_ref[...]                      # [tile, D] bf16
-    matches = jax.lax.dot_general(
-        a, bb, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                       # [bm, tile]
-    dist = (word_length - matches).astype(jnp.int32)
+    cp_rows = pltpu.make_async_copy(
+        data_r_ref.at[pl.ds(ti * tile, tile), :], rows_v, sems.at[0])
+    cp_cols = pltpu.make_async_copy(
+        data_c_ref.at[pl.ds(tj * tile, tile), :], cols_v, sems.at[1])
+    cp_rid = pltpu.make_async_copy(
+        ids_r_ref.at[pl.ds(ti * tile, tile), :], rid_v, sems.at[2])
+    cp_cid = pltpu.make_async_copy(
+        ids_c_ref.at[:, pl.ds(tj * tile, tile)], cid_v, sems.at[3])
+    cp_rows.start()
+    cp_cols.start()
+    cp_rid.start()
+    cp_cid.start()
+    cp_rows.wait()
+    cp_cols.wait()
+    cp_rid.wait()
+    cp_cid.wait()
 
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 0)
+    cols = cols_v[...]                      # [tile, D] bf16
+    cid = cid_v[...]                        # [1, tile] int32
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 1)
-    lr = ti * tile + b * bm + iota_r        # local row index in row_data
-    lc = tj * tile + iota_c                 # local col index in col_data
-    gr = row_base + lr
-    gc = col_base + lc
-
-    mask = (dist <= max_dist) & (lr < u_rows) & (lc < u_cols)
-    # No select over i1 vectors on Mosaic; use boolean algebra instead.
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 0)
     is_upper = upper_only > 0
-    mask &= ((gc > gr) & is_upper) | ((gr != gc) & ~is_upper)
-    mask &= (enabled > 0) & (on > 0)
-    rid = rid_ref[...]                      # [bm, 1] int32
-    cid = cid_ref[...]                      # [1, tile] int32
-    mask &= rid == cid                      # broadcast [bm, tile]
 
-    counts_ref[...] = mask.sum(axis=1, dtype=jnp.int32)[None, :, None]
+    for b in range(tile // bm):
+        a = rows_v[b * bm:(b + 1) * bm, :]  # [bm, D]
+        matches = jax.lax.dot_general(
+            a, cols, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                   # [bm, tile]
+        dist = (word_length - matches).astype(jnp.int32)
+        lr = ti * tile + b * bm + iota_r
+        lc = tj * tile + iota_c
+        gr = row_base + lr
+        gc = col_base + lc
+        mask = (dist <= max_dist) & (lr < u_rows) & (lc < u_cols)
+        # No select over i1 vectors on Mosaic; boolean algebra instead.
+        mask &= ((gc > gr) & is_upper) | ((gr != gc) & ~is_upper)
+        mask &= (enabled > 0) & (on > 0)
+        rid = rid_v[b * bm:(b + 1) * bm, :]  # [bm, 1]
+        mask &= rid == cid                   # broadcast [bm, tile]
 
-    # Iterative masked argmax == top-k over unique column indices
-    # (LOCAL within the tile: 0..tile-1, -1 when exhausted).
-    vals = jnp.where(mask, iota_c, -1)
-    for k in range(cap_row):
-        best = vals.max(axis=1)             # [bm]
-        topv_ref[0, :, k] = best
-        vals = jnp.where(vals == best[:, None], -1, vals)
+        counts_ref[0, 0, b * bm:(b + 1) * bm] = mask.sum(
+            axis=1, dtype=jnp.int32)
+
+        # Iterative masked argmax == top-k over unique column indices
+        # (LOCAL within the tile: 0..tile-1, -1 when exhausted).
+        vals = jnp.where(mask, iota_c, -1)
+        for k in range(cap_row):
+            best = vals.max(axis=1)          # [bm]
+            topv_ref[0, b * bm:(b + 1) * bm, k] = best
+            vals = jnp.where(vals == best[:, None], -1, vals)
 
 
 @functools.partial(
@@ -106,45 +122,45 @@ def hamming_pairs_sweep(
     ids_row:   [T*tile, 1] int32 bucket ids.
     ids_col_t: [1, T*tile] int32 bucket ids (transposed copy).
     pairs:     [nb, 3] int32 (tile_i, tile_j, on).
-    glob:      [8] int32 scalars (see module docstring).
+    glob:      [1, 8] int32 scalars (see module docstring).
     topv holds LOCAL column indices within the paired tile, -1 padded.
     """
     nb = pairs.shape[0]
     d = data_oh.shape[1]
     assert tile % bm == 0, (tile, bm)
-    sub = tile // bm
-    grid = (nb, sub)
+    grid = (nb,)
     counts, topv = pl.pallas_call(
         functools.partial(
             _kernel, bm=bm, tile=tile, cap_row=cap_row,
-            word_length=word_length,
+            word_length=word_length, d=d,
         ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (bm, d), lambda n, b, ps, gs: (ps[n, 0] * sub + b, 0)),
-                pl.BlockSpec(
-                    (tile, d), lambda n, b, ps, gs: (ps[n, 1], 0)),
-                pl.BlockSpec(
-                    (bm, 1), lambda n, b, ps, gs: (ps[n, 0] * sub + b, 0)),
-                pl.BlockSpec(
-                    (1, tile), lambda n, b, ps, gs: (0, ps[n, 1])),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, bm, 1), lambda n, b, ps, gs: (n, b, 0)),
-                pl.BlockSpec(
-                    (1, bm, cap_row), lambda n, b, ps, gs: (n, b, 0)),
-            ],
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, tile, cap_row), lambda n: (n, 0, 0)),
+        ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, tile, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, tile), jnp.int32),
             jax.ShapeDtypeStruct((nb, tile, cap_row), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile, d), jnp.bfloat16),
+            pltpu.VMEM((tile, d), jnp.bfloat16),
+            pltpu.VMEM((tile, 1), jnp.int32),
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(pairs, glob, data_oh, data_oh, ids_row, ids_col_t)
-    return counts[:, :, 0], topv
+    return counts[:, 0, :], topv
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -166,7 +182,7 @@ def pallas_all_pairs(
     glob = jnp.stack(
         [u, u, max_dist, jnp.int32(1), jnp.int32(1), jnp.int32(0),
          jnp.int32(0), jnp.int32(0)]
-    ).astype(jnp.int32)
+    ).astype(jnp.int32)[None, :]
     ids2 = ids[:, None]
     ids2t = ids[None, :]
     rowcnt, topv = hamming_pairs_sweep(

@@ -35,8 +35,17 @@ def unique_words(packed: np.ndarray):
             np.zeros(0, np.int64),
             np.zeros(0, np.int64),
         )
-    # Stable lexsort: least-significant key last in np.lexsort's tuple.
-    order = np.lexsort(tuple(packed[:, w - 1 - i] for i in range(w)))
+    # Stable sort in lane-lexicographic order.  For <= 2 lanes a single
+    # uint64 key argsort is ~5x faster than np.lexsort.
+    if w == 1:
+        order = np.argsort(packed[:, 0], kind="stable")
+    elif w == 2:
+        key = (packed[:, 0].astype(np.uint64) << np.uint64(32)) | \
+            packed[:, 1].astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+    else:
+        # Least-significant key last in np.lexsort's tuple.
+        order = np.lexsort(tuple(packed[:, w - 1 - i] for i in range(w)))
     s = packed[order]
     new_group = np.empty(n, dtype=bool)
     new_group[0] = True

@@ -50,19 +50,50 @@ def peek_umi_size(path: str) -> int:
     return len(W.extract_umi(name.decode("latin1")))
 
 
+try:
+    from .io._fastqio import encode_pack as _encode_pack
+    from .io._fastqio import gather_prefix as _gather_prefix
+except ImportError:  # pragma: no cover - extension not built
+    _encode_pack = _gather_prefix = None
+
+
+def _batch_words(batches, nt_to_take, header_umi_size):
+    """One batch tuple -> (packed [n, W], filtered [n]), via the fused
+    native path (gather + encode + pack in C) when available."""
+    n = batches[0].n
+    wl = header_umi_size + sum(nt_to_take)
+    if _encode_pack is not None:
+        chars = np.empty((n, wl), np.uint8)
+        col = 0
+        if header_umi_size > 0:
+            chars[:, :header_umi_size] = W.extract_umi_matrix(
+                batches[0].name_matrix(), header_umi_size
+            )
+            col = header_umi_size
+        for b, k in zip(batches, nt_to_take):
+            if k:
+                _gather_prefix(b.buf, b.starts[:, 1], b.ends[:, 1],
+                               chars, col, k)
+                col += k
+        return _encode_pack(chars)
+    umi_chars = None
+    if header_umi_size > 0:
+        umi_chars = W.extract_umi_matrix(
+            batches[0].name_matrix(), header_umi_size
+        )
+    seq_chars = [b.seq_prefix(k) for b, k in zip(batches, nt_to_take)]
+    codes, filtered = W.build_words(umi_chars, seq_chars)
+    return W.pack_words(codes), filtered
+
+
 def _pass1(files, nt_to_take, header_umi_size, batch_records):
     """Stream all files in lockstep; return (packed [N,W], filtered [N])."""
     packed_parts: list[np.ndarray] = []
     filt_parts: list[np.ndarray] = []
     for batches in read_tuples(files, batch_records):
-        umi_chars = None
-        if header_umi_size > 0:
-            umi_chars = W.extract_umi_matrix(
-                batches[0].name_matrix(), header_umi_size
-            )
-        seq_chars = [b.seq_prefix(k) for b, k in zip(batches, nt_to_take)]
-        codes, filtered = W.build_words(umi_chars, seq_chars)
-        packed_parts.append(W.pack_words(codes))
+        packed, filtered = _batch_words(batches, nt_to_take,
+                                        header_umi_size)
+        packed_parts.append(packed)
         filt_parts.append(filtered)
     if not packed_parts:
         wl = header_umi_size + sum(nt_to_take)
