@@ -1,0 +1,129 @@
+"""Multi-host orchestration for WGS-scale runs.
+
+The reference is strictly single-process (SURVEY.md §2.5).  The
+TPU-native design scales the read COUNT over hosts and chips:
+
+  host sharding   each host ingests a contiguous record range of every
+                  input file (all files in lockstep, so tuples stay
+                  aligned), packs words locally, and exchanges only
+                  fingerprints — never raw FastQ — over DCN.
+  chip sharding   within a host, unique-word blocks ride the 'data' mesh
+                  axis (humid_tpu.parallel.neighbors ring search,
+                  humid_tpu.parallel.labelprop pmin label merge).
+
+``init_distributed`` wires up ``jax.distributed`` (idempotent); the
+driver-facing entry point is :func:`distributed_unique`, which merges
+per-host (fingerprint, count, first_occurrence) tables into the global
+unique table every host needs before the device-side neighbour search.
+
+Single-host multi-chip needs none of this — ``humid_tpu.parallel``
+works directly on the local mesh.  These helpers only matter when
+``jax.process_count() > 1``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize jax.distributed (no-op if already initialized or
+    single-process)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
+def host_record_range(total_records: int, process_id: int | None = None,
+                      num_processes: int | None = None) -> tuple[int, int]:
+    """[lo, hi) record-tuple range owned by this host: an even split with
+    the remainder on the last host (mirroring the reference's
+    remainder-to-last budgeting convention, fastq.cc:220-230)."""
+    p = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if num_processes is None else num_processes
+    per = total_records // n
+    lo = p * per
+    hi = total_records if p == n - 1 else lo + per
+    return lo, hi
+
+
+def merge_unique_tables(
+    uniq: np.ndarray,
+    counts: np.ndarray,
+    first_occ: np.ndarray,
+    *,
+    all_gather=None,
+):
+    """Merge per-host unique tables into the global one.
+
+    Args:
+      uniq: [u_local, W] uint32 local unique fingerprints (sorted).
+      counts: [u_local] local duplicate counts.
+      first_occ: [u_local] GLOBAL read indices of local first occurrences.
+      all_gather: callable(list_of_arrays) -> list over hosts; defaults to
+        ``jax.experimental.multihost_utils`` process_allgather.  Injected
+        for single-process testing.
+
+    Returns (uniq_g [U, W], counts_g [U], first_occ_g [U]) with counts
+    summed and the globally smallest first-occurrence index kept per
+    fingerprint — byte-identical to a single-host run over the whole
+    input (the representative-read rule of humid.cc:224-231 depends on
+    it).
+    """
+    if all_gather is None:
+        from jax.experimental import multihost_utils
+
+        def all_gather(arrs):
+            return [
+                multihost_utils.process_allgather(a, tiled=True)
+                for a in arrs
+            ]
+
+    uniq_all, counts_all, first_all = all_gather(
+        [uniq, counts, first_occ]
+    )
+    return combine_unique_tables(uniq_all, counts_all, first_all)
+
+
+def combine_unique_tables(uniq_all, counts_all, first_all):
+    """Pure merge of stacked per-host tables (host-order concatenated)."""
+    uniq_c = np.concatenate(uniq_all, axis=0)
+    counts_c = np.concatenate(counts_all)
+    first_c = np.concatenate(first_all)
+    w = uniq_c.shape[1]
+    if w == 1:
+        key = uniq_c[:, 0].astype(np.uint64)
+    elif w == 2:
+        key = (uniq_c[:, 0].astype(np.uint64) << np.uint64(32)) | \
+            uniq_c[:, 1].astype(np.uint64)
+    else:
+        key = None
+    if key is not None:
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        new = np.empty(len(sk), bool)
+        new[:1] = True
+        np.not_equal(sk[1:], sk[:-1], out=new[1:])
+    else:
+        order = np.lexsort(tuple(uniq_c[:, w - 1 - i] for i in range(w)))
+        s = uniq_c[order]
+        new = np.empty(len(s), bool)
+        new[:1] = True
+        new[1:] = (s[1:] != s[:-1]).any(axis=1)
+    gid = np.cumsum(new) - 1
+    n_groups = int(gid[-1]) + 1 if len(gid) else 0
+    counts_g = np.zeros(n_groups, np.int64)
+    np.add.at(counts_g, gid, counts_c[order])
+    first_g = np.full(n_groups, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(first_g, gid, first_c[order])
+    uniq_g = uniq_c[order[new]]
+    return uniq_g, counts_g, first_g

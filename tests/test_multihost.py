@@ -1,0 +1,61 @@
+"""Multi-host merge logic, simulated in-process."""
+
+import numpy as np
+
+from humid_tpu import words as W
+from humid_tpu.ops import unique_words
+from humid_tpu.parallel.multihost import (
+    combine_unique_tables,
+    host_record_range,
+)
+
+
+def test_host_record_range_split():
+    assert host_record_range(10, 0, 3) == (0, 3)
+    assert host_record_range(10, 1, 3) == (3, 6)
+    assert host_record_range(10, 2, 3) == (6, 10)  # remainder to last
+
+
+def test_combined_tables_equal_single_host():
+    """Sharded unique + merge == single-host unique over the whole input,
+    including counts and global first-occurrence indices."""
+    rng = np.random.default_rng(8)
+    pool = rng.integers(0, 4, (20, 24)).astype(np.uint8)
+    codes = pool[rng.integers(0, 20, 5000)]
+    packed = W.pack_words(codes)
+
+    ref_u, ref_c, ref_f, _ = unique_words(packed)
+
+    n_hosts = 4
+    per_host = []
+    for h in range(n_hosts):
+        lo, hi = host_record_range(len(packed), h, n_hosts)
+        u, c, f, _ = unique_words(packed[lo:hi])
+        per_host.append((u, c, f + lo))  # local -> global read indices
+
+    uniq_g, counts_g, first_g = combine_unique_tables(
+        [p[0] for p in per_host],
+        [p[1] for p in per_host],
+        [p[2] for p in per_host],
+    )
+    np.testing.assert_array_equal(uniq_g, ref_u)
+    np.testing.assert_array_equal(counts_g, ref_c)
+    np.testing.assert_array_equal(first_g, ref_f)
+
+
+def test_combined_tables_wide_words():
+    """Merge path for words wider than 2 lanes (lexsort branch)."""
+    rng = np.random.default_rng(9)
+    pool = rng.integers(0, 4, (10, 40)).astype(np.uint8)
+    codes = pool[rng.integers(0, 10, 900)]
+    packed = W.pack_words(codes)
+    ref_u, ref_c, ref_f, _ = unique_words(packed)
+    mid = 450
+    u1, c1, f1, _ = unique_words(packed[:mid])
+    u2, c2, f2, _ = unique_words(packed[mid:])
+    uniq_g, counts_g, first_g = combine_unique_tables(
+        [u1, u2], [c1, c2], [f1, f2 + mid]
+    )
+    np.testing.assert_array_equal(uniq_g, ref_u)
+    np.testing.assert_array_equal(counts_g, ref_c)
+    np.testing.assert_array_equal(first_g, ref_f)
