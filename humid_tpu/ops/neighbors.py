@@ -253,7 +253,7 @@ def _pallas_chunked_run(data, ids, pairs_np, u, max_dist, *,
         for lo in range(0, len(pairs_np), chunk_nb):
             chunk = _pad_pairs(pairs_np[lo:lo + chunk_nb, :2])
             oa, ob, t, c = pallas_all_pairs(
-                jnp.asarray(data), jnp.asarray(ids), jnp.asarray(chunk),
+                jnp.asarray(data), jnp.asarray(chunk),
                 jnp.int32(u), jnp.int32(max_dist),
                 tile=tile, cap_row=cr, cap_total=ct,
                 word_length=word_length, interpret=interpret,
@@ -265,8 +265,8 @@ def _pallas_chunked_run(data, ids, pairs_np, u, max_dist, *,
                 # total so the retry loop grows cap_total and reruns.
                 return (np.zeros(0, np.int32), np.zeros(0, np.int32), t,
                         np.concatenate(counts))
-            outs_a.append(np.asarray(oa)[:t])
-            outs_b.append(np.asarray(ob)[:t])
+            outs_a.append(np.asarray(oa[:t]))
+            outs_b.append(np.asarray(ob[:t]))
         out_a = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int32)
         out_b = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int32)
         return out_a, out_b, len(out_a), np.concatenate(counts)
@@ -292,8 +292,9 @@ def _extract_with_retry(run, u, b, cap_row, cap_total):
             cap_total = _round_up(total_h + 1024, 1 << 16)
             continue
         break
-    a = np.asarray(out_a)[:total_h].astype(np.int64)
-    bb = np.asarray(out_b)[:total_h].astype(np.int64)
+    # Slice on device so only the true pair count crosses the wire.
+    a = np.asarray(out_a[:total_h]).astype(np.int64)
+    bb = np.asarray(out_b[:total_h]).astype(np.int64)
     order = np.lexsort((bb, a))
     return a[order], bb[order]
 

@@ -39,8 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref, ids_r_ref,
-            ids_c_ref, counts_ref, topv_ref, rows_v, cols_v, rid_v, cid_v,
+def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref,
+            counts_ref, topv_ref, rows_v, cols_v,
             sems, *, bm: int, tile: int, cap_row: int, word_length: int,
             d: int):
     n = pl.program_id(0)
@@ -59,27 +59,20 @@ def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref, ids_r_ref,
         data_r_ref.at[pl.ds(ti * tile, tile), :], rows_v, sems.at[0])
     cp_cols = pltpu.make_async_copy(
         data_c_ref.at[pl.ds(tj * tile, tile), :], cols_v, sems.at[1])
-    cp_rid = pltpu.make_async_copy(
-        ids_r_ref.at[pl.ds(ti * tile, tile), :], rid_v, sems.at[2])
-    cp_cid = pltpu.make_async_copy(
-        ids_c_ref.at[:, pl.ds(tj * tile, tile)], cid_v, sems.at[3])
     cp_rows.start()
     cp_cols.start()
-    cp_rid.start()
-    cp_cid.start()
     cp_rows.wait()
     cp_cols.wait()
-    cp_rid.wait()
-    cp_cid.wait()
 
     cols = cols_v[...]                      # [tile, D] bf16
-    cid = cid_v[...]                        # [1, tile] int32
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 0)
     is_upper = upper_only > 0
 
-    for b in range(tile // bm):
-        a = rows_v[b * bm:(b + 1) * bm, :]  # [bm, D]
+    # fori_loops, not Python loops: an unrolled body (sub x cap_row
+    # argmax steps) explodes the Mosaic IR and hangs the AOT compiler.
+    def block_body(b, _):
+        a = rows_v[pl.ds(b * bm, bm), :]    # [bm, D]
         matches = jax.lax.dot_general(
             a, cols, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -93,37 +86,53 @@ def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref, ids_r_ref,
         # No select over i1 vectors on Mosaic; boolean algebra instead.
         mask &= ((gc > gr) & is_upper) | ((gr != gc) & ~is_upper)
         mask &= (enabled > 0) & (on > 0)
-        rid = rid_v[b * bm:(b + 1) * bm, :]  # [bm, 1]
-        mask &= rid == cid                   # broadcast [bm, tile]
 
-        counts_ref[0, 0, b * bm:(b + 1) * bm] = mask.sum(
+        counts_ref[0, 0, pl.ds(b * bm, bm)] = mask.sum(
             axis=1, dtype=jnp.int32)
 
         # Iterative masked argmax == top-k over unique column indices
-        # (LOCAL within the tile: 0..tile-1, -1 when exhausted).
-        vals = jnp.where(mask, iota_c, -1)
-        for k in range(cap_row):
+        # (LOCAL within the tile: 0..tile-1, -1 when exhausted).  The k
+        # results accumulate in a register carry (a dynamic lane-dim
+        # store is not provably 128-aligned) and store once per block.
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (bm, cap_row), 1)
+
+        def k_body(k, carry):
+            vals, out = carry
             best = vals.max(axis=1)          # [bm]
-            topv_ref[0, b * bm:(b + 1) * bm, k] = best
-            vals = jnp.where(vals == best[:, None], -1, vals)
+            out = jnp.where(iota_k == k, best[:, None], out)
+            return jnp.where(vals == best[:, None], -1, vals), out
+
+        _, out = jax.lax.fori_loop(
+            0, cap_row, k_body,
+            (jnp.where(mask, iota_c, -1),
+             jnp.full((bm, cap_row), -1, jnp.int32)),
+        )
+        topv_ref[0, pl.ds(b * bm, bm), :] = out
+        return 0
+
+    jax.lax.fori_loop(0, tile // bm, block_body, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "bm", "cap_row", "word_length", "interpret"))
 def hamming_pairs_sweep(
-    data_oh, ids_row, ids_col_t, pairs, glob, *,
+    data_oh, pairs, glob, *,
     tile: int, bm: int = 256, cap_row: int = 16, word_length: int = 24,
     interpret: bool = False,
 ):
     """Sweep a tile-pair list: -> (counts [nb, tile], topv [nb, tile, k]).
 
     data_oh:   [T*tile, D] bf16 one-hot fingerprints (D multiple of 128).
-    ids_row:   [T*tile, 1] int32 bucket ids.
-    ids_col_t: [1, T*tile] int32 bucket ids (transposed copy).
     pairs:     [nb, 3] int32 (tile_i, tile_j, on).
     glob:      [1, 8] int32 scalars (see module docstring).
     topv holds LOCAL column indices within the paired tile, -1 padded.
+
+    No bucket-id masking in-kernel: for the bucketed driver a pair found
+    in a tile it does not share a segment with is still a true distance
+    match and is deduplicated across partitions at the end, so skipping
+    the id mask only costs a few extra extractions (a width-1 int32 DMA
+    is not expressible in Mosaic's tiling anyway).
     """
     nb = pairs.shape[0]
     d = data_oh.shape[1]
@@ -140,8 +149,6 @@ def hamming_pairs_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, tile), lambda n: (n, 0, 0)),
@@ -154,19 +161,17 @@ def hamming_pairs_sweep(
         scratch_shapes=[
             pltpu.VMEM((tile, d), jnp.bfloat16),
             pltpu.VMEM((tile, d), jnp.bfloat16),
-            pltpu.VMEM((tile, 1), jnp.int32),
-            pltpu.VMEM((1, tile), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(pairs, glob, data_oh, data_oh, ids_row, ids_col_t)
+    )(pairs, glob, data_oh, data_oh)
     return counts[:, 0, :], topv
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "bm", "cap_row", "cap_total", "word_length", "interpret"))
 def pallas_all_pairs(
-    data_oh, ids, pairs, u, max_dist, *,
+    data_oh, pairs, u, max_dist, *,
     tile: int, bm: int = 256, cap_row: int = 16, cap_total: int,
     word_length: int = 24, interpret: bool = False,
 ):
@@ -183,10 +188,8 @@ def pallas_all_pairs(
         [u, u, max_dist, jnp.int32(1), jnp.int32(1), jnp.int32(0),
          jnp.int32(0), jnp.int32(0)]
     ).astype(jnp.int32)[None, :]
-    ids2 = ids[:, None]
-    ids2t = ids[None, :]
     rowcnt, topv = hamming_pairs_sweep(
-        data_oh, ids2, ids2t, pairs, glob,
+        data_oh, pairs, glob,
         tile=tile, bm=bm, cap_row=cap_row, word_length=word_length,
         interpret=interpret,
     )                                        # [nb, tile], [nb, tile, k]
