@@ -86,11 +86,28 @@ def _batch_words(batches, nt_to_take, header_umi_size):
     return W.pack_words(codes), filtered
 
 
-def _pass1(files, nt_to_take, header_umi_size, batch_records):
-    """Stream all files in lockstep; return (packed [N,W], filtered [N])."""
+def _input_bytes_estimate(files) -> int:
+    """Approximate in-memory size of the parsed inputs (gz assumed ~4x)."""
+    total = 0
+    for f in files:
+        try:
+            sz = os.path.getsize(f)
+        except OSError:
+            return 1 << 62
+        total += sz * 4 if f.endswith(".gz") else sz
+    return total
+
+
+def _pass1(files, nt_to_take, header_umi_size, batch_records,
+           cache: list | None = None):
+    """Stream all files in lockstep; return (packed [N,W], filtered [N]).
+    When ``cache`` is a list, parsed batch tuples are appended to it for
+    reuse by the output pass."""
     packed_parts: list[np.ndarray] = []
     filt_parts: list[np.ndarray] = []
     for batches in read_tuples(files, batch_records):
+        if cache is not None:
+            cache.append(batches)
         packed, filtered = _batch_words(batches, nt_to_take,
                                         header_umi_size)
         packed_parts.append(packed)
@@ -116,6 +133,7 @@ def run(
     maximum: bool = False,
     batch_records: int = 1 << 17,
     neighbor_opts: dict | None = None,
+    cache_records: bool | None = None,
 ) -> PipelineResult:
     """Deduplicate ``files``; mirrors humid(wordLength, distance, ...)
     (humid.cc:369-409 and CLI defaults humid.cc:413-429)."""
@@ -137,9 +155,18 @@ def run(
     log.write("\n")
 
     # --- pass 1: read + pack (readData, humid.cc:70-103) ---
+    # Small inputs keep their parsed record batches in memory so the
+    # output pass skips the second read entirely (the reference always
+    # re-reads, humid.cc:203-292).
+    cache: list | None = None
+    if cache_records is None:
+        cache_records = _input_bytes_estimate(files) < (1 << 31)
+    if cache_records and (write_dedup or write_annotated):
+        cache = []
+
     t = log.start("Reading data")
     packed, filtered = _pass1(files, nt_to_take, header_umi_size,
-                              batch_records)
+                              batch_records, cache)
     res.total = int(len(packed))
     res.usable = int((~filtered).sum())
     log.end(t)
@@ -199,11 +226,13 @@ def run(
     # --- pass 2: outputs ---
     if write_dedup:
         t = log.start("Writing filtered results")
-        _write_selected(files, dir_name, "dedup", rep_reads, batch_records)
+        _write_selected(files, dir_name, "dedup", rep_reads, batch_records,
+                        cache)
         log.end(t)
     if write_annotated:
         t = log.start("Writing annotated results")
-        _write_annotated(files, dir_name, cluster_of_read, batch_records)
+        _write_annotated(files, dir_name, cluster_of_read, batch_records,
+                         cache)
         log.end(t)
 
     if run_stats:
@@ -224,15 +253,18 @@ def run(
     return res
 
 
-def _write_selected(files, dir_name, suffix, selected, batch_records):
+def _write_selected(files, dir_name, suffix, selected, batch_records,
+                    cache=None):
     """Second pass: write only reads whose global index is in ``selected``
     (sorted)."""
     names = make_file_names(list(files), dir_name, suffix)
     writers = [FastqWriter(n) for n in names]
     base = 0
     ptr = 0
+    source = cache if cache is not None else read_tuples(
+        files, batch_records)
     try:
-        for batches in read_tuples(files, batch_records):
+        for batches in source:
             n = batches[0].n
             end = ptr
             while end < len(selected) and selected[end] < base + n:
@@ -247,14 +279,17 @@ def _write_selected(files, dir_name, suffix, selected, batch_records):
             w.close()
 
 
-def _write_annotated(files, dir_name, cluster_of_read, batch_records):
+def _write_annotated(files, dir_name, cluster_of_read, batch_records,
+                     cache=None):
     """Second pass: every read annotated with ``:<cluster_id>``
     (humid.cc:251-292)."""
     names = make_file_names(list(files), dir_name, "annotated")
     writers = [FastqWriter(n) for n in names]
     base = 0
+    source = cache if cache is not None else read_tuples(
+        files, batch_records)
     try:
-        for batches in read_tuples(files, batch_records):
+        for batches in source:
             n = batches[0].n
             ids = cluster_of_read[base:base + n]
             for b, w in zip(batches, writers):
