@@ -189,6 +189,12 @@ class _BatchCursor:
         self._fill(want)
         return self._avail
 
+    def natural_size(self) -> int:
+        """Records in the first pending batch (0 at EOF).  Taking at most
+        this many from THIS cursor is a zero-copy view split."""
+        self._fill(1)
+        return self._pending[0].n if self._pending else 0
+
     def take(self, k: int) -> FastqBatch:
         self._fill(k)
         assert self._avail >= k
@@ -236,8 +242,11 @@ def read_tuples(
     """
     cursors = [_BatchCursor(FastqReader(f)) for f in files]
     while True:
-        n = min(c.available(batch_records) for c in cursors)
+        # Natural (chunk-aligned) sizes make take() a zero-copy view split
+        # for at least one cursor and avoid cross-chunk concatenation;
+        # batch_records is only an upper bound, not a forced size.
+        n = min(c.natural_size() for c in cursors)
         n = min(n, batch_records)
-        if n == 0:
+        if n == 0:  # some file exhausted: stop (fastq.cc:41-43)
             return
         yield [c.take(n) for c in cursors]

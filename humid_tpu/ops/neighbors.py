@@ -385,12 +385,29 @@ def find_neighbor_pairs(
 
 
 def _segment_run_ids(packed: np.ndarray, word_length: int, n_seg: int):
-    """Per-partition bucket keys: [n_seg][U] uint64 packed segment values."""
+    """Per-partition bucket keys: [n_seg][U] uint64 packed segment values.
+
+    For words up to 32 bases (<= 2 lanes) the segment bits are extracted
+    directly from a combined uint64 (base b sits at bits 62-2b ..) — no
+    per-base unpacking.  Wider words fall back to unpacked codes.
+    """
+    bounds = [word_length * s // n_seg for s in range(n_seg + 1)]
+    u, w = packed.shape
+    keys = []
+    if w <= 2:
+        word64 = packed[:, 0].astype(np.uint64) << np.uint64(32)
+        if w == 2:
+            word64 |= packed[:, 1].astype(np.uint64)
+        for s in range(n_seg):
+            lo, hi = bounds[s], bounds[s + 1]
+            width = 2 * (hi - lo)
+            shift = np.uint64(64 - 2 * hi)
+            mask = np.uint64((1 << width) - 1)
+            keys.append((word64 >> shift) & mask)
+        return keys
     from .. import words as W
 
     codes = W.unpack_words(packed, word_length).astype(np.uint64)
-    bounds = [word_length * s // n_seg for s in range(n_seg + 1)]
-    keys = []
     for s in range(n_seg):
         seg = codes[:, bounds[s]:bounds[s + 1]]
         k = np.zeros(len(packed), np.uint64)
