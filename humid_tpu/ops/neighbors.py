@@ -457,10 +457,12 @@ def find_neighbor_pairs_bucketed(
         cap_total = max(1 << 20, 4 * u)
     cap_row = min(cap_row, b)
 
+    from .unique import _stable_argsort_u64
+
     out_as: list[np.ndarray] = []
     out_bs: list[np.ndarray] = []
     for key in _segment_run_ids(packed, word_length, n_seg):
-        order = np.argsort(key, kind="stable")
+        order = _stable_argsort_u64(key)
         kperm = key[order]
         dperm = packed[order]
         # Dense int32 run ids (key equality == run-id equality).

@@ -11,6 +11,19 @@ from __future__ import annotations
 
 import numpy as np
 
+try:
+    from .._hostops import argsort_u64 as _argsort_u64
+except ImportError:  # pragma: no cover - extension not built
+    _argsort_u64 = None
+
+
+def _stable_argsort_u64(key: np.ndarray) -> np.ndarray:
+    if _argsort_u64 is not None:
+        order = np.empty(len(key), np.int64)
+        _argsort_u64(np.ascontiguousarray(key), order)
+        return order
+    return np.argsort(key, kind="stable")
+
 
 def unique_words(packed: np.ndarray):
     """Group identical fingerprints.
@@ -36,13 +49,13 @@ def unique_words(packed: np.ndarray):
             np.zeros(0, np.int64),
         )
     # Stable sort in lane-lexicographic order.  For <= 2 lanes a single
-    # uint64 key argsort is ~5x faster than np.lexsort.
+    # uint64 key argsort (parallel native when built) beats np.lexsort.
     if w == 1:
-        order = np.argsort(packed[:, 0], kind="stable")
+        order = _stable_argsort_u64(packed[:, 0].astype(np.uint64))
     elif w == 2:
         key = (packed[:, 0].astype(np.uint64) << np.uint64(32)) | \
             packed[:, 1].astype(np.uint64)
-        order = np.argsort(key, kind="stable")
+        order = _stable_argsort_u64(key)
     else:
         # Least-significant key last in np.lexsort's tuple.
         order = np.lexsort(tuple(packed[:, w - 1 - i] for i in range(w)))

@@ -33,5 +33,11 @@ setup(
             sources=["csrc/fastqio.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
         ),
+        Extension(
+            "humid_tpu._hostops",
+            sources=["csrc/hostops.cpp"],
+            extra_compile_args=["-O3", "-std=c++17", "-fopenmp"],
+            extra_link_args=["-fopenmp"],
+        ),
     ],
 )
