@@ -230,16 +230,9 @@ def _concat_batches(batches: list[FastqBatch]) -> FastqBatch:
     return FastqBatch(buf, starts, ends)
 
 
-def read_tuples(
-    files: Sequence[str], batch_records: int = 1 << 19
+def _read_tuples_sync(
+    files: Sequence[str], batch_records: int
 ) -> Iterator[list[FastqBatch]]:
-    """Lockstep iteration over multiple FastQ files in batches.
-
-    Yields lists of equal-length batches (one per file).  Iteration stops at
-    the shortest file, matching the reference's behaviour of stopping when
-    ANY reader hits EOF and discarding the partial tuple (fastq.cc:41-43,
-    104).
-    """
     cursors = [_BatchCursor(FastqReader(f)) for f in files]
     while True:
         # Natural (chunk-aligned) sizes make take() a zero-copy view split
@@ -250,3 +243,63 @@ def read_tuples(
         if n == 0:  # some file exhausted: stop (fastq.cc:41-43)
             return
         yield [c.take(n) for c in cursors]
+
+
+def read_tuples(
+    files: Sequence[str], batch_records: int = 1 << 19,
+    prefetch: int = 2,
+) -> Iterator[list[FastqBatch]]:
+    """Lockstep iteration over multiple FastQ files in batches.
+
+    Yields lists of equal-length batches (one per file).  Iteration stops at
+    the shortest file, matching the reference's behaviour of stopping when
+    ANY reader hits EOF and discarding the partial tuple (fastq.cc:41-43,
+    104).
+
+    Batches are produced by a background thread (``prefetch`` queue depth)
+    so decompression + framing overlap the consumer's packing/writing —
+    both sides spend their time in GIL-releasing C calls.
+    """
+    if prefetch <= 0:
+        yield from _read_tuples_sync(files, batch_records)
+        return
+
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=prefetch)
+    _END = object()
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for item in _read_tuples_sync(files, batch_records):
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_END)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            q.get_nowait()
+        except _queue.Empty:
+            pass
+        t.join(timeout=5)
