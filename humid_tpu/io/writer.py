@@ -52,13 +52,33 @@ def _build_output(src: np.ndarray, seg_start: np.ndarray,
 
 def _ann_buffer(cluster_ids: np.ndarray):
     """Vectorized b":<id>" annotation strings -> (flat uint8 buffer,
-    starts [n], lens [n])."""
-    s = np.char.mod(b":%d", cluster_ids.astype(np.int64))
-    itemsize = s.dtype.itemsize
-    buf = np.frombuffer(s.tobytes(), dtype=np.uint8)
-    lens = np.char.str_len(s).astype(np.int64)
-    starts = np.arange(len(s), dtype=np.int64) * itemsize
-    return buf, starts, lens
+    starts [n], lens [n]).  Digits are placed right-aligned per row with
+    ~log10(max_id) vector passes (np.char.mod is per-element Python)."""
+    ids = cluster_ids.astype(np.int64)
+    n = len(ids)
+    ndig = np.ones(n, np.int64)
+    p = 10
+    while int(ids.max(initial=0)) >= p:
+        ndig += ids >= p
+        p *= 10
+    max_d = int(ndig.max(initial=1))
+    width = 1 + max_d
+    # Row layout: [junk..., ':', digits...] with the colon right before the
+    # first significant digit.  Digits are written as dense column stores
+    # (right-aligned, leading "zeros" become junk); only the colon needs a
+    # scatter.
+    buf = np.zeros((n, width), np.uint8)
+    v = ids.copy()
+    for d in range(max_d):
+        np.add(v % 10, ord("0"), out=buf[:, width - 1 - d],
+               casting="unsafe")
+        v //= 10
+    rows = np.arange(n, dtype=np.int64)
+    offs = max_d - ndig
+    buf[rows, offs] = ord(":")
+    lens = 1 + ndig
+    starts = rows * width + offs
+    return buf.ravel(), starts, lens
 
 
 class FastqWriter:

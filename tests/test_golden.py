@@ -38,29 +38,37 @@ def humid_ref():
 
 
 CASES = [
-    # (n_reads, n_files, umi_style, gz, extra_flags)
-    (500, 1, "none", False, []),
-    (400, 2, "underscore", False, []),
-    (400, 2, "colon", True, []),
-    (300, 3, "none", False, []),
-    (400, 1, "none", False, ["-m", "2"]),
-    (400, 2, "underscore", False, ["-x"]),
-    (300, 2, "underscore", False, ["-m", "0"]),
-    (300, 1, "none", False, ["-n", "16"]),
+    # (n_reads, n_files, umi_style, gz, extra_flags, gen_kw)
+    (500, 1, "none", False, [], {}),
+    (400, 2, "underscore", False, [], {}),
+    (400, 2, "colon", True, [], {}),
+    (300, 3, "none", False, [], {}),
+    (400, 1, "none", False, ["-m", "2"], {}),
+    (400, 2, "underscore", False, ["-x"], {}),
+    (300, 2, "underscore", False, ["-m", "0"], {}),
+    (300, 1, "none", False, ["-n", "16"], {}),
+    # Edge cases: short/ragged reads filtered by N padding, unequal file
+    # lengths (stop at shortest), heavy N contamination, word longer than
+    # the reads (everything filtered).
+    (400, 1, "none", False, [], {"ragged": True, "n_frac": 0.3}),
+    (300, 2, "none", False, [], {"unequal_lengths": True}),
+    (200, 1, "none", False, ["-n", "40"], {"read_len": 30}),
+    (300, 2, "underscore", False, ["-x", "-m", "2"],
+     {"ragged": True}),
 ]
 
 
 @pytest.mark.parametrize("case", CASES, ids=[
     "single", "paired_umi", "colon_gz", "threefile", "m2", "max", "m0",
-    "n16",
+    "n16", "ragged_n", "unequal", "word_gt_read", "max_m2_ragged",
 ])
 def test_golden_outputs_match(case, humid_ref, tmp_path):
-    n_reads, n_files, umi_style, gz, extra = case
+    n_reads, n_files, umi_style, gz, extra, gen_kw = case
     rng = np.random.default_rng(hash(str(case)) % (2**32))
     data = tmp_path / "data"
     data.mkdir()
     gen_dataset(rng, str(data), n_reads=n_reads, n_files=n_files,
-                umi_style=umi_style, gz=gz)
+                umi_style=umi_style, gz=gz, **gen_kw)
     ext = "fastq.gz" if gz else "fastq"
     files = [str(data / f"file{i}.{ext}") for i in range(n_files)]
 
