@@ -258,15 +258,17 @@ def _pallas_chunked_run(data, ids, pairs_np, u, max_dist, *,
                 tile=tile, cap_row=cr, cap_total=ct,
                 word_length=word_length, interpret=interpret,
             )
+            t, c = jax.device_get((t, c))
             t = int(t)
-            counts.append(np.asarray(c))
+            counts.append(c)
             if t > ct:
                 # Chunk overflowed the output buffer: report the true
                 # total so the retry loop grows cap_total and reruns.
                 return (np.zeros(0, np.int32), np.zeros(0, np.int32), t,
                         np.concatenate(counts))
-            outs_a.append(np.asarray(oa[:t]))
-            outs_b.append(np.asarray(ob[:t]))
+            pa, pb = jax.device_get((oa[:t], ob[:t]))
+            outs_a.append(pa)
+            outs_b.append(pb)
         out_a = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int32)
         out_b = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int32)
         return out_a, out_b, len(out_a), np.concatenate(counts)
@@ -282,8 +284,8 @@ def _extract_with_retry(run, u, b, cap_row, cap_total):
     """
     while True:
         out_a, out_b, total, counts = run(cap_row, cap_total)
-        counts_h = np.asarray(counts)
-        total_h = int(total)
+        total_h, counts_h = jax.device_get((total, counts))
+        total_h = int(total_h)
         row_max = int(counts_h[:, 1].max(initial=0))
         if row_max > cap_row:
             cap_row = min(1 << (row_max - 1).bit_length(), b)
@@ -292,9 +294,14 @@ def _extract_with_retry(run, u, b, cap_row, cap_total):
             cap_total = _round_up(total_h + 1024, 1 << 16)
             continue
         break
-    # Slice on device so only the true pair count crosses the wire.
-    a = np.asarray(out_a[:total_h]).astype(np.int64)
-    bb = np.asarray(out_b[:total_h]).astype(np.int64)
+    # Slice on device so only the true pair count crosses the wire, and
+    # fetch both buffers in one device_get round trip.
+    if isinstance(out_a, np.ndarray):
+        a, bb = out_a[:total_h], out_b[:total_h]
+    else:
+        a, bb = jax.device_get((out_a[:total_h], out_b[:total_h]))
+    a = a.astype(np.int64)
+    bb = bb.astype(np.int64)
     order = np.lexsort((bb, a))
     return a[order], bb[order]
 
