@@ -134,11 +134,30 @@ def run(
     batch_records: int = 1 << 17,
     neighbor_opts: dict | None = None,
     cache_records: bool | None = None,
+    profile_dir: str | None = None,
 ) -> PipelineResult:
     """Deduplicate ``files``; mirrors humid(wordLength, distance, ...)
-    (humid.cc:369-409 and CLI defaults humid.cc:413-429)."""
+    (humid.cc:369-409 and CLI defaults humid.cc:413-429).
+
+    ``profile_dir`` (or env HUMID_TPU_PROFILE) captures a jax.profiler
+    trace of the whole run, with kernels attributed to pipeline phases.
+    """
     if not files:
         raise ValueError("at least one FastQ file required")
+    if profile_dir is None:
+        profile_dir = os.environ.get("HUMID_TPU_PROFILE")
+    if profile_dir:
+        import jax.profiler as _prof
+
+        with _prof.trace(profile_dir):
+            return run(
+                files, word_length=word_length, distance=distance,
+                log_name=log_name, dir_name=dir_name, run_stats=run_stats,
+                write_dedup=write_dedup, write_annotated=write_annotated,
+                edit=edit, maximum=maximum, batch_records=batch_records,
+                neighbor_opts=neighbor_opts, cache_records=cache_records,
+                profile_dir="",
+            )
     log = PhaseLog(log_name)
     res = PipelineResult()
 
@@ -249,6 +268,7 @@ def run(
             dir_name=dir_name,
         )
 
+    res.extra["timings"] = dict(log.timings)
     log.close()
     return res
 
