@@ -16,6 +16,10 @@
 #include <cstdint>
 #include <cstring>
 
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 namespace {
 
 PyObject* count_newlines(PyObject* /*self*/, PyObject* args) {
@@ -231,7 +235,40 @@ PyObject* concat_segments(PyObject* /*self*/, PyObject* args) {
   return PyLong_FromLongLong(static_cast<long long>(written));
 }
 
+// Decompress one gzip member with libdeflate (the reference links isa-l +
+// libdeflate for the same purpose, src/Makefile:26).  Returns
+// (consumed_in, written_out); written_out == -1 means the output buffer
+// is too small (caller grows and retries), -2 means bad data.
+PyObject* gzip_decompress_member(PyObject* /*self*/, PyObject* args) {
+#ifdef HAVE_LIBDEFLATE
+  Py_buffer in_b, out_b;
+  if (!PyArg_ParseTuple(args, "y*w*", &in_b, &out_b)) return nullptr;
+  size_t consumed = 0, written = 0;
+  int rc;
+  Py_BEGIN_ALLOW_THREADS;
+  struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+      d, in_b.buf, size_t(in_b.len), out_b.buf, size_t(out_b.len),
+      &consumed, &written);
+  libdeflate_free_decompressor(d);
+  rc = (r == LIBDEFLATE_SUCCESS) ? 0
+       : (r == LIBDEFLATE_INSUFFICIENT_SPACE) ? -1 : -2;
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&in_b);
+  PyBuffer_Release(&out_b);
+  return Py_BuildValue(
+      "nn", Py_ssize_t(consumed),
+      rc == 0 ? Py_ssize_t(written) : Py_ssize_t(rc));
+#else
+  PyErr_SetString(PyExc_NotImplementedError, "built without libdeflate");
+  return nullptr;
+#endif
+}
+
 PyMethodDef methods[] = {
+    {"gzip_decompress_member", gzip_decompress_member, METH_VARARGS,
+     "gzip_decompress_member(comp, out) -> (consumed, written); "
+     "written=-1 if out too small, -2 on corrupt input."},
     {"count_newlines", count_newlines, METH_VARARGS,
      "count_newlines(buf) -> number of '\\n' bytes."},
     {"fill_frames", fill_frames, METH_VARARGS,

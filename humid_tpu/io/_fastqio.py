@@ -51,6 +51,41 @@ def concat_segments(src: np.ndarray, seg_start: np.ndarray,
     return out
 
 
+def gzip_decompress(data: bytes) -> bytes | None:
+    """Whole-buffer multi-member gzip decompression via libdeflate
+    (~2-3x faster than zlib).  Returns None if the extension was built
+    without libdeflate or the data is not clean gzip."""
+    if not hasattr(_cfastqio, "gzip_decompress_member"):
+        return None
+    parts = []
+    view = memoryview(data)
+    while len(view):
+        # ISIZE (uncompressed size mod 2^32) from the member trailer gives
+        # the exact buffer size for single-member files — no grow-retry
+        # double decompression.
+        isize = int.from_bytes(data[-4:], "little")
+        guess = isize if len(parts) == 0 and isize >= len(view) else 0
+        out = bytearray(max(guess, 4 * len(view), 1 << 20))
+        while True:
+            try:
+                consumed, written = _cfastqio.gzip_decompress_member(
+                    view, out
+                )
+            except NotImplementedError:
+                return None
+            if written == -2:
+                return None
+            if written >= 0:
+                break
+            out = bytearray(len(out) * 2)
+        view = view[consumed:]
+        if not len(view) and not parts:
+            del out[written:]
+            return bytes(out)
+        parts.append(bytes(out[:written]))
+    return b"".join(parts)
+
+
 def frame(buf: np.ndarray):
     """Frame complete 4-line records in ``buf`` (uint8).
 

@@ -30,14 +30,39 @@ except ImportError:  # pragma: no cover - extension not built
     _frame_native = None
 
 
+# Whole-buffer libdeflate decompression beats streaming zlib only while
+# the file is small; past this the prefetch thread's pipelining of
+# streaming decompression with downstream packing wins (measured).
+_LIBDEFLATE_MAX = 1 << 23
+
+
 def _open_stream(path: str):
-    """Raw byte stream with transparent gzip decoding."""
+    """Raw byte stream with transparent gzip decoding.  Small-enough gzip
+    files decompress in one shot via libdeflate (csrc/fastqio.cpp — the
+    reference links isa-l/libdeflate for the same job); larger ones
+    stream through zlib."""
     f = open(path, "rb")
     magic = f.read(2)
     f.seek(0)
-    if magic == b"\x1f\x8b":
-        return gzip.open(f, "rb")
-    return f
+    if magic != b"\x1f\x8b":
+        return f
+    try:
+        import os as _os
+
+        if (_frame_native is not None
+                and _os.fstat(f.fileno()).st_size <= _LIBDEFLATE_MAX):
+            from ._fastqio import gzip_decompress
+
+            raw = gzip_decompress(f.read())
+            if raw is not None:
+                f.close()
+                import io as _io
+
+                return _io.BytesIO(raw)
+            f.seek(0)
+    except Exception:
+        f.seek(0)
+    return gzip.open(f, "rb")
 
 
 @dataclass

@@ -486,17 +486,26 @@ def find_neighbor_pairs_bucketed(
                 [rid, -np.arange(1, u_pad - u + 1, dtype=np.int32)]
             )
         # Tile pairs: diagonal always; run crossing tiles a..c adds the
-        # tile pairs it spans (rare unless a bucket is huge).
+        # tile pairs it spans (rare unless a bucket is huge).  If the
+        # crossing spans approach the dense grid, fall back to it rather
+        # than enumerating in Python.
         run_starts = np.flatnonzero(new_run)
         run_ends = np.append(run_starts[1:], u)
         t0 = run_starts // b
         t1 = (run_ends - 1) // b
-        pairs = {(i, i) for i in range(t)}
-        for a0, a1 in zip(t0[t1 > t0], t1[t1 > t0]):
-            for i in range(int(a0), int(a1) + 1):
-                for j in range(i, int(a1) + 1):
-                    pairs.add((i, j))
-        pairs_raw = np.array(sorted(pairs), np.int32).reshape(-1, 2)
+        cross = t1 > t0
+        spans = t1[cross] - t0[cross] + 1
+        extra = int((spans * (spans + 1) // 2).sum())
+        if extra >= t * (t + 1) // 4:
+            ii, jj = np.triu_indices(t)
+            pairs_raw = np.stack([ii, jj], axis=1).astype(np.int32)
+        else:
+            pairs = {(i, i) for i in range(t)}
+            for a0, a1 in zip(t0[cross], t1[cross]):
+                for i in range(int(a0), int(a1) + 1):
+                    for j in range(i, int(a1) + 1):
+                        pairs.add((i, j))
+            pairs_raw = np.array(sorted(pairs), np.int32).reshape(-1, 2)
 
         data = _device_rep(dperm, metric, word_length)
 

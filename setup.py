@@ -10,7 +10,11 @@ Both are optional: the pure-Python/numpy fallbacks produce identical
 results.
 """
 
+import os
+
 from setuptools import Extension, setup
+
+_HAVE_DEFLATE = os.path.exists("/usr/include/libdeflate.h")
 
 setup(
     name="humid_tpu",
@@ -31,7 +35,11 @@ setup(
         Extension(
             "humid_tpu.io._cfastqio",
             sources=["csrc/fastqio.cpp"],
-            extra_compile_args=["-O3", "-std=c++17"],
+            extra_compile_args=(
+                ["-O3", "-std=c++17"]
+                + (["-DHAVE_LIBDEFLATE"] if _HAVE_DEFLATE else [])
+            ),
+            libraries=["deflate"] if _HAVE_DEFLATE else [],
         ),
         Extension(
             "humid_tpu._hostops",
