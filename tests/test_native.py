@@ -80,3 +80,43 @@ def test_native_frame_matches_numpy():
 def test_native_frame_empty():
     s, e, c = native_fastqio.frame(np.zeros(0, np.uint8))
     assert s.shape == (0, 4) and c == 0
+
+
+def test_gzip_decompress_corrupt_returns_none():
+    from humid_tpu.io import _fastqio
+
+    if not hasattr(_fastqio._cfastqio, "gzip_decompress_member"):
+        pytest.skip("built without libdeflate")
+    assert _fastqio.gzip_decompress(b"\x1f\x8bgarbagegarbage") is None
+
+
+def test_reader_prefetch_propagates_errors(tmp_path):
+    from humid_tpu.io.reader import read_tuples
+
+    with pytest.raises(FileNotFoundError):
+        for _ in read_tuples([str(tmp_path / "missing.fastq")]):
+            pass
+
+
+def test_reader_prefetch_early_abandon(tmp_path):
+    """Abandoning iteration mid-way must not hang the worker thread."""
+    import threading
+
+    from humid_tpu.io.reader import read_tuples
+
+    p = tmp_path / "big.fastq"
+    with open(p, "wb") as f:
+        for i in range(5000):
+            f.write(b"@r%d\nACGT\n+\nIIII\n" % i)
+    before = threading.active_count()
+    it = read_tuples([str(p)], batch_records=100)
+    next(it)
+    it.close()
+    # worker should exit promptly
+    import time
+
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before

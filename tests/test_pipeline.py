@@ -173,3 +173,16 @@ def test_cli_smoke(tmp_path):
     assert os.path.exists(make_file_name(paths[0], str(tmp_path / "o"),
                                          "dedup"))
     assert os.path.exists(tmp_path / "o" / "stats.dat")
+
+
+def test_pipeline_reports_phase_timings(tmp_path):
+    import numpy as np
+    from genfastq import gen_dataset
+    from humid_tpu.pipeline import run
+
+    gen_dataset(np.random.default_rng(0), str(tmp_path), n_reads=100)
+    res = run([str(tmp_path / "file0.fastq")],
+              dir_name=str(tmp_path / "out"), log_name=os.devnull)
+    timings = res.extra["timings"]
+    assert "Reading data" in timings
+    assert all(v >= 0 for v in timings.values())
