@@ -174,12 +174,12 @@ def run(
     log.write("\n")
 
     # --- pass 1: read + pack (readData, humid.cc:70-103) ---
-    # Small inputs keep their parsed record batches in memory so the
+    # Inputs up to 16GB parsed keep their record batches in memory so the
     # output pass skips the second read entirely (the reference always
     # re-reads, humid.cc:203-292).
     cache: list | None = None
     if cache_records is None:
-        cache_records = _input_bytes_estimate(files) < (1 << 31)
+        cache_records = _input_bytes_estimate(files) < (1 << 34)
     if cache_records and (write_dedup or write_annotated):
         cache = []
 
