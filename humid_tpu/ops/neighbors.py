@@ -466,25 +466,36 @@ def find_neighbor_pairs_bucketed(
 
     from .unique import _stable_argsort_u64
 
-    out_as: list[np.ndarray] = []
-    out_bs: list[np.ndarray] = []
-    for key in _segment_run_ids(packed, word_length, n_seg):
+    # All partitions ride ONE device program: permuted copies of the data
+    # are stacked (partition p occupies rows [p*u_pad, (p+1)*u_pad)), tile
+    # indices are offset by p*t, and per-partition bucket ids get disjoint
+    # ranges.  Real-vs-padding matches are impossible: padding rows carry
+    # distinct negative ids (XLA path) or all-zero one-hot rows whose
+    # distance is always word_length (Pallas path, which has no id mask).
+    datas: list[np.ndarray] = []
+    rids: list[np.ndarray] = []
+    pair_lists: list[np.ndarray] = []
+    orders = np.empty((n_seg, u), np.int64)
+    for p, key in enumerate(_segment_run_ids(packed, word_length, n_seg)):
         order = _stable_argsort_u64(key)
+        orders[p] = order
         kperm = key[order]
         dperm = packed[order]
-        # Dense int32 run ids (key equality == run-id equality).
+        # Dense int32 run ids (key equality == run-id equality), offset
+        # into a per-partition id range.
         new_run = np.empty(u, bool)
         new_run[0] = True
         np.not_equal(kperm[1:], kperm[:-1], out=new_run[1:])
-        rid = (np.cumsum(new_run) - 1).astype(np.int32)
-        # Pad: distinct negative ids never match anything.
+        rid = (np.cumsum(new_run) - 1).astype(np.int32) + p * (u_pad + 1)
         if u_pad > u:
             dperm = np.concatenate(
                 [dperm, np.zeros((u_pad - u, w), dperm.dtype)]
             )
-            rid = np.concatenate(
-                [rid, -np.arange(1, u_pad - u + 1, dtype=np.int32)]
-            )
+            rid = np.concatenate([
+                rid,
+                -np.arange(1, u_pad - u + 1, dtype=np.int32)
+                - p * (u_pad + 1),
+            ])
         # Tile pairs: diagonal always; run crossing tiles a..c adds the
         # tile pairs it spans (rare unless a bucket is huge).  If the
         # crossing spans approach the dense grid, fall back to it rather
@@ -506,38 +517,47 @@ def find_neighbor_pairs_bucketed(
                     for j in range(i, int(a1) + 1):
                         pairs.add((i, j))
             pairs_raw = np.array(sorted(pairs), np.int32).reshape(-1, 2)
+        datas.append(dperm)
+        rids.append(rid)
+        pair_lists.append(pairs_raw + np.int32(p * t))
 
-        data = _device_rep(dperm, metric, word_length)
+    data_host = np.concatenate(datas, axis=0)      # [n_seg*u_pad, W]
+    rid_all = np.concatenate(rids)
+    pairs_all = np.concatenate(pair_lists, axis=0)
+    n_all = n_seg * u_pad
 
-        if metric == "hamming_pallas":
-            run = _pallas_chunked_run(
-                data, rid, pairs_raw, u, max_dist,
-                tile=b, word_length=word_length,
-                interpret=jax.default_backend() != "tpu",
+    data = _device_rep(data_host, metric, word_length)
+    if metric == "hamming_pallas" and u_pad > u:
+        # Zero the one-hot padding rows so their distance to anything is
+        # word_length (> max_dist) — the kernel has no id mask.
+        pad_rows = (np.arange(n_all).reshape(n_seg, u_pad)[:, u:]).ravel()
+        data = data.at[jnp.asarray(pad_rows)].set(0)
+
+    if metric == "hamming_pallas":
+        run = _pallas_chunked_run(
+            data, rid_all, pairs_all, n_all, max_dist,
+            tile=b, word_length=word_length,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        pairs_ij = _pad_pairs(pairs_all)
+        rid_dev = jnp.asarray(rid_all)
+
+        def run(cr, ct):
+            return _all_pairs(
+                data, jnp.asarray(pairs_ij), jnp.int32(n_all),
+                jnp.int32(max_dist),
+                tile=b, cap_row=cr, cap_total=ct,
+                metric=metric, max_dist_static=int(max_dist),
+                word_length=word_length, ids=rid_dev, with_ids=True,
             )
-        else:
-            pairs_ij = _pad_pairs(pairs_raw)
-            rid_dev = jnp.asarray(rid)
 
-            def run(cr, ct, data=data, rid_dev=rid_dev,
-                    pairs_ij=pairs_ij):
-                return _all_pairs(
-                    data, jnp.asarray(pairs_ij), jnp.int32(u),
-                    jnp.int32(max_dist),
-                    tile=b, cap_row=cr, cap_total=ct,
-                    metric=metric, max_dist_static=int(max_dist),
-                    word_length=word_length, ids=rid_dev, with_ids=True,
-                )
-
-        pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
-        # Permuted positions -> original unique-word indices.
-        ga = order[pa]
-        gb = order[pb]
-        out_as.append(np.minimum(ga, gb))
-        out_bs.append(np.maximum(ga, gb))
-
-    a = np.concatenate(out_as)
-    bb = np.concatenate(out_bs)
+    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
+    # Stacked permuted positions -> original unique-word indices.
+    ga = orders[pa // u_pad, pa % u_pad]
+    gb = orders[pb // u_pad, pb % u_pad]
+    a = np.minimum(ga, gb)
+    bb = np.maximum(ga, gb)
     # A pair agreeing on k>1 segments appears k times; dedupe + sort.
     pairs = np.unique(np.stack([a, bb], axis=1), axis=0)
     return (pairs[:, 0].astype(np.int64), pairs[:, 1].astype(np.int64))
