@@ -40,6 +40,63 @@ PyObject* count_newlines(PyObject* /*self*/, PyObject* args) {
   return PyLong_FromLongLong(static_cast<long long>(n));
 }
 
+// Single-pass framing: fill up to max_records complete 4-line records,
+// returning (n_records, consumed).  Unlike fill_frames, the newline count
+// need not be known in advance; unconsumed complete records simply stay
+// in the caller's leftover for the next chunk.
+PyObject* scan_frames(PyObject* /*self*/, PyObject* args) {
+  Py_buffer data_b, starts_b, ends_b;
+  Py_ssize_t max_records;
+  if (!PyArg_ParseTuple(args, "y*w*w*n", &data_b, &starts_b, &ends_b,
+                        &max_records)) {
+    return nullptr;
+  }
+  if (starts_b.len < max_records * 4 * 8 ||
+      ends_b.len < max_records * 4 * 8) {
+    PyBuffer_Release(&data_b);
+    PyBuffer_Release(&starts_b);
+    PyBuffer_Release(&ends_b);
+    PyErr_SetString(PyExc_ValueError, "scan_frames: span buffers too small");
+    return nullptr;
+  }
+  const char* base = static_cast<const char*>(data_b.buf);
+  const char* end = base + data_b.len;
+  int64_t* st = static_cast<int64_t*>(starts_b.buf);
+  int64_t* en = static_cast<int64_t*>(ends_b.buf);
+  Py_ssize_t n = 0;
+  int64_t consumed = 0;
+  Py_BEGIN_ALLOW_THREADS;
+  const char* p = base;
+  while (n < max_records) {
+    const char* q = p;
+    int64_t ls[4], le[4];
+    int line = 0;
+    for (; line < 4; ++line) {
+      const char* nl = static_cast<const char*>(memchr(q, '\n', end - q));
+      if (!nl) break;
+      int64_t s = q - base;
+      int64_t e = nl - base;
+      if (e > s && base[e - 1] == '\r') --e;
+      ls[line] = s;
+      le[line] = e;
+      q = nl + 1;
+    }
+    if (line < 4) break;  // incomplete trailing record
+    for (int i = 0; i < 4; ++i) {
+      st[n * 4 + i] = ls[i];
+      en[n * 4 + i] = le[i];
+    }
+    ++n;
+    p = q;
+  }
+  consumed = p - base;
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&data_b);
+  PyBuffer_Release(&starts_b);
+  PyBuffer_Release(&ends_b);
+  return Py_BuildValue("nn", n, Py_ssize_t(consumed));
+}
+
 PyObject* fill_frames(PyObject* /*self*/, PyObject* args) {
   Py_buffer data_b, starts_b, ends_b;
   Py_ssize_t n_records;
@@ -274,6 +331,9 @@ PyMethodDef methods[] = {
     {"fill_frames", fill_frames, METH_VARARGS,
      "fill_frames(buf, starts, ends, n_records) -> consumed bytes.  Fills "
      "[n, 4] int64 line spans with trailing \\r stripped."},
+    {"scan_frames", scan_frames, METH_VARARGS,
+     "scan_frames(buf, starts, ends, max_records) -> (n, consumed). "
+     "Single-pass framing of up to max_records complete records."},
     {"gather_prefix", gather_prefix, METH_VARARGS,
      "gather_prefix(buf, starts, ends, out, stride, col_off, k): copy the "
      "first k bytes of each span into a strided matrix, padding with 'N'."},

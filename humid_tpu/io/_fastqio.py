@@ -86,6 +86,16 @@ def gzip_decompress(data: bytes) -> bytes | None:
     return b"".join(parts)
 
 
+def scan_frames(buf: np.ndarray, max_records: int):
+    """Single-pass framing of up to ``max_records`` complete records.
+    Returns (starts [n,4] int64, ends [n,4] int64, consumed)."""
+    cap = max(int(max_records), 16)
+    starts = np.empty((cap, 4), dtype=np.int64)
+    ends = np.empty((cap, 4), dtype=np.int64)
+    n, consumed = _cfastqio.scan_frames(buf, starts, ends, cap)
+    return starts[:n], ends[:n], int(consumed)
+
+
 def frame(buf: np.ndarray):
     """Frame complete 4-line records in ``buf`` (uint8).
 

@@ -26,8 +26,10 @@ _CR = 13
 
 try:  # native bulk framing (csrc/fastqio.cpp); numpy fallback below
     from ._fastqio import frame as _frame_native
+    from ._fastqio import scan_frames as _scan_frames_native
 except ImportError:  # pragma: no cover - extension not built
     _frame_native = None
+    _scan_frames_native = None
 
 
 # Whole-buffer libdeflate decompression beats streaming zlib only while
@@ -147,6 +149,7 @@ class FastqReader:
     def batches(self) -> Iterator[FastqBatch]:
         stream = _open_stream(self.path)
         leftover = b""
+        avg_rec = 0.0  # running bytes/record -> single-pass scan capacity
         try:
             while True:
                 chunk = stream.read(self.chunk_bytes)
@@ -154,10 +157,18 @@ class FastqReader:
                     break
                 data = leftover + chunk if leftover else chunk
                 buf = np.frombuffer(data, dtype=np.uint8)
-                starts, ends, consumed = _frame(buf)
+                if _scan_frames_native is not None and avg_rec:
+                    # Single-pass framing; a capacity underestimate just
+                    # leaves complete records in the leftover for the
+                    # next round.
+                    cap = int(len(buf) / avg_rec * 1.25) + 16
+                    starts, ends, consumed = _scan_frames_native(buf, cap)
+                else:
+                    starts, ends, consumed = _frame(buf)
                 if starts.shape[0] == 0:
                     leftover = data
                     continue
+                avg_rec = consumed / starts.shape[0]
                 leftover = data[consumed:]
                 # Read-only view; `data` stays alive via the view. No copy.
                 yield FastqBatch(buf[:consumed], starts, ends)
