@@ -191,8 +191,12 @@ def run(
     log.end(t)
 
     # --- exact duplicate counting (replaces trie leaf counts) ---
+    import time as _time
+
+    _t_uni = _time.time()
     usable_packed = packed[~filtered]
     uniq, counts, first_occ_usable, inverse = unique_words(usable_packed)
+    log.timings.append(("unique counting", _time.time() - _t_uni))
     res.unique = len(uniq)
     res.counts = counts
     # first_occ indexes usable rows; convert to global read indices.
