@@ -293,7 +293,7 @@ def _extract_with_retry(run, u, b, cap_row, cap_total):
             cap_row = min(1 << (row_max - 1).bit_length(), b)
             continue
         if total_h > cap_total:
-            cap_total = _round_up(total_h + 1024, 1 << 16)
+            cap_total = 1 << (total_h + 1024).bit_length()
             continue
         break
     # Slice on device so only the true pair count crosses the wire, and
@@ -369,7 +369,8 @@ def find_neighbor_pairs(
     data = _device_rep(data_host, metric, word_length)
 
     if cap_total is None:
-        cap_total = max(1 << 20, 4 * u)
+        # Power of two: distinct dataset sizes reuse compiled programs.
+        cap_total = 1 << max(20, (4 * u - 1).bit_length())
     cap_row = min(cap_row, b)
 
     if metric == "hamming_pallas":
@@ -463,7 +464,8 @@ def find_neighbor_pairs_bucketed(
     u_pad = _round_up(u, b)
     t = u_pad // b
     if cap_total is None:
-        cap_total = max(1 << 20, 4 * u)
+        # Power of two: distinct dataset sizes reuse compiled programs.
+        cap_total = 1 << max(20, (4 * u - 1).bit_length())
     cap_row = min(cap_row, b)
 
     from .unique import _stable_argsort_u64
