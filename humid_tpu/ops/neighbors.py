@@ -242,23 +242,53 @@ def _device_rep(data_host, metric: str, word_length):
     return data
 
 
-def _pallas_chunked_run(data, ids, pairs_np, u, max_dist, *,
-                        tile, word_length, interpret,
+def _quantize_rows(packed: np.ndarray) -> np.ndarray:
+    """Pad rows to a power-of-two-ish quantum (2^k or 3*2^(k-1), rounded
+    to a multiple of 128) so the Pallas programs (whose XLA signature
+    bakes in the data length) are reused across dataset sizes.  Tail rows
+    are never referenced by any tile pair."""
+    n = len(packed)
+    if n == 0:
+        return packed
+    p2 = 1 << max(n - 1, 1).bit_length()
+    q = 3 * (p2 // 4) if 3 * (p2 // 4) >= n else p2
+    q = _round_up(max(q, 128), 128)
+    if q == n:
+        return packed
+    pad = np.zeros((q - n,) + packed.shape[1:], packed.dtype)
+    return np.concatenate([packed, pad], axis=0)
+
+
+def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
+                        max_dist, *, tile, interpret,
                         chunk_nb: int = 1024):
     """Chunked launcher for the Pallas sweep; same (out_a, out_b, total,
     counts) contract as _all_pairs so _extract_with_retry wraps it.
     Chunking bounds the [nb, tile, cap_row] kernel output memory."""
     from .pallas_hamming import pallas_all_pairs
 
+    if packed_rows.shape[1] % 2:  # one-hot feature dim must be 128-wide
+        packed_rows = np.concatenate([
+            packed_rows,
+            np.zeros((len(packed_rows), 1), packed_rows.dtype)], axis=1)
+    rows = _quantize_rows(packed_rows)
+    n, w = rows.shape
+    # Lane-major layout for aligned DMA: row l*(n/128)+r, col c = lane l
+    # of word r*128 + c.
+    lanemaj = np.ascontiguousarray(
+        rows.T.reshape(w * (n // 128), 128))
+    data = jnp.asarray(lanemaj)
+
     def run(cr, ct):
         outs_a, outs_b, counts = [], [], []
         for lo in range(0, len(pairs_np), chunk_nb):
             chunk = _pad_pairs(pairs_np[lo:lo + chunk_nb, :2])
             oa, ob, t, c = pallas_all_pairs(
-                jnp.asarray(data), jnp.asarray(chunk),
-                jnp.int32(u), jnp.int32(max_dist),
-                tile=tile, cap_row=cr, cap_total=ct,
-                word_length=word_length, interpret=interpret,
+                data, jnp.asarray(chunk),
+                jnp.int32(part_stride), jnp.int32(part_valid),
+                jnp.int32(max_dist),
+                tile=tile, cap_row=cr, cap_total=ct, w=w,
+                interpret=interpret,
             )
             t, c = jax.device_get((t, c))
             t = int(t)
@@ -366,8 +396,6 @@ def find_neighbor_pairs(
     ii, jj = np.triu_indices(t)
     pairs_raw = np.stack([ii, jj], axis=1).astype(np.int32)
 
-    data = _device_rep(data_host, metric, word_length)
-
     if cap_total is None:
         # Power of two: distinct dataset sizes reuse compiled programs.
         cap_total = 1 << max(20, (4 * u - 1).bit_length())
@@ -375,11 +403,11 @@ def find_neighbor_pairs(
 
     if metric == "hamming_pallas":
         run = _pallas_chunked_run(
-            data, np.zeros(u_pad, np.int32), pairs_raw, u, max_dist,
-            tile=b, word_length=word_length,
-            interpret=jax.default_backend() != "tpu",
+            data_host, pairs_raw, u_pad, u, max_dist,
+            tile=b, interpret=jax.default_backend() != "tpu",
         )
     else:
+        data = _device_rep(data_host, metric, word_length)
         pairs_ij = _pad_pairs(pairs_raw)
 
         def run(cr, ct):
@@ -530,20 +558,15 @@ def find_neighbor_pairs_bucketed(
     pairs_all = np.concatenate(pair_lists, axis=0)
     n_all = n_seg * u_pad
 
-    data = _device_rep(data_host, metric, word_length)
-    if metric == "hamming_pallas" and u_pad > u:
-        # Zero the one-hot padding rows so their distance to anything is
-        # word_length (> max_dist) — the kernel has no id mask.
-        pad_rows = (np.arange(n_all).reshape(n_seg, u_pad)[:, u:]).ravel()
-        data = data.at[jnp.asarray(pad_rows)].set(0)
-
     if metric == "hamming_pallas":
+        # Per-partition padding rows are masked in-kernel via
+        # (row % part_stride) >= part_valid; no id plumbing needed.
         run = _pallas_chunked_run(
-            data, rid_all, pairs_all, n_all, max_dist,
-            tile=b, word_length=word_length,
-            interpret=jax.default_backend() != "tpu",
+            data_host, pairs_all, u_pad, u, max_dist,
+            tile=b, interpret=jax.default_backend() != "tpu",
         )
     else:
+        data = _device_rep(data_host, metric, word_length)
         pairs_ij = _pad_pairs(pairs_all)
         rid_dev = jnp.asarray(rid_all)
 

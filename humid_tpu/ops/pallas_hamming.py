@@ -6,24 +6,33 @@ matmul and the masking/extraction consumers, and serializes tile pairs in
 a While loop.  This kernel walks the tile-pair LIST as its grid and runs
 the whole per-tile pipeline in VMEM:
 
-  manual async DMA of the paired row/col one-hot blocks from HBM
-  (tile indices come from a per-step SMEM block of the pair list —
-  scalar-prefetch grids hang the AOT compiler on this backend, manual
-  DMA with dynamic slices compiles fine)
-  -> one-hot bf16 matmul on the MXU, bm rows at a time
-  -> distance threshold + index/bucket masks on the VPU
+  manual async DMA of the paired PACKED row/col blocks from HBM
+  (tile indices come from the pair list in SMEM — scalar-prefetch grids
+  hang this backend's AOT compiler; manual DMA with dynamic slices
+  compiles fine)
+  -> in-kernel 2-bit -> one-hot bf16 expansion (packed words in HBM are
+     64x smaller than one-hot; phantom matches from zero-padded lane
+     bits are a constant, so dist = 16*W - matches stays exact)
+  -> one-hot matmul on the MXU, bm rows at a time
+  -> distance threshold + index masks on the VPU
   -> per-row match counts
   -> per-row top-``cap_row`` matching column extraction via iterative
      masked argmax (columns are unique per row, so equality masking
      removes exactly the taken column)
 
-writing only counts and column indices back to HBM — ~tile/cap_row x less
-traffic than the distance matrix, with no per-tile XLA op overhead.
+Only counts and column indices return to HBM.  Everything
+data-dependent (row counts, partition stride) rides in SMEM scalars, so
+compiled programs depend only on (quantized row count, lanes, tile, bm,
+cap_row, cap_total) and are reused across datasets.
 
 Scalar operands:
   pairs [nb, 3] int32 — (tile_i, tile_j, on); disabled rows emit nothing.
-  glob  [1, 8] int32 — u_rows, u_cols, max_dist, upper_only, enabled,
-                       row_base, col_base, unused.
+  glob  [1, 8] int32 — part_stride, part_valid, max_dist, upper_only,
+                       enabled, row_base, col_base, unused.
+    Rows r with (r % part_stride) >= part_valid are padding and never
+    match (the fused pigeonhole driver stacks several permuted copies of
+    the data; each partition occupies part_stride rows of which the
+    first part_valid are real).
 
 Replaces the per-word fuzzy trie queries of ``findHammingNeighbours``
 (humid.cc:113-130).
@@ -40,49 +49,84 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref,
-            counts_ref, topv_ref, rows_v, cols_v,
-            sems, *, bm: int, tile: int, cap_row: int, word_length: int,
-            d: int):
+            counts_ref, topv_ref, lanes_r_v, lanes_c_v, oht_r_ref,
+            oht_c_ref, sems, *, bm: int, tile: int, cap_row: int, w: int,
+            rows_per_lane: int):
     n = pl.program_id(0)
     ti = pairs_ref[n, 0]
     tj = pairs_ref[n, 1]
     on = pairs_ref[n, 2]
-    u_rows = glob_ref[0, 0]
-    u_cols = glob_ref[0, 1]
+    part_stride = glob_ref[0, 0]
+    part_valid = glob_ref[0, 1]
     max_dist = glob_ref[0, 2]
     upper_only = glob_ref[0, 3]
     enabled = glob_ref[0, 4]
     row_base = glob_ref[0, 5]
     col_base = glob_ref[0, 6]
 
-    cp_rows = pltpu.make_async_copy(
-        data_r_ref.at[pl.ds(ti * tile, tile), :], rows_v, sems.at[0])
-    cp_cols = pltpu.make_async_copy(
-        data_c_ref.at[pl.ds(tj * tile, tile), :], cols_v, sems.at[1])
-    cp_rows.start()
-    cp_cols.start()
-    cp_rows.wait()
-    cp_cols.wait()
+    sub = tile // 128  # 128-word groups per tile
 
-    cols = cols_v[...]                      # [tile, D] bf16
+    # Lane-major layout: data[l*rows_per_lane + r, c] = lane l of word
+    # r*128 + c.  One DMA per (side, lane); every slice is [sub, 128].
+    copies = []
+    for l in range(w):
+        cr = pltpu.make_async_copy(
+            data_r_ref.at[pl.ds(l * rows_per_lane + ti * sub, sub), :],
+            lanes_r_v.at[l * sub:(l + 1) * sub, :], sems.at[2 * l],
+        )
+        cc = pltpu.make_async_copy(
+            data_c_ref.at[pl.ds(l * rows_per_lane + tj * sub, sub), :],
+            lanes_c_v.at[l * sub:(l + 1) * sub, :], sems.at[2 * l + 1],
+        )
+        cr.start()
+        cc.start()
+        copies.extend([cr, cc])
+    for c in copies:
+        c.wait()
+
+    # Build TRANSPOSED one-hots oht[feature, word] in VMEM: feature
+    # e = l*64 + pos*4 + sym; columns grouped in `sub` blocks of 128
+    # words.  All slices are static multiples of (8, 128).
+    shift = 2 * (15 - (jax.lax.broadcasted_iota(
+        jnp.int32, (64, 128), 0) // 4))
+    sym = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0) % 4
+    for l in range(w):
+        for r in range(sub):
+            vr = lanes_r_v[l * sub + r:l * sub + r + 1, :].astype(
+                jnp.int32)
+            vc = lanes_c_v[l * sub + r:l * sub + r + 1, :].astype(
+                jnp.int32)
+            br = jnp.broadcast_to(vr, (64, 128))
+            bc = jnp.broadcast_to(vc, (64, 128))
+            oht_r_ref[l * 64:(l + 1) * 64, r * 128:(r + 1) * 128] = (
+                (jax.lax.shift_right_logical(br, shift) & 3) == sym
+            ).astype(jnp.bfloat16)
+            oht_c_ref[l * 64:(l + 1) * 64, r * 128:(r + 1) * 128] = (
+                (jax.lax.shift_right_logical(bc, shift) & 3) == sym
+            ).astype(jnp.bfloat16)
+
+    cols_oht = oht_c_ref[...]                           # [64w, tile]
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 0)
     is_upper = upper_only > 0
+    n_bases = 16 * w  # includes constant phantom matches beyond L
 
     # fori_loops, not Python loops: an unrolled body (sub x cap_row
     # argmax steps) explodes the Mosaic IR and hangs the AOT compiler.
     def block_body(b, _):
-        a = rows_v[pl.ds(b * bm, bm), :]    # [bm, D]
+        a = oht_r_ref[:, pl.ds(b * bm, bm)]             # [64w, bm]
         matches = jax.lax.dot_general(
-            a, cols, dimension_numbers=(((1,), (1,)), ((), ())),
+            a, cols_oht, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                   # [bm, tile]
-        dist = (word_length - matches).astype(jnp.int32)
+        )                                               # [bm, tile]
+        dist = (n_bases - matches).astype(jnp.int32)
         lr = ti * tile + b * bm + iota_r
         lc = tj * tile + iota_c
         gr = row_base + lr
         gc = col_base + lc
-        mask = (dist <= max_dist) & (lr < u_rows) & (lc < u_cols)
+        mask = dist <= max_dist
+        mask &= (lr % part_stride) < part_valid
+        mask &= (lc % part_stride) < part_valid
         # No select over i1 vectors on Mosaic; boolean algebra instead.
         mask &= ((gc > gr) & is_upper) | ((gr != gc) & ~is_upper)
         mask &= (enabled > 0) & (on > 0)
@@ -115,33 +159,29 @@ def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile", "bm", "cap_row", "word_length", "interpret"))
+    static_argnames=("tile", "bm", "cap_row", "w", "interpret"))
 def hamming_pairs_sweep(
-    data_oh, pairs, glob, *,
-    tile: int, bm: int = 256, cap_row: int = 16, word_length: int = 24,
+    lanemaj, pairs, glob, *,
+    tile: int, bm: int = 256, cap_row: int = 16, w: int = 2,
     interpret: bool = False,
 ):
     """Sweep a tile-pair list: -> (counts [nb, tile], topv [nb, tile, k]).
 
-    data_oh:   [T*tile, D] bf16 one-hot fingerprints (D multiple of 128).
-    pairs:     [nb, 3] int32 (tile_i, tile_j, on).
-    glob:      [1, 8] int32 scalars (see module docstring).
+    lanemaj: [w * N/128, 128] uint32 — lane-major packed fingerprints:
+      row l*(N/128) + r, column c holds lane l of word r*128 + c.
+    pairs:   [nb, 3] int32 (tile_i, tile_j, on).
+    glob:    [1, 8] int32 scalars (see module docstring).
     topv holds LOCAL column indices within the paired tile, -1 padded.
-
-    No bucket-id masking in-kernel: for the bucketed driver a pair found
-    in a tile it does not share a segment with is still a true distance
-    match and is deduplicated across partitions at the end, so skipping
-    the id mask only costs a few extra extractions (a width-1 int32 DMA
-    is not expressible in Mosaic's tiling anyway).
     """
     nb = pairs.shape[0]
-    d = data_oh.shape[1]
+    rows_per_lane = lanemaj.shape[0] // w
     assert tile % bm == 0, (tile, bm)
+    sub = tile // 128
     grid = (nb,)
     counts, topv = pl.pallas_call(
         functools.partial(
-            _kernel, bm=bm, tile=tile, cap_row=cap_row,
-            word_length=word_length, d=d,
+            _kernel, bm=bm, tile=tile, cap_row=cap_row, w=w,
+            rows_per_lane=rows_per_lane,
         ),
         grid=grid,
         in_specs=[
@@ -159,21 +199,23 @@ def hamming_pairs_sweep(
             jax.ShapeDtypeStruct((nb, tile, cap_row), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile, d), jnp.bfloat16),
-            pltpu.VMEM((tile, d), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((w * sub, 128), jnp.uint32),
+            pltpu.VMEM((w * sub, 128), jnp.uint32),
+            pltpu.VMEM((64 * w, tile), jnp.bfloat16),
+            pltpu.VMEM((64 * w, tile), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2 * w,)),
         ],
         interpret=interpret,
-    )(pairs, glob, data_oh, data_oh)
+    )(pairs, glob, lanemaj, lanemaj)
     return counts[:, 0, :], topv
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile", "bm", "cap_row", "cap_total", "word_length", "interpret"))
+    "tile", "bm", "cap_row", "cap_total", "w", "interpret"))
 def pallas_all_pairs(
-    data_oh, pairs, u, max_dist, *,
+    lanemaj, pairs, part_stride, part_valid, max_dist, *,
     tile: int, bm: int = 256, cap_row: int = 16, cap_total: int,
-    word_length: int = 24, interpret: bool = False,
+    w: int = 2, interpret: bool = False,
 ):
     """Kernel sweep + vectorized compaction: one chunk of tile pairs ->
     (out_a [cap_total], out_b [cap_total], total, counts [nb, 2]).
@@ -185,13 +227,12 @@ def pallas_all_pairs(
     """
     nb = pairs.shape[0]
     glob = jnp.stack(
-        [u, u, max_dist, jnp.int32(1), jnp.int32(1), jnp.int32(0),
-         jnp.int32(0), jnp.int32(0)]
+        [part_stride, part_valid, max_dist, jnp.int32(1), jnp.int32(1),
+         jnp.int32(0), jnp.int32(0), jnp.int32(0)]
     ).astype(jnp.int32)[None, :]
     rowcnt, topv = hamming_pairs_sweep(
-        data_oh, pairs, glob,
-        tile=tile, bm=bm, cap_row=cap_row, word_length=word_length,
-        interpret=interpret,
+        lanemaj, pairs, glob,
+        tile=tile, bm=bm, cap_row=cap_row, w=w, interpret=interpret,
     )                                        # [nb, tile], [nb, tile, k]
     flat_cnt = rowcnt.reshape(-1)            # [nb*tile]
     roff = jnp.cumsum(flat_cnt) - flat_cnt
