@@ -269,7 +269,7 @@ PyObject* concat_segments(PyObject* /*self*/, PyObject* args) {
     char* p = out;
     for (Py_ssize_t i = 0; i < m; ++i) {
       const int64_t L = ln[i];
-      if (p + L + 1 > out_end) {
+      if (p + L + (nl[i] ? 1 : 0) > out_end) {
         ok = false;
         break;
       }

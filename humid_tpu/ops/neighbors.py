@@ -322,7 +322,12 @@ def _extract_with_retry(run, u, b, cap_row, cap_total):
         if row_max > cap_row:
             cap_row = min(1 << (row_max - 1).bit_length(), b)
             continue
-        if total_h > cap_total:
+        if total_h > cap_total and len(out_a) <= cap_total:
+            # Overflow of a single device buffer.  (The chunked Pallas
+            # launcher returns an already-trimmed concatenation whose
+            # length equals total_h — legitimately above one chunk's
+            # cap_total — and signals a real chunk overflow with empty
+            # buffers instead.)
             cap_total = 1 << (total_h + 1024).bit_length()
             continue
         break
@@ -379,6 +384,11 @@ def find_neighbor_pairs(
             else "dense"
         )
     if strategy == "bucketed":
+        if metric != "hamming":
+            raise ValueError(
+                "bucketed strategy supports only the hamming metric "
+                "(pigeonhole segments do not bound edit distance)"
+            )
         return find_neighbor_pairs_bucketed(
             packed, max_dist, word_length=word_length, tile=tile,
             cap_row=cap_row, cap_total=cap_total, impl=impl,

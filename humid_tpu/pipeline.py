@@ -179,7 +179,14 @@ def run(
     # re-reads, humid.cc:203-292).
     cache: list | None = None
     if cache_records is None:
-        cache_records = _input_bytes_estimate(files) < (1 << 34)
+        try:
+            avail = (os.sysconf("SC_AVPHYS_PAGES")
+                     * os.sysconf("SC_PAGE_SIZE"))
+        except (ValueError, OSError):
+            avail = 1 << 33
+        cache_records = (
+            _input_bytes_estimate(files) < min(1 << 34, avail // 3)
+        )
     if cache_records and (write_dedup or write_annotated):
         cache = []
 

@@ -189,3 +189,13 @@ def test_bucketed_huge_run_spans_tiles():
                                  word_length=length)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_bucketed_rejects_edit_metric():
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, (300, 24)).astype(np.uint8)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    with pytest.raises(ValueError, match="hamming"):
+        find_neighbor_pairs(uniq, 2, metric="edit", word_length=24,
+                            strategy="bucketed")

@@ -120,3 +120,13 @@ def test_reader_prefetch_early_abandon(tmp_path):
             break
         time.sleep(0.1)
     assert threading.active_count() <= before
+
+
+def test_concat_segments_final_segment_without_newline():
+    from humid_tpu.io._fastqio import concat_segments
+
+    src = np.frombuffer(b"HELLOWORLD", np.uint8)
+    got = concat_segments(src, np.array([0, 5], np.int64),
+                          np.array([5, 5], np.int64),
+                          np.array([1, 0], np.uint8))
+    assert bytes(got) == b"HELLO\nWORLD"
