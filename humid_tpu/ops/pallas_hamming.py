@@ -131,27 +131,34 @@ def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref,
         mask &= ((gc > gr) & is_upper) | ((gr != gc) & ~is_upper)
         mask &= (enabled > 0) & (on > 0)
 
-        counts_ref[0, 0, pl.ds(b * bm, bm)] = mask.sum(
-            axis=1, dtype=jnp.int32)
+        rowcnt = mask.sum(axis=1, dtype=jnp.int32)
+        counts_ref[0, 0, pl.ds(b * bm, bm)] = rowcnt
 
         # Iterative masked argmax == top-k over unique column indices
         # (LOCAL within the tile: 0..tile-1, -1 when exhausted).  The k
         # results accumulate in a register carry (a dynamic lane-dim
         # store is not provably 128-aligned) and store once per block.
-        iota_k = jax.lax.broadcasted_iota(jnp.int32, (bm, cap_row), 1)
+        # Blocks with no match at all skip extraction entirely — the
+        # consumer masks topv by the row counts, so stale topv memory is
+        # never read.
+        @pl.when(rowcnt.max() > 0)
+        def _extract():
+            iota_k = jax.lax.broadcasted_iota(
+                jnp.int32, (bm, cap_row), 1)
 
-        def k_body(k, carry):
-            vals, out = carry
-            best = vals.max(axis=1)          # [bm]
-            out = jnp.where(iota_k == k, best[:, None], out)
-            return jnp.where(vals == best[:, None], -1, vals), out
+            def k_body(k, carry):
+                vals, out = carry
+                best = vals.max(axis=1)          # [bm]
+                out = jnp.where(iota_k == k, best[:, None], out)
+                return jnp.where(vals == best[:, None], -1, vals), out
 
-        _, out = jax.lax.fori_loop(
-            0, cap_row, k_body,
-            (jnp.where(mask, iota_c, -1),
-             jnp.full((bm, cap_row), -1, jnp.int32)),
-        )
-        topv_ref[0, pl.ds(b * bm, bm), :] = out
+            _, out = jax.lax.fori_loop(
+                0, cap_row, k_body,
+                (jnp.where(mask, iota_c, -1),
+                 jnp.full((bm, cap_row), -1, jnp.int32)),
+            )
+            topv_ref[0, pl.ds(b * bm, bm), :] = out
+
         return 0
 
     jax.lax.fori_loop(0, tile // bm, block_body, 0)
