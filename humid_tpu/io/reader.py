@@ -109,6 +109,10 @@ class FastqBatch:
         """Header lines as a NUL-padded matrix (for vectorized UMI parsing)."""
         return self.line_matrix(0, max(self.max_line_len(0), 1), fill=0)
 
+    def slice_records(self, s: int, e: int) -> "FastqBatch":
+        """Zero-copy view of records [s, e)."""
+        return FastqBatch(self.buf, self.starts[s:e], self.ends[s:e])
+
     def line_bytes(self, i: int, line: int) -> bytes:
         return self.buf[self.starts[i, line]:self.ends[i, line]].tobytes()
 
