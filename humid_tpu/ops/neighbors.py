@@ -366,8 +366,10 @@ def find_neighbor_pairs(
       impl: Hamming tile backend — "mxu" (one-hot bf16 matmul; default on
         TPU) or "xor" (VPU bitops; default elsewhere).
       strategy: "dense" (all U x U tiles), "bucketed" (pigeonhole segment
-        partitions, subquadratic for large U), or "auto" (bucketed for
-        Hamming above ``dense_threshold`` unique words).
+        partitions, subquadratic for large U), "sharded" (ring-rotated
+        search over the local device mesh,
+        humid_tpu.parallel.sharded_neighbor_pairs), or "auto" (bucketed
+        for Hamming above ``dense_threshold`` unique words).
 
     Returns:
       (a, b): int64 arrays with a < b, sorted by (a, b).
@@ -383,6 +385,13 @@ def find_neighbor_pairs(
             and word_length is not None
             else "dense"
         )
+    if strategy == "sharded":
+        if metric != "hamming":
+            raise ValueError("sharded strategy supports only hamming")
+        from ..parallel import sharded_neighbor_pairs
+
+        return sharded_neighbor_pairs(packed, max_dist, tile=tile,
+                                      cap_row=cap_row)
     if strategy == "bucketed":
         if metric != "hamming":
             raise ValueError(

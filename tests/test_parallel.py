@@ -93,3 +93,22 @@ def test_dedup_step_no_edges():
     # Distance 0 and distinct words: every word its own component, but
     # dist-0 self pairs are excluded, so labels = identity.
     np.testing.assert_array_equal(labels, np.arange(2, dtype=np.int32))
+
+
+def test_pipeline_sharded_strategy(tmp_path):
+    """The mesh path is reachable through the public pipeline API."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from genfastq import gen_dataset
+
+    from humid_tpu.pipeline import run
+
+    gen_dataset(np.random.default_rng(2), str(tmp_path), n_reads=500)
+    files = [str(tmp_path / "file0.fastq")]
+    ref = run(files, dir_name=str(tmp_path / "o1"), log_name=os.devnull)
+    got = run(files, dir_name=str(tmp_path / "o2"), log_name=os.devnull,
+              neighbor_opts={"strategy": "sharded"})
+    np.testing.assert_array_equal(got.labels, ref.labels)
+    assert got.clusters == ref.clusters
