@@ -15,6 +15,7 @@ output OFF — replicated here with store_false.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .pipeline import run
@@ -48,6 +49,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    # Some TPU platform plugins ignore the JAX_PLATFORMS environment
+    # variable; enforce it so `JAX_PLATFORMS=cpu humid-tpu ...` works.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     run(
         args.files,
         word_length=args.n,

@@ -26,6 +26,9 @@ setup(
         "humid_tpu.ops",
         "humid_tpu.parallel",
     ],
+    entry_points={
+        "console_scripts": ["humid-tpu = humid_tpu.cli:main"],
+    },
     ext_modules=[
         Extension(
             "humid_tpu.cluster._ccluster",
