@@ -523,11 +523,14 @@ def find_neighbor_pairs_bucketed(
     # ranges.  Real-vs-padding matches are impossible: padding rows carry
     # distinct negative ids (XLA path) or all-zero one-hot rows whose
     # distance is always word_length (Pallas path, which has no id mask).
-    datas: list[np.ndarray] = []
-    rids: list[np.ndarray] = []
-    pair_lists: list[np.ndarray] = []
+    datas: list[np.ndarray] = [None] * n_seg
+    rids: list[np.ndarray] = [None] * n_seg
+    pair_lists: list[np.ndarray] = [None] * n_seg
     orders = np.empty((n_seg, u), np.int64)
-    for p, key in enumerate(_segment_run_ids(packed, word_length, n_seg)):
+    keys = _segment_run_ids(packed, word_length, n_seg)
+
+    def _prep_partition(p):
+        key = keys[p]
         order = _stable_argsort_u64(key)
         orders[p] = order
         kperm = key[order]
@@ -568,9 +571,16 @@ def find_neighbor_pairs_bucketed(
                     for j in range(i, int(a1) + 1):
                         pairs.add((i, j))
             pairs_raw = np.array(sorted(pairs), np.int32).reshape(-1, 2)
-        datas.append(dperm)
-        rids.append(rid)
-        pair_lists.append(pairs_raw + np.int32(p * t))
+        datas[p] = dperm
+        rids[p] = rid
+        pair_lists[p] = pairs_raw + np.int32(p * t)
+
+    # Partitions prep (sort + gather + run detection) is independent and
+    # spends its time in GIL-releasing native/numpy calls.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_seg) as ex:
+        list(ex.map(_prep_partition, range(n_seg)))
 
     data_host = np.concatenate(datas, axis=0)      # [n_seg*u_pad, W]
     rid_all = np.concatenate(rids)
