@@ -50,13 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     # Some TPU platform plugins ignore the JAX_PLATFORMS environment
-    # variable; enforce it so `JAX_PLATFORMS=cpu humid-tpu ...` works.
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
+    # variable; enforce the documented `JAX_PLATFORMS=cpu humid-tpu ...`
+    # escape hatch (only for cpu — anything else is the plugin's call,
+    # and overriding an already-configured backend would break it).
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         import jax
 
         try:
-            jax.config.update("jax_platforms", plat)
+            jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
     run(

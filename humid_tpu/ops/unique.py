@@ -13,8 +13,24 @@ import numpy as np
 
 try:
     from .._hostops import argsort_u64 as _argsort_u64
+    from .._hostops import unique_u64 as _unique_u64
 except ImportError:  # pragma: no cover - extension not built
     _argsort_u64 = None
+    _unique_u64 = None
+
+
+def _unique_by_key_native(packed: np.ndarray, key: np.ndarray):
+    """Fused native sort + group structure (csrc/hostops.cpp)."""
+    n = len(key)
+    order = np.empty(n, np.int64)
+    group_start = np.empty(n, np.int64)
+    counts = np.empty(n, np.int64)
+    first_occ = np.empty(n, np.int64)
+    inverse = np.empty(n, np.int64)
+    k = _unique_u64(np.ascontiguousarray(key), order, group_start,
+                    counts, first_occ, inverse)
+    uniq = packed[order[group_start[:k]]]
+    return uniq, counts[:k].copy(), first_occ[:k].copy(), inverse
 
 
 def _stable_argsort_u64(key: np.ndarray) -> np.ndarray:
@@ -49,7 +65,15 @@ def unique_words(packed: np.ndarray):
             np.zeros(0, np.int64),
         )
     # Stable sort in lane-lexicographic order.  For <= 2 lanes a single
-    # uint64 key argsort (parallel native when built) beats np.lexsort.
+    # uint64 key suffices, and the fused native path does sort + group
+    # structure + inverse in one call.
+    if w <= 2 and _unique_u64 is not None:
+        if w == 1:
+            key = packed[:, 0].astype(np.uint64)
+        else:
+            key = (packed[:, 0].astype(np.uint64) << np.uint64(32)) | \
+                packed[:, 1].astype(np.uint64)
+        return _unique_by_key_native(packed, key)
     if w == 1:
         order = _stable_argsort_u64(packed[:, 0].astype(np.uint64))
     elif w == 2:

@@ -201,15 +201,20 @@ def run(
     import time as _time
 
     _t_uni = _time.time()
-    usable_packed = packed[~filtered]
+    any_filtered = bool(filtered.any())
+    usable_packed = packed[~filtered] if any_filtered else packed
     uniq, counts, first_occ_usable, inverse = unique_words(usable_packed)
     log.timings.append(("unique counting", _time.time() - _t_uni))
     res.unique = len(uniq)
     res.counts = counts
     # first_occ indexes usable rows; convert to global read indices.
-    usable_to_read = np.flatnonzero(~filtered)
-    first_occ = (usable_to_read[first_occ_usable]
-                 if len(first_occ_usable) else first_occ_usable)
+    if any_filtered:
+        usable_to_read = np.flatnonzero(~filtered)
+        first_occ = (usable_to_read[first_occ_usable]
+                     if len(first_occ_usable) else first_occ_usable)
+    else:
+        usable_to_read = None  # identity mapping
+        first_occ = first_occ_usable
 
     # --- neighbour search (humid.cc:113-158) ---
     if edit:
@@ -248,9 +253,12 @@ def run(
     res.rep_reads = rep_reads
 
     # Per-read cluster id (0 for filtered reads; humid.cc:271-278).
-    cluster_of_read = np.zeros(res.total, dtype=np.int64)
-    if res.unique:
-        cluster_of_read[usable_to_read] = cl.labels[inverse]
+    if res.unique and usable_to_read is None:
+        cluster_of_read = cl.labels[inverse]
+    else:
+        cluster_of_read = np.zeros(res.total, dtype=np.int64)
+        if res.unique:
+            cluster_of_read[usable_to_read] = cl.labels[inverse]
     res.cluster_of_read = cluster_of_read
 
     # --- pass 2: outputs ---
