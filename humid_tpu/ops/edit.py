@@ -27,7 +27,13 @@ def _unpack(packed: jnp.ndarray, word_length: int) -> jnp.ndarray:
 
 def _banded_levenshtein(a_codes, b_codes, max_dist: int, word_length: int):
     """[R, L] x [C, L] -> [R, C] int32 edit distance, clamped at
-    max_dist + 1."""
+    max_dist + 1.
+
+    Ukkonen band of width 2m+1 around the diagonal; the row loop is a
+    ``lax.scan`` (the fully unrolled trace compiled for minutes at
+    L=24), with only the k-within-band dependency chain (<= 2m+1 steps)
+    unrolled.
+    """
     r = a_codes.shape[0]
     c = b_codes.shape[0]
     L = word_length
@@ -36,36 +42,46 @@ def _banded_levenshtein(a_codes, b_codes, max_dist: int, word_length: int):
     inf = jnp.int32(m + 1)
 
     # Row 0: D[0][j] = j for j in [0, m]; band coord k = j + m.
-    cur = []
-    for k in range(band):
-        j = k - m
-        if 0 <= j <= m:
-            cur.append(jnp.full((r, c), j, dtype=jnp.int32))
-        else:
-            cur.append(jnp.full((r, c), inf, dtype=jnp.int32))
+    init = jnp.stack(
+        [jnp.full((r, c), k - m if 0 <= k - m <= m else m + 1,
+                  dtype=jnp.int32)
+         for k in range(band)]
+    )                                           # [band, R, C]
 
-    for i in range(1, L + 1):
-        ai = a_codes[:, i - 1][:, None]  # [R, 1]
-        prev = cur
+    # bpad[:, i + k] == b_codes[:, j-1] for j = i+k-m (valid range only).
+    bpad = jnp.pad(b_codes, ((0, 0), (m + 1, m)),
+                   constant_values=-1)          # [C, L + band]
+
+    def row_step(prev, xs):
+        ai, bwin, i = xs                        # [R], [C, band], scalar
+        aii = ai[:, None]                       # [R, 1]
+
         cur = []
         for k in range(band):
             j = i + k - m
-            if j < 0 or j > L:
-                cur.append(jnp.full((r, c), inf, dtype=jnp.int32))
-                continue
-            if j == 0:
-                cur.append(jnp.full((r, c), i if i <= m else m + 1,
-                                    dtype=jnp.int32))
-                continue
-            bj = b_codes[:, j - 1][None, :]  # [1, C]
-            sub = (ai != bj).astype(jnp.int32)
-            best = prev[k] + sub  # diagonal: D[i-1][j-1]
+            bj = bwin[None, :, k]               # [1, C]
+            sub = (aii != bj).astype(jnp.int32)
+            best = prev[k] + sub                # diagonal: D[i-1][j-1]
             if k + 1 < band:
                 best = jnp.minimum(best, prev[k + 1] + 1)  # up: D[i-1][j]
             if k - 1 >= 0:
-                best = jnp.minimum(best, cur[k - 1] + 1)  # left: D[i][j-1]
-            cur.append(jnp.minimum(best, inf))
-    return cur[m]  # D[L][L]
+                best = jnp.minimum(best, cur[k - 1] + 1)   # left: D[i][j-1]
+            best = jnp.minimum(best, inf)
+            # Out-of-range j: +inf.  j == 0 boundary: D[i][0] = i.
+            best = jnp.where((j < 1) | (j > L), inf, best)
+            best = jnp.where(j == 0, jnp.minimum(i, inf), best)
+            cur.append(best)
+        return jnp.stack(cur), None
+
+    a_rows = a_codes.T                          # [L, R]
+    iidx = jnp.arange(1, L + 1, dtype=jnp.int32)
+    # Window for row i covers bpad columns [i, i + band).
+    bwins = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(bpad, i, band, axis=1)
+         for i in range(1, L + 1)]
+    )                                           # [L, C, band]
+    final, _ = jax.lax.scan(row_step, init, (a_rows, bwins, iidx))
+    return final[m]  # D[L][L]
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "word_length", "max_dist_static"))
