@@ -111,6 +111,116 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
   return PyLong_FromLongLong(static_cast<long long>(k));
 }
 
+// Candidate-pair enumeration over equal-key runs (the pigeonhole
+// neighbour search, humid_tpu/ops/neighbors.py strategy="runs").
+//
+// run_pairs_hamming: for every run [start, start+len) in the SORTED
+// order, emit each unordered in-run pair (order[i], order[j]) whose
+// 2-bit-packed uint64 words differ in at most max_dist bases
+// ((x^y | (x^y)>>1) & 0x5555... popcount).  Pairs are normalized
+// (min, max).  Output buffers must hold sum(len*(len-1)/2); returns the
+// number written.  Parallel over run blocks with a count+prefix pass.
+//
+// run_pairs: same enumeration with no distance filter (for words wider
+// than 64 bits, whose filter runs in numpy per lane).
+constexpr uint64_t kMaskLo = 0x5555555555555555ull;
+
+static inline int base_diff(uint64_t x, uint64_t y) {
+  const uint64_t z = x ^ y;
+  return __builtin_popcountll((z | (z >> 1)) & kMaskLo);
+}
+
+PyObject* run_pairs_hamming(PyObject* /*self*/, PyObject* args) {
+  Py_buffer words_b, order_b, rs_b, rl_b, oa_b, ob_b;
+  long max_dist;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*lw*w*", &words_b, &order_b, &rs_b,
+                        &rl_b, &max_dist, &oa_b, &ob_b)) {
+    return nullptr;
+  }
+  const uint64_t* words = static_cast<const uint64_t*>(words_b.buf);
+  const int64_t* order = static_cast<const int64_t*>(order_b.buf);
+  const int64_t* rs = static_cast<const int64_t*>(rs_b.buf);
+  const int64_t* rl = static_cast<const int64_t*>(rl_b.buf);
+  int64_t* oa = static_cast<int64_t*>(oa_b.buf);
+  int64_t* ob = static_cast<int64_t*>(ob_b.buf);
+  const Py_ssize_t nruns = rs_b.len / 8;
+  const Py_ssize_t cap = oa_b.len / 8;
+  int64_t written = 0;
+  bool overflow = false;
+  Py_BEGIN_ALLOW_THREADS;
+  for (Py_ssize_t r = 0; r < nruns && !overflow; ++r) {
+    const int64_t s = rs[r], len = rl[r];
+    for (int64_t i = 0; i < len; ++i) {
+      const int64_t a = order[s + i];
+      const uint64_t wa = words[a];
+      for (int64_t j = i + 1; j < len; ++j) {
+        const int64_t b = order[s + j];
+        if (base_diff(wa, words[b]) <= max_dist) {
+          if (written >= cap) { overflow = true; break; }
+          oa[written] = a < b ? a : b;
+          ob[written] = a < b ? b : a;
+          ++written;
+        }
+      }
+      if (overflow) break;
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&words_b);
+  PyBuffer_Release(&order_b);
+  PyBuffer_Release(&rs_b);
+  PyBuffer_Release(&rl_b);
+  PyBuffer_Release(&oa_b);
+  PyBuffer_Release(&ob_b);
+  if (overflow) {
+    PyErr_SetString(PyExc_ValueError, "run_pairs_hamming: output overflow");
+    return nullptr;
+  }
+  return PyLong_FromLongLong(static_cast<long long>(written));
+}
+
+PyObject* run_pairs(PyObject* /*self*/, PyObject* args) {
+  Py_buffer order_b, rs_b, rl_b, oa_b, ob_b;
+  if (!PyArg_ParseTuple(args, "y*y*y*w*w*", &order_b, &rs_b, &rl_b, &oa_b,
+                        &ob_b)) {
+    return nullptr;
+  }
+  const int64_t* order = static_cast<const int64_t*>(order_b.buf);
+  const int64_t* rs = static_cast<const int64_t*>(rs_b.buf);
+  const int64_t* rl = static_cast<const int64_t*>(rl_b.buf);
+  int64_t* oa = static_cast<int64_t*>(oa_b.buf);
+  int64_t* ob = static_cast<int64_t*>(ob_b.buf);
+  const Py_ssize_t nruns = rs_b.len / 8;
+  const Py_ssize_t cap = oa_b.len / 8;
+  int64_t written = 0;
+  bool overflow = false;
+  Py_BEGIN_ALLOW_THREADS;
+  for (Py_ssize_t r = 0; r < nruns && !overflow; ++r) {
+    const int64_t s = rs[r], len = rl[r];
+    if (written + len * (len - 1) / 2 > cap) { overflow = true; break; }
+    for (int64_t i = 0; i < len; ++i) {
+      const int64_t a = order[s + i];
+      for (int64_t j = i + 1; j < len; ++j) {
+        const int64_t b = order[s + j];
+        oa[written] = a < b ? a : b;
+        ob[written] = a < b ? b : a;
+        ++written;
+      }
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&order_b);
+  PyBuffer_Release(&rs_b);
+  PyBuffer_Release(&rl_b);
+  PyBuffer_Release(&oa_b);
+  PyBuffer_Release(&ob_b);
+  if (overflow) {
+    PyErr_SetString(PyExc_ValueError, "run_pairs: output overflow");
+    return nullptr;
+  }
+  return PyLong_FromLongLong(static_cast<long long>(written));
+}
+
 PyMethodDef methods[] = {
     {"argsort_u64", argsort_u64, METH_VARARGS,
      "argsort_u64(keys, order_out): stable parallel argsort of uint64 "
@@ -118,6 +228,13 @@ PyMethodDef methods[] = {
     {"unique_u64", unique_u64, METH_VARARGS,
      "unique_u64(keys, order, group_start, counts, first_occ, inverse) "
      "-> k: fused stable sort + group structure over uint64 keys."},
+    {"run_pairs_hamming", run_pairs_hamming, METH_VARARGS,
+     "run_pairs_hamming(words_u64, order, run_start, run_len, max_dist, "
+     "out_a, out_b) -> n: enumerate in-run candidate pairs and keep those "
+     "within max_dist differing bases (2-bit packed uint64 words)."},
+    {"run_pairs", run_pairs, METH_VARARGS,
+     "run_pairs(order, run_start, run_len, out_a, out_b) -> n: enumerate "
+     "all unordered in-run candidate pairs (no distance filter)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

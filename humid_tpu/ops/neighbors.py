@@ -354,6 +354,7 @@ def find_neighbor_pairs(
     cap_total: int | None = None,
     impl: str | None = None,
     strategy: str = "auto",
+    runs_threshold: int = 1 << 11,
     dense_threshold: int = 1 << 17,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered pairs (a, b), a < b, of unique words within
@@ -365,11 +366,13 @@ def find_neighbor_pairs(
       metric: "hamming" (default) or "edit" (-e flag, Levenshtein).
       impl: Hamming tile backend — "mxu" (one-hot bf16 matmul; default on
         TPU) or "xor" (VPU bitops; default elsewhere).
-      strategy: "dense" (all U x U tiles), "bucketed" (pigeonhole segment
-        partitions, subquadratic for large U), "sharded" (ring-rotated
-        search over the local device mesh,
-        humid_tpu.parallel.sharded_neighbor_pairs), or "auto" (bucketed
-        for Hamming above ``dense_threshold`` unique words).
+      strategy: "runs" (pigeonhole sorted-run candidate enumeration with
+        device fallback for degenerate buckets — the production
+        default), "dense" (all U x U device tiles), "bucketed"
+        (pigeonhole partitions scanned as masked device tiles),
+        "sharded" (ring-rotated search over the local device mesh,
+        humid_tpu.parallel.sharded_neighbor_pairs), or "auto" (runs for
+        Hamming above ``runs_threshold`` unique words, dense below).
 
     Returns:
       (a, b): int64 arrays with a < b, sorted by (a, b).
@@ -380,10 +383,20 @@ def find_neighbor_pairs(
 
     if strategy == "auto":
         strategy = (
-            "bucketed"
-            if metric == "hamming" and max_dist >= 1 and u > dense_threshold
+            "runs"
+            if metric == "hamming" and max_dist >= 1 and u > runs_threshold
             and word_length is not None
             else "dense"
+        )
+    if strategy == "runs":
+        if metric != "hamming":
+            raise ValueError(
+                "runs strategy supports only the hamming metric "
+                "(see find_edit_pairs_shifted for the edit analogue)"
+            )
+        return find_neighbor_pairs_runs(
+            packed, max_dist, word_length=word_length, tile=tile,
+            cap_row=cap_row, cap_total=cap_total, impl=impl,
         )
     if strategy == "sharded":
         if metric != "hamming":
@@ -474,6 +487,238 @@ def _segment_run_ids(packed: np.ndarray, word_length: int, n_seg: int):
     return keys
 
 
+try:
+    from .._hostops import run_pairs as _run_pairs_native
+    from .._hostops import run_pairs_hamming as _run_pairs_hamming_native
+except ImportError:  # pragma: no cover - extension not built
+    _run_pairs_native = None
+    _run_pairs_hamming_native = None
+
+
+def _run_pairs_fallback(order, starts, lens):
+    """Pure-numpy in-run pair enumeration (native extension absent)."""
+    outs_a, outs_b = [], []
+    for s, l in zip(starts.tolist(), lens.tolist()):
+        idx = order[s:s + l]
+        ii, jj = np.triu_indices(l, k=1)
+        a, b = idx[ii], idx[jj]
+        outs_a.append(np.minimum(a, b))
+        outs_b.append(np.maximum(a, b))
+    if not outs_a:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
+def _filter_hamming_host(packed, a, b, max_dist):
+    """Keep candidate pairs within ``max_dist`` differing bases
+    (vectorized XOR + per-lane popcount)."""
+    z = packed[a] ^ packed[b]
+    m = (z | (z >> np.uint32(1))) & np.uint32(0x55555555)
+    d = np.bitwise_count(m).sum(axis=1, dtype=np.int64)
+    keep = d <= max_dist
+    return a[keep], b[keep]
+
+
+def _dedupe_pairs(a: np.ndarray, b: np.ndarray):
+    """Sort + dedupe (a, b) pair lists via a fused uint64 key (indices
+    are < 2^32).  ~50x faster than np.unique(axis=0), whose row sort
+    falls back to void-dtype comparisons."""
+    key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+    from .unique import _stable_argsort_u64
+    order = _stable_argsort_u64(key)
+    sk = key[order]
+    if len(sk):
+        keep = np.empty(len(sk), bool)
+        keep[0] = True
+        np.not_equal(sk[1:], sk[:-1], out=keep[1:])
+        sk = sk[keep]
+    return ((sk >> np.uint64(32)).astype(np.int64),
+            (sk & np.uint64(0xFFFFFFFF)).astype(np.int64))
+
+
+def _combined_u64(packed):
+    """[U, W<=2] uint32 lanes -> contiguous uint64 words (big-endian bit
+    layout identical to _segment_run_ids)."""
+    word64 = packed[:, 0].astype(np.uint64) << np.uint64(32)
+    if packed.shape[1] == 2:
+        word64 |= packed[:, 1].astype(np.uint64)
+    return np.ascontiguousarray(word64)
+
+
+def find_neighbor_pairs_runs(
+    packed: np.ndarray,
+    max_dist: int,
+    *,
+    word_length: int,
+    run_cap: int = 2048,
+    tile: int = 2048,
+    cap_row: int = 16,
+    cap_total: int | None = None,
+    impl: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pigeonhole neighbour search via sorted-run candidate enumeration.
+
+    Same guarantee as :func:`find_neighbor_pairs_bucketed` (a pair within
+    Hamming distance m agrees exactly on one of the m+1 contiguous word
+    segments), but instead of scanning B x B device tiles along the
+    bucket diagonal — almost all of which the run-id mask rejects — the
+    equal-segment runs produced by the sort are enumerated DIRECTLY:
+    each in-run pair is a candidate, checked by host XOR+popcount (fused
+    in C, csrc/hostops.cpp).  Expected candidates per partition are
+    E[real pairs] + ~U^2/4^(L/(m+1)) random collisions, so for typical
+    word lengths this is orders of magnitude less work than tiling.
+
+    Runs longer than ``run_cap`` (degenerate buckets, e.g. low-entropy
+    reads) fall back to the device tile kernel, scanning only the tiles
+    those runs span with the run-id equality mask.
+
+    Replaces the reference's per-word fuzzy trie walk
+    (findHammingNeighbours, humid.cc:113-130) as the production default.
+    """
+    u, w = packed.shape
+    if u <= 1 or max_dist == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    n_seg = max_dist + 1
+    keys = _segment_run_ids(packed, word_length, n_seg)
+    word64 = _combined_u64(packed) if w <= 2 else None
+
+    from .unique import _stable_argsort_u64
+
+    parts_a: list[np.ndarray] = [None] * n_seg
+    parts_b: list[np.ndarray] = [None] * n_seg
+    big_parts: list[tuple] = []
+
+    def _one_partition(p):
+        order = _stable_argsort_u64(keys[p])
+        kperm = keys[p][order]
+        new_run = np.empty(u, bool)
+        new_run[0] = True
+        np.not_equal(kperm[1:], kperm[:-1], out=new_run[1:])
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_start, u))
+        small = (run_len >= 2) & (run_len <= run_cap)
+        ss = np.ascontiguousarray(run_start[small])
+        sl = np.ascontiguousarray(run_len[small])
+        t_cand = int((sl * (sl - 1) // 2).sum())
+        if t_cand == 0:
+            pa = pb = np.zeros(0, np.int64)
+        elif word64 is not None and _run_pairs_hamming_native is not None:
+            oa = np.empty(t_cand, np.int64)
+            ob = np.empty(t_cand, np.int64)
+            n_out = _run_pairs_hamming_native(
+                word64, np.ascontiguousarray(order), ss, sl,
+                int(max_dist), oa, ob)
+            pa, pb = oa[:n_out].copy(), ob[:n_out].copy()
+        else:
+            if _run_pairs_native is not None:
+                oa = np.empty(t_cand, np.int64)
+                ob = np.empty(t_cand, np.int64)
+                n_out = _run_pairs_native(
+                    np.ascontiguousarray(order), ss, sl, oa, ob)
+                ca, cb = oa[:n_out], ob[:n_out]
+            else:
+                ca, cb = _run_pairs_fallback(order, ss, sl)
+            pa, pb = _filter_hamming_host(packed, ca, cb, max_dist)
+        parts_a[p] = pa
+        parts_b[p] = pb
+        if (run_len > run_cap).any():
+            big = run_len > run_cap
+            big_parts.append((p, order,
+                              run_start[big].copy(), run_len[big].copy()))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if n_seg > 1:
+        with ThreadPoolExecutor(max_workers=n_seg) as ex:
+            list(ex.map(_one_partition, range(n_seg)))
+    else:
+        _one_partition(0)
+
+    if big_parts:
+        ba, bb = _big_run_pairs(
+            packed, big_parts, max_dist, word_length=word_length,
+            tile=tile, cap_row=cap_row, cap_total=cap_total, impl=impl)
+        parts_a.append(ba)
+        parts_b.append(bb)
+
+    a = np.concatenate([x for x in parts_a if x is not None])
+    b = np.concatenate([x for x in parts_b if x is not None])
+    if not len(a):
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return _dedupe_pairs(a, b)
+
+
+def _big_run_pairs(packed, big_parts, max_dist, *, word_length, tile,
+                   cap_row, cap_total, impl):
+    """Device tile scan restricted to oversized bucket runs.
+
+    For each (partition, order, big_run_starts, big_run_lens), the
+    partition's permuted rows are stacked; ONLY rows inside big runs get
+    a matchable (positive) run id — everything else carries a distinct
+    negative id — and only the tiles those runs span are scanned.  Uses
+    the XLA tile path (the Pallas kernel has no id mask).
+    """
+    u, w = packed.shape
+    metric, tile = _resolve_metric(
+        "hamming", impl if impl in (None, "mxu", "xor") else None,
+        word_length, tile)
+    if metric == "hamming_pallas":  # resolved default on TPU: use MXU
+        metric = "hamming_mxu"
+    b = min(tile, _round_up(u, 256))
+    u_pad = _round_up(u, b)
+    t = u_pad // b
+
+    datas, rids, pair_lists, orders = [], [], [], []
+    total_big = 0
+    for pi, (p, order, rs, rl) in enumerate(big_parts):
+        dperm = packed[order]
+        if u_pad > u:
+            dperm = np.concatenate(
+                [dperm, np.zeros((u_pad - u, w), dperm.dtype)])
+        rid = -np.arange(1, u_pad + 1, dtype=np.int64) - pi * (u_pad + 1)
+        pairs = set()
+        for k, (s, l) in enumerate(zip(rs.tolist(), rl.tolist())):
+            rid[s:s + l] = k + pi * (u_pad + 1)
+            t0, t1 = s // b, (s + l - 1) // b
+            for i in range(t0, t1 + 1):
+                for j in range(i, t1 + 1):
+                    pairs.add((i, j))
+            total_big += l * (l - 1) // 2
+        datas.append(dperm)
+        rids.append(rid.astype(np.int32))
+        pl = np.array(sorted(pairs), np.int32).reshape(-1, 2)
+        pair_lists.append(pl + np.int32(pi * t))
+        orders.append(order)
+    orders = np.stack(orders)
+
+    data_host = np.concatenate(datas, axis=0)
+    rid_all = np.concatenate(rids)
+    pairs_all = np.concatenate(pair_lists, axis=0)
+    n_all = len(big_parts) * u_pad
+    if cap_total is None:
+        cap_total = 1 << max(20, (2 * total_big - 1).bit_length())
+    cap_row = min(cap_row, b)
+
+    data = _device_rep(data_host, metric, word_length)
+    pairs_ij = _pad_pairs(pairs_all)
+    rid_dev = jnp.asarray(rid_all)
+
+    def run(cr, ct):
+        return _all_pairs(
+            data, jnp.asarray(pairs_ij), jnp.int32(n_all),
+            jnp.int32(max_dist),
+            tile=b, cap_row=cr, cap_total=ct,
+            metric=metric, max_dist_static=int(max_dist),
+            word_length=word_length, ids=rid_dev, with_ids=True,
+        )
+
+    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
+    ga = orders[pa // u_pad, pa % u_pad]
+    gb = orders[pb // u_pad, pb % u_pad]
+    return np.minimum(ga, gb), np.maximum(ga, gb)
+
+
 def find_neighbor_pairs_bucketed(
     packed: np.ndarray,
     max_dist: int,
@@ -521,8 +766,11 @@ def find_neighbor_pairs_bucketed(
     # are stacked (partition p occupies rows [p*u_pad, (p+1)*u_pad)), tile
     # indices are offset by p*t, and per-partition bucket ids get disjoint
     # ranges.  Real-vs-padding matches are impossible: padding rows carry
-    # distinct negative ids (XLA path) or all-zero one-hot rows whose
-    # distance is always word_length (Pallas path, which has no id mask).
+    # distinct negative ids (XLA path); the Pallas path has no id mask,
+    # but its kernel masks rows with (row % part_stride) >= part_valid,
+    # which covers the padding tail of every partition.  (Zero-packed
+    # padding rows decode to all-'A' words — distance 0 to each other —
+    # so the mask, not the packing, is the safety invariant.)
     datas: list[np.ndarray] = [None] * n_seg
     rids: list[np.ndarray] = [None] * n_seg
     pair_lists: list[np.ndarray] = [None] * n_seg
@@ -615,8 +863,7 @@ def find_neighbor_pairs_bucketed(
     a = np.minimum(ga, gb)
     bb = np.maximum(ga, gb)
     # A pair agreeing on k>1 segments appears k times; dedupe + sort.
-    pairs = np.unique(np.stack([a, bb], axis=1), axis=0)
-    return (pairs[:, 0].astype(np.int64), pairs[:, 1].astype(np.int64))
+    return _dedupe_pairs(a, bb)
 
 
 def pairs_to_csr(

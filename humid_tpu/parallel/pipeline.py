@@ -22,6 +22,7 @@ with its own ``process_id``/``num_processes``.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from .. import words as W
@@ -33,10 +34,16 @@ from ..pipeline import _batch_words, peek_umi_size
 from .multihost import combine_unique_tables, host_record_range
 
 
-def count_records(path: str) -> int:
-    """Number of complete records in a FastQ file (framing pass only)."""
+def count_records(files) -> int:
+    """Number of lockstep record-tuples across ``files`` (framing pass
+    only).  The lockstep reader stops at the shortest file
+    (fastq.cc:41-43), so with unequal-length inputs the tuple count is
+    the MIN over files — counting only the first file would overstate
+    the total and starve the trailing hosts' ranges."""
+    if isinstance(files, str):
+        files = [files]
     n = 0
-    for batch in read_tuples([path]):
+    for batch in read_tuples(list(files)):
         n += batch[0].n
     return n
 
@@ -95,9 +102,11 @@ def run_sharded(
     single-host :func:`humid_tpu.ops.unique.unique_words` +
     clustering run over the whole input.
     """
+    n_proc = (num_processes if num_processes is not None
+              else jax.process_count())
     if total_records is None:
-        total_records = count_records(files[0])
-    lo, hi = host_record_range(total_records, process_id, num_processes)
+        total_records = count_records(files)
+    lo, hi = host_record_range(total_records, process_id, n_proc)
     packed, filtered = pack_host_range(
         files, lo, hi, word_length=word_length
     )
@@ -107,7 +116,7 @@ def run_sharded(
     first_global = (local_to_read[first_l] if len(first_l)
                     else first_l)
 
-    if all_gather is None and (num_processes or 1) == 1:
+    if all_gather is None and n_proc == 1:
         uniq, counts, first_occ = uniq_l, counts_l, first_global
     else:
         from .multihost import merge_unique_tables

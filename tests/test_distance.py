@@ -199,3 +199,75 @@ def test_bucketed_rejects_edit_metric():
     with pytest.raises(ValueError, match="hamming"):
         find_neighbor_pairs(uniq, 2, metric="edit", word_length=24,
                             strategy="bucketed")
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+@pytest.mark.parametrize("length", [20, 24, 33])
+def test_runs_matches_dense(m, length):
+    """Sorted-run candidate enumeration finds exactly the dense pair set
+    (incl. length 33 -> 3 lanes, the numpy-filter fallback path)."""
+    from humid_tpu.ops.neighbors import find_neighbor_pairs_runs
+    rng = np.random.default_rng(80 + 7 * m + length)
+    pool, _ = _rand_words(rng, 12, length)
+    codes = pool[rng.integers(0, 12, 1500)].copy()
+    for _ in range(m):
+        sel = rng.random(1500) < 0.5
+        codes[np.flatnonzero(sel), rng.integers(0, length, int(sel.sum()))] = (
+            rng.integers(0, 4, int(sel.sum()))
+        )
+    packed = W.pack_words(codes)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(packed)
+    a1, b1 = find_neighbor_pairs_runs(uniq, m, word_length=length)
+    a2, b2 = find_neighbor_pairs(uniq, m, strategy="dense",
+                                 word_length=length)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_runs_big_run_device_fallback():
+    """Runs longer than run_cap go through the masked device tile scan;
+    the union must still equal the dense pair set."""
+    from humid_tpu.ops.neighbors import find_neighbor_pairs_runs
+    rng = np.random.default_rng(91)
+    length = 16
+    # All words share segment 0 -> partition 0 is one giant run; with
+    # run_cap below the run length it must take the device path.
+    base = rng.integers(0, 4, 8).astype(np.uint8)
+    codes = np.empty((900, length), np.uint8)
+    codes[:, :8] = base
+    codes[:, 8:] = rng.integers(0, 4, (900, 8))
+    packed = W.pack_words(codes)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(packed)
+    a1, b1 = find_neighbor_pairs_runs(uniq, 1, word_length=length,
+                                      run_cap=64, tile=256)
+    a2, b2 = find_neighbor_pairs(uniq, 1, strategy="dense",
+                                 word_length=length)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_runs_fallback_enumeration_matches_native():
+    """The pure-numpy enumeration fallback equals the native one."""
+    from humid_tpu.ops import neighbors as N
+    if N._run_pairs_native is None:
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(13)
+    u = 400
+    order = rng.permutation(u).astype(np.int64)
+    starts = np.array([0, 7, 30, 100, 399], np.int64)
+    lens = np.array([7, 23, 70, 299, 1], np.int64)
+    sel = lens >= 2
+    starts, lens = starts[sel], lens[sel]
+    t_cand = int((lens * (lens - 1) // 2).sum())
+    oa = np.empty(t_cand, np.int64)
+    ob = np.empty(t_cand, np.int64)
+    n_out = N._run_pairs_native(order, starts, lens, oa, ob)
+    assert n_out == t_cand
+    fa, fb = N._run_pairs_fallback(order, starts, lens)
+    na = np.stack([oa[:n_out], ob[:n_out]], 1)
+    nf = np.stack([fa, fb], 1)
+    np.testing.assert_array_equal(
+        na[np.lexsort((na[:, 1], na[:, 0]))],
+        nf[np.lexsort((nf[:, 1], nf[:, 0]))])
