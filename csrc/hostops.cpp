@@ -12,7 +12,11 @@
 #include <cstdint>
 #include <utility>
 
+#include <cstring>
+#include <vector>
+
 #if defined(_OPENMP)
+#include <omp.h>
 #include <parallel/algorithm>
 #define SORT __gnu_parallel::stable_sort
 #else
@@ -20,6 +24,92 @@
 #endif
 
 namespace {
+
+// Stable parallel LSD radix argsort of uint64 keys (8-bit digits).
+// Passes whose digit is constant across all keys are skipped, so
+// sorting K-bit keys costs ceil(K/8) passes (e.g. 3 for 24-bit segment
+// keys, 6 for 48-bit packed words).  Each pass: per-thread-chunk
+// histograms, digit-major exclusive prefix (which preserves stability),
+// parallel scatter.  ~5-10x faster than comparison stable_sort at
+// n >= 1e6 on a few cores.
+void radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n) {
+  std::vector<uint64_t> kbuf0(n), kbuf1(n);
+  std::vector<int64_t> ibuf0(n), ibuf1(n);
+  uint64_t orall = 0, andall = ~0ull;
+#if defined(_OPENMP)
+#pragma omp parallel for reduction(|:orall) reduction(&:andall)
+#endif
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    kbuf0[i] = keys[i];
+    ibuf0[i] = i;
+    orall |= keys[i];
+    andall &= keys[i];
+  }
+  int nt = 1;
+#if defined(_OPENMP)
+  nt = omp_get_max_threads();
+#endif
+  const Py_ssize_t chunk = (n + nt - 1) / nt;
+  std::vector<int64_t> hist(static_cast<size_t>(nt) * 256);
+  uint64_t* ksrc = kbuf0.data();
+  uint64_t* kdst = kbuf1.data();
+  int64_t* isrc = ibuf0.data();
+  int64_t* idst = ibuf1.data();
+  for (int p = 0; p < 8; ++p) {
+    const int shift = 8 * p;
+    if (((orall >> shift) & 0xff) == ((andall >> shift) & 0xff)) continue;
+#if defined(_OPENMP)
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+      int t = 0;
+#if defined(_OPENMP)
+      t = omp_get_thread_num();
+#endif
+      const Py_ssize_t lo = t * chunk;
+      const Py_ssize_t hi = std::min(n, lo + chunk);
+      int64_t* h = &hist[static_cast<size_t>(t) * 256];
+      std::memset(h, 0, 256 * sizeof(int64_t));
+      for (Py_ssize_t i = lo; i < hi; ++i) {
+        ++h[(ksrc[i] >> shift) & 0xff];
+      }
+    }
+    // Digit-major exclusive prefix over (digit, thread): all threads'
+    // digit-d slots precede every thread's digit-(d+1) slots, and within
+    // a digit lower thread ids (earlier input chunks) come first.
+    int64_t run = 0;
+    for (int d = 0; d < 256; ++d) {
+      for (int t = 0; t < nt; ++t) {
+        int64_t& slot = hist[static_cast<size_t>(t) * 256 + d];
+        const int64_t c = slot;
+        slot = run;
+        run += c;
+      }
+    }
+#if defined(_OPENMP)
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+      int t = 0;
+#if defined(_OPENMP)
+      t = omp_get_thread_num();
+#endif
+      const Py_ssize_t lo = t * chunk;
+      const Py_ssize_t hi = std::min(n, lo + chunk);
+      int64_t* h = &hist[static_cast<size_t>(t) * 256];
+      for (Py_ssize_t i = lo; i < hi; ++i) {
+        const int64_t pos = h[(ksrc[i] >> shift) & 0xff]++;
+        kdst[pos] = ksrc[i];
+        idst[pos] = isrc[i];
+      }
+    }
+    std::swap(ksrc, kdst);
+    std::swap(isrc, idst);
+  }
+  std::memcpy(order, isrc, static_cast<size_t>(n) * sizeof(int64_t));
+}
+
+constexpr Py_ssize_t kRadixMin = 1 << 15;
 
 PyObject* argsort_u64(PyObject* /*self*/, PyObject* args) {
   Py_buffer keys_b, order_b;
@@ -30,10 +120,14 @@ PyObject* argsort_u64(PyObject* /*self*/, PyObject* args) {
     const uint64_t* keys = static_cast<const uint64_t*>(keys_b.buf);
     int64_t* order = static_cast<int64_t*>(order_b.buf);
     Py_BEGIN_ALLOW_THREADS;
-    for (Py_ssize_t i = 0; i < n; ++i) order[i] = i;
-    SORT(order, order + n, [keys](int64_t a, int64_t b) {
-      return keys[a] < keys[b];
-    });
+    if (n >= kRadixMin) {
+      radix_argsort_u64(keys, order, n);
+    } else {
+      for (Py_ssize_t i = 0; i < n; ++i) order[i] = i;
+      SORT(order, order + n, [keys](int64_t a, int64_t b) {
+        return keys[a] < keys[b];
+      });
+    }
     Py_END_ALLOW_THREADS;
   }
   PyBuffer_Release(&keys_b);
@@ -74,10 +168,14 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
     int64_t* fo = static_cast<int64_t*>(fo_b.buf);
     int64_t* inv = static_cast<int64_t*>(inv_b.buf);
     Py_BEGIN_ALLOW_THREADS;
-    for (Py_ssize_t i = 0; i < n; ++i) order[i] = i;
-    SORT(order, order + n, [keys](int64_t a, int64_t b) {
-      return keys[a] < keys[b];
-    });
+    if (n >= kRadixMin) {
+      radix_argsort_u64(keys, order, n);
+    } else {
+      for (Py_ssize_t i = 0; i < n; ++i) order[i] = i;
+      SORT(order, order + n, [keys](int64_t a, int64_t b) {
+        return keys[a] < keys[b];
+      });
+    }
     uint64_t prev = keys[order[0]];
     gs[0] = 0;
     fo[0] = order[0];

@@ -1,5 +1,5 @@
 from .reader import FastqReader, read_tuples, peek_first_record, FastqBatch
-from .writer import FastqWriter
+from .writer import FastqWriter, build_records, build_records_annotated
 from .names import add_dir, make_file_name, make_file_names
 
 __all__ = [
@@ -8,6 +8,8 @@ __all__ = [
     "read_tuples",
     "peek_first_record",
     "FastqWriter",
+    "build_records",
+    "build_records_annotated",
     "add_dir",
     "make_file_name",
     "make_file_names",

@@ -86,6 +86,11 @@ def gzip_decompress(data: bytes) -> bytes | None:
     return b"".join(parts)
 
 
+def count_newlines(buf: np.ndarray) -> int:
+    """memchr-speed newline count (for chunk phase bookkeeping)."""
+    return int(_cfastqio.count_newlines(buf))
+
+
 def scan_frames(buf: np.ndarray, max_records: int):
     """Single-pass framing of up to ``max_records`` complete records.
     Returns (starts [n,4] int64, ends [n,4] int64, consumed)."""

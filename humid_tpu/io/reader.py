@@ -25,11 +25,13 @@ _NEWLINE = 10
 _CR = 13
 
 try:  # native bulk framing (csrc/fastqio.cpp); numpy fallback below
+    from ._fastqio import count_newlines as _count_newlines_native
     from ._fastqio import frame as _frame_native
     from ._fastqio import scan_frames as _scan_frames_native
 except ImportError:  # pragma: no cover - extension not built
     _frame_native = None
     _scan_frames_native = None
+    _count_newlines_native = None
 
 
 # Whole-buffer libdeflate decompression beats streaming zlib only while
@@ -143,14 +145,150 @@ def _frame(buf: np.ndarray, base: int = 0) -> tuple[np.ndarray, np.ndarray, int]
     return line_starts, line_ends, consumed
 
 
+def _frame_chunk(buf: np.ndarray, skip_nl: int):
+    """Frame one raw chunk independently of its neighbours.
+
+    ``skip_nl`` newlines separate the chunk start from the first record
+    boundary (derived from the cumulative newline count mod 4 — valid
+    FastQ is strictly 4 lines per record, which is also what the
+    sequential framer assumes).  Returns (head_end, starts, ends,
+    consumed) where buf[:head_end] belongs to the record straddling the
+    previous chunk and buf[consumed:] to the one straddling the next.
+    Returns head_end = -1 when the chunk contains fewer than ``skip_nl``
+    newlines (the whole chunk is interior to the straddling record).
+    """
+    h = 0
+    if skip_nl:
+        win = 4096
+        while True:
+            nl = np.flatnonzero(buf[:win] == _NEWLINE)
+            if len(nl) >= skip_nl:
+                h = int(nl[skip_nl - 1]) + 1
+                break
+            if win >= len(buf):
+                return -1, None, None, len(buf)
+            win *= 8
+    parts_s, parts_e = [], []
+    off = h
+    while off < len(buf):
+        cap = (len(buf) - off) // 64 + 64
+        s, e, c = _scan_frames_native(buf[off:], cap)
+        if s.shape[0] == 0:
+            break
+        parts_s.append(s + off)
+        parts_e.append(e + off)
+        off += c
+        if s.shape[0] < cap:  # scan stopped at an incomplete record
+            break
+    if parts_s:
+        starts = (parts_s[0] if len(parts_s) == 1
+                  else np.concatenate(parts_s))
+        ends = (parts_e[0] if len(parts_e) == 1
+                else np.concatenate(parts_e))
+    else:
+        starts = np.zeros((0, 4), np.int64)
+        ends = np.zeros((0, 4), np.int64)
+    return h, starts, ends, off
+
+
 class FastqReader:
     """Chunked FastQ reader yielding :class:`FastqBatch` objects."""
 
-    def __init__(self, path: str, chunk_bytes: int = 32 * 1024 * 1024):
+    def __init__(self, path: str, chunk_bytes: int = 32 * 1024 * 1024,
+                 frame_workers: int = 4):
         self.path = path
         self.chunk_bytes = chunk_bytes
+        self.frame_workers = frame_workers
 
     def batches(self) -> Iterator[FastqBatch]:
+        if (self.frame_workers > 1 and _scan_frames_native is not None
+                and _count_newlines_native is not None):
+            try:
+                f = open(self.path, "rb")
+            except OSError:
+                f = None
+            if f is not None:
+                if f.read(2) != b"\x1f\x8b":
+                    import mmap as _mmap
+
+                    try:
+                        mm = _mmap.mmap(f.fileno(), 0,
+                                        prot=_mmap.PROT_READ)
+                    except (ValueError, OSError):
+                        mm = None  # empty file or unmappable stream
+                    if mm is not None:
+                        f.close()
+                        yield from self._batches_parallel(mm)
+                        return
+                f.close()
+        yield from self._batches_sequential()
+
+    def _batches_parallel(self, mm) -> Iterator[FastqBatch]:
+        """Plain-file reading with chunk framing fanned out to a thread
+        pool over a shared memory map.
+
+        The producer walks fixed chunk ranges of the mapping, tracking
+        the cumulative newline count (memchr-speed) so each chunk's
+        record phase is known at submit time; workers frame their chunk
+        independently; results are consumed in order.  All batches are
+        zero-copy views of the mapping, and the record straddling a
+        chunk boundary is just the contiguous slice between the previous
+        chunk's last complete record and the next chunk's first — no
+        assembly buffers.
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        full = np.frombuffer(mm, np.uint8)
+        total = len(full)
+        tail_start = 0  # file offset of the straddling record's first byte
+        nl_total = 0
+        prev_boundary = True
+
+        def consume(item) -> Iterator[FastqBatch]:
+            nonlocal tail_start
+            lo, hi, fut = item
+            head_end, starts, ends, consumed = fut.result()
+            if head_end < 0:  # chunk interior to a straddling record
+                return
+            straddle_end = lo + head_end
+            if straddle_end > tail_start:
+                sbuf = full[tail_start:straddle_end]
+                ss, se, _ = _frame(sbuf)
+                if ss.shape[0]:
+                    yield FastqBatch(sbuf, ss, se)
+            if starts.shape[0]:
+                yield FastqBatch(full[lo:hi], starts, ends)
+            tail_start = lo + consumed
+
+        with ThreadPoolExecutor(max_workers=self.frame_workers) as ex:
+            inflight: deque = deque()
+            for lo in range(0, total, self.chunk_bytes):
+                hi = min(lo + self.chunk_bytes, total)
+                chunk = full[lo:hi]
+                phase = nl_total & 3
+                skip = ((4 - phase) & 3) if prev_boundary else 4 - phase
+                nl_total += _count_newlines_native(chunk)
+                prev_boundary = full[hi - 1] == _NEWLINE
+                inflight.append(
+                    (lo, hi, ex.submit(_frame_chunk, chunk, skip)))
+                while len(inflight) > self.frame_workers + 1:
+                    yield from consume(inflight.popleft())
+            while inflight:
+                yield from consume(inflight.popleft())
+        if tail_start < total:
+            pending = full[tail_start:].tobytes()
+            if pending.strip():
+                # Trailing record without final newline (fastp tolerates
+                # a missing one).
+                data = (pending if pending.endswith(b"\n")
+                        else pending + b"\n")
+                buf = np.frombuffer(data, np.uint8)
+                starts, ends, _ = _frame(buf)
+                if starts.shape[0]:
+                    yield FastqBatch(buf, starts, ends)
+
+    def _batches_sequential(self) -> Iterator[FastqBatch]:
         stream = _open_stream(self.path)
         leftover = b""
         avg_rec = 0.0  # running bytes/record -> single-pass scan capacity

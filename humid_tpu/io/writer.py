@@ -81,6 +81,45 @@ def _ann_buffer(cluster_ids: np.ndarray):
     return buf.ravel(), starts, lens
 
 
+def build_records(batch: FastqBatch, indices: np.ndarray) -> np.ndarray:
+    """Assemble the selected records of a batch (in index order) into one
+    contiguous uint8 buffer of canonical 4-line records."""
+    if len(indices) == 0:
+        return np.zeros(0, np.uint8)
+    starts = batch.starts[indices]          # [k, 4]
+    ends = batch.ends[indices]
+    seg_start = starts.ravel()
+    seg_len = (ends - starts).ravel()
+    nl_after = np.ones(len(seg_start), dtype=bool)
+    return _build_output(batch.buf, seg_start, seg_len, nl_after)
+
+
+def build_records_annotated(
+    batch: FastqBatch, cluster_ids: np.ndarray
+) -> np.ndarray:
+    """Assemble ALL records with ``:<cluster_id>`` appended to every name
+    line (humid.cc:280-284) into one contiguous uint8 buffer."""
+    k = batch.n
+    if k == 0:
+        return np.zeros(0, np.uint8)
+    ann_buf, ann_starts, ann_lens = _ann_buffer(cluster_ids)
+    src = np.concatenate([batch.buf, ann_buf])
+    base = len(batch.buf)
+    # 5 segments/record: name (no newline), ":id", seq, strand, qual.
+    seg_start = np.empty((k, 5), np.int64)
+    seg_len = np.empty((k, 5), np.int64)
+    seg_start[:, 0] = batch.starts[:, 0]
+    seg_len[:, 0] = batch.ends[:, 0] - batch.starts[:, 0]
+    seg_start[:, 1] = base + ann_starts
+    seg_len[:, 1] = ann_lens
+    seg_start[:, 2:] = batch.starts[:, 1:]
+    seg_len[:, 2:] = batch.ends[:, 1:] - batch.starts[:, 1:]
+    nl_after = np.tile(
+        np.array([False, True, True, True, True]), (k, 1)
+    ).ravel()
+    return _build_output(src, seg_start.ravel(), seg_len.ravel(), nl_after)
+
+
 class FastqWriter:
     def __init__(self, path: str, compression: int = 4):
         self.path = path
@@ -92,44 +131,21 @@ class FastqWriter:
     def write_bytes(self, data: bytes) -> None:
         self._f.write(data)
 
+    def write_array(self, out: np.ndarray) -> None:
+        """Write a pre-assembled record buffer (no copy for plain files)."""
+        if len(out):
+            self._f.write(out.data)
+
     def write_records(self, batch: FastqBatch, indices: np.ndarray) -> None:
         """Write the selected records of a batch in index order."""
-        if len(indices) == 0:
-            return
-        starts = batch.starts[indices]          # [k, 4]
-        ends = batch.ends[indices]
-        seg_start = starts.ravel()
-        seg_len = (ends - starts).ravel()
-        nl_after = np.ones(len(seg_start), dtype=bool)
-        out = _build_output(batch.buf, seg_start, seg_len, nl_after)
-        self._f.write(out.tobytes())
+        self.write_array(build_records(batch, indices))
 
     def write_records_annotated(
         self, batch: FastqBatch, cluster_ids: np.ndarray
     ) -> None:
         """Write ALL records, appending ``:<cluster_id>`` to every name line
         (humid.cc:280-284)."""
-        k = batch.n
-        if k == 0:
-            return
-        ann_buf, ann_starts, ann_lens = _ann_buffer(cluster_ids)
-        src = np.concatenate([batch.buf, ann_buf])
-        base = len(batch.buf)
-        # 5 segments/record: name (no newline), ":id", seq, strand, qual.
-        seg_start = np.empty((k, 5), np.int64)
-        seg_len = np.empty((k, 5), np.int64)
-        seg_start[:, 0] = batch.starts[:, 0]
-        seg_len[:, 0] = batch.ends[:, 0] - batch.starts[:, 0]
-        seg_start[:, 1] = base + ann_starts
-        seg_len[:, 1] = ann_lens
-        seg_start[:, 2:] = batch.starts[:, 1:]
-        seg_len[:, 2:] = batch.ends[:, 1:] - batch.starts[:, 1:]
-        nl_after = np.tile(
-            np.array([False, True, True, True, True]), (k, 1)
-        ).ravel()
-        out = _build_output(src, seg_start.ravel(), seg_len.ravel(),
-                            nl_after)
-        self._f.write(out.tobytes())
+        self.write_array(build_records_annotated(batch, cluster_ids))
 
     def close(self) -> None:
         self._f.close()

@@ -99,19 +99,37 @@ def _input_bytes_estimate(files) -> int:
 
 
 def _pass1(files, nt_to_take, header_umi_size, batch_records,
-           cache: list | None = None):
+           cache: list | None = None, pack_workers: int = 3):
     """Stream all files in lockstep; return (packed [N,W], filtered [N]).
     When ``cache`` is a list, parsed batch tuples are appended to it for
-    reuse by the output pass."""
+    reuse by the output pass.
+
+    Packing (UMI gather + base encode, all GIL-releasing C calls) runs on
+    a small thread pool so it overlaps the reader thread's
+    decompression + framing; in-flight futures are bounded so memory
+    stays proportional to the pool size."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     packed_parts: list[np.ndarray] = []
     filt_parts: list[np.ndarray] = []
-    for batches in read_tuples(files, batch_records):
-        if cache is not None:
-            cache.append(batches)
-        packed, filtered = _batch_words(batches, nt_to_take,
-                                        header_umi_size)
+
+    def _drain(fut):
+        packed, filtered = fut.result()
         packed_parts.append(packed)
         filt_parts.append(filtered)
+
+    with ThreadPoolExecutor(max_workers=max(1, pack_workers)) as ex:
+        inflight: deque = deque()
+        for batches in read_tuples(files, batch_records):
+            if cache is not None:
+                cache.append(batches)
+            inflight.append(ex.submit(_batch_words, batches, nt_to_take,
+                                      header_umi_size))
+            while len(inflight) > pack_workers + 1:
+                _drain(inflight.popleft())
+        while inflight:
+            _drain(inflight.popleft())
     if not packed_parts:
         wl = header_umi_size + sum(nt_to_take)
         return (np.zeros((0, W.num_lanes(wl)), np.uint32),
@@ -292,48 +310,90 @@ def run(
     return res
 
 
+def _pipelined_write(source, names, build_one, build_workers: int = 2):
+    """Drive an output pass with builds overlapped against writes.
+
+    ``build_one(batches) -> list[np.ndarray]`` (one record buffer per
+    file) runs on a thread pool (record assembly is GIL-releasing native
+    gather); the main thread writes completed buffers in order.  Bounded
+    in-flight futures keep memory proportional to the pool size.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    writers = [FastqWriter(n) for n in names]
+
+    def _flush(fut):
+        for w, out in zip(writers, fut.result()):
+            w.write_array(out)
+
+    try:
+        with ThreadPoolExecutor(max_workers=build_workers) as ex:
+            inflight: deque = deque()
+            for batches in source:
+                inflight.append(ex.submit(build_one, batches))
+                while len(inflight) > build_workers + 1:
+                    _flush(inflight.popleft())
+            while inflight:
+                _flush(inflight.popleft())
+    finally:
+        for w in writers:
+            w.close()
+
+
 def _write_selected(files, dir_name, suffix, selected, batch_records,
                     cache=None):
     """Second pass: write only reads whose global index is in ``selected``
     (sorted)."""
+    from .io import build_records
+
     names = make_file_names(list(files), dir_name, suffix)
-    writers = [FastqWriter(n) for n in names]
-    base = 0
-    ptr = 0
     source = cache if cache is not None else read_tuples(
         files, batch_records)
-    try:
+
+    # Selection state advances per batch, so the plan (which records of
+    # this batch are selected) is computed on the main thread during
+    # submission; only the record assembly runs on the pool.
+    state = {"base": 0, "ptr": 0}
+
+    def _planned_source():
         for batches in source:
             n = batches[0].n
-            end = ptr
-            while end < len(selected) and selected[end] < base + n:
-                end += 1
+            base, ptr = state["base"], state["ptr"]
+            end = int(np.searchsorted(selected, base + n, side="left"))
             local = (selected[ptr:end] - base).astype(np.int64)
-            for b, w in zip(batches, writers):
-                w.write_records(b, local)
-            ptr = end
-            base += n
-    finally:
-        for w in writers:
-            w.close()
+            state["base"] = base + n
+            state["ptr"] = end
+            yield (batches, local)
+
+    def _build_planned(item):
+        batches, local = item
+        return [build_records(b, local) for b in batches]
+
+    _pipelined_write(_planned_source(), names, _build_planned)
 
 
 def _write_annotated(files, dir_name, cluster_of_read, batch_records,
                      cache=None):
     """Second pass: every read annotated with ``:<cluster_id>``
     (humid.cc:251-292)."""
+    from .io import build_records_annotated
+
     names = make_file_names(list(files), dir_name, "annotated")
-    writers = [FastqWriter(n) for n in names]
-    base = 0
     source = cache if cache is not None else read_tuples(
         files, batch_records)
-    try:
+
+    state = {"base": 0}
+
+    def _planned_source():
         for batches in source:
             n = batches[0].n
-            ids = cluster_of_read[base:base + n]
-            for b, w in zip(batches, writers):
-                w.write_records_annotated(b, ids)
-            base += n
-    finally:
-        for w in writers:
-            w.close()
+            ids = cluster_of_read[state["base"]:state["base"] + n]
+            state["base"] += n
+            yield (batches, ids)
+
+    def _build_planned(item):
+        batches, ids = item
+        return [build_records_annotated(b, ids) for b in batches]
+
+    _pipelined_write(_planned_source(), names, _build_planned)
