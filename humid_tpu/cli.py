@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use edit distance")
     p.add_argument("-x", action="store_true",
                    help="use maximum clustering method")
+    p.add_argument("--coordinator", type=str, default=None,
+                   metavar="HOST:PORT",
+                   help="jax.distributed coordinator address "
+                        "(multi-host runs; extension over the reference)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   metavar="N", help="number of hosts in the job")
+    p.add_argument("--process-id", type=int, default=None,
+                   metavar="I", help="this host's index")
     p.add_argument("files", nargs="+", help="FastQ files")
     return p
 
@@ -60,6 +68,30 @@ def main(argv: list[str] | None = None) -> int:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    multihost = args.coordinator is not None or (
+        args.num_processes or 0) > 1
+    if multihost:
+        from .parallel.multihost import init_distributed
+        from .parallel.pipeline import run_distributed
+
+        if args.coordinator is not None:
+            init_distributed(args.coordinator, args.num_processes,
+                             args.process_id)
+        run_distributed(
+            args.files,
+            word_length=args.n,
+            distance=args.m,
+            log_name=args.l,
+            dir_name=args.d,
+            run_stats=args.s,
+            write_dedup=args.q,
+            write_annotated=args.a,
+            edit=args.e,
+            maximum=args.x,
+            process_id=args.process_id,
+            num_processes=args.num_processes,
+        )
+        return 0
     run(
         args.files,
         word_length=args.n,

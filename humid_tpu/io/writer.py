@@ -121,9 +121,15 @@ def build_records_annotated(
 
 
 class FastqWriter:
-    def __init__(self, path: str, compression: int = 4):
+    def __init__(self, path: str, compression: int = 4,
+                 compress: bool | None = None):
+        """``compress`` None infers gzip from a ``.gz`` suffix; pass an
+        explicit bool for files whose name hides the format (e.g. the
+        multi-host ``.partNNNNN`` shards)."""
         self.path = path
-        if path.endswith(".gz"):
+        if compress is None:
+            compress = path.endswith(".gz")
+        if compress:
             self._f = gzip.open(path, "wb", compresslevel=compression)
         else:
             self._f = open(path, "wb")

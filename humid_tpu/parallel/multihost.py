@@ -56,6 +56,33 @@ def host_record_range(total_records: int, process_id: int | None = None,
     return lo, hi
 
 
+def global_unique_index(uniq_g: np.ndarray,
+                        packed_local: np.ndarray) -> np.ndarray:
+    """Row index in the (sorted) global unique table of every local
+    packed word.  Every local word is present in the global table by
+    construction (the table merges all hosts' words)."""
+    w = uniq_g.shape[1]
+    if w <= 2:
+        kg = uniq_g[:, 0].astype(np.uint64) << np.uint64(32)
+        kl = packed_local[:, 0].astype(np.uint64) << np.uint64(32)
+        if w == 2:
+            kg |= uniq_g[:, 1].astype(np.uint64)
+            kl |= packed_local[:, 1].astype(np.uint64)
+    else:
+        dt = np.dtype([(f"l{i}", np.uint32) for i in range(w)])
+        kg = np.ascontiguousarray(uniq_g).view(dt).ravel()
+        kl = np.ascontiguousarray(packed_local).view(dt).ravel()
+    return np.searchsorted(kg, kl)
+
+
+def default_barrier() -> None:
+    """Cross-host barrier (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("humid_tpu_outputs")
+
+
 def merge_unique_tables(
     uniq: np.ndarray,
     counts: np.ndarray,
@@ -83,10 +110,22 @@ def merge_unique_tables(
         from jax.experimental import multihost_utils
 
         def all_gather(arrs):
-            return [
-                multihost_utils.process_allgather(a, tiled=True)
-                for a in arrs
-            ]
+            # Per-host table lengths differ; process_allgather needs
+            # equal shapes, so exchange lengths, pad to the max, gather,
+            # and trim each host's rows back.
+            lens = np.asarray(multihost_utils.process_allgather(
+                np.asarray(len(arrs[0]), np.int64))).ravel()
+            maxlen = int(lens.max())
+            out = []
+            for a in arrs:
+                if len(a) < maxlen:
+                    pad = np.zeros((maxlen - len(a),) + a.shape[1:],
+                                   a.dtype)
+                    a = np.concatenate([a, pad], axis=0)
+                g = np.asarray(multihost_utils.process_allgather(a))
+                out.append([g[p][:int(lens[p])]
+                            for p in range(len(lens))])
+            return out
 
     uniq_all, counts_all, first_all = all_gather(
         [uniq, counts, first_occ]

@@ -22,12 +22,14 @@ with its own ``process_id``/``num_processes``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 
 from .. import words as W
 from ..cluster import cluster_exact
-from ..io import read_tuples
+from ..io import make_file_names, read_tuples
 from ..ops import find_neighbor_pairs, pairs_to_csr
 from ..ops.unique import unique_words
 from ..pipeline import _batch_words, peek_umi_size
@@ -82,11 +84,12 @@ def pack_host_range(files, lo: int, hi: int, *, word_length: int = 24):
     return np.concatenate(packed_parts), np.concatenate(filt_parts)
 
 
-def run_sharded(
+def _compute_sharded(
     files,
     *,
     word_length: int = 24,
     distance: int = 1,
+    edit: bool = False,
     maximum: bool = False,
     total_records: int | None = None,
     process_id: int | None = None,
@@ -94,14 +97,9 @@ def run_sharded(
     all_gather=None,
     neighbor_opts: dict | None = None,
 ):
-    """Host-sharded dedup: this host packs its record range, merges
-    unique tables globally, and computes the global clustering.
-
-    Returns (labels [U], counts [U], first_occ [U] global read indices,
-    uniq [U, W]) — identical on every host, and identical to a
-    single-host :func:`humid_tpu.ops.unique.unique_words` +
-    clustering run over the whole input.
-    """
+    """Shared compute stage of the sharded pipeline.  Returns a dict with
+    the global clustering plus this host's local arrays (for the output
+    stage)."""
     n_proc = (num_processes if num_processes is not None
               else jax.process_count())
     if total_records is None:
@@ -127,8 +125,233 @@ def run_sharded(
 
     nb = dict(neighbor_opts or {})
     pa, pb = find_neighbor_pairs(
-        uniq, distance, word_length=word_length, **nb
+        uniq, distance, metric="edit" if edit else "hamming",
+        word_length=word_length, **nb
     )
     indptr, indices = pairs_to_csr(pa, pb, len(uniq))
     cl = cluster_exact(counts, indptr, indices, maximum=maximum)
-    return cl, counts, first_occ, uniq
+    return dict(
+        cl=cl, counts=counts, first_occ=first_occ, uniq=uniq,
+        indptr=indptr, lo=lo, hi=hi, packed=packed, filtered=filtered,
+        usable=usable, total_records=total_records, n_proc=n_proc,
+    )
+
+
+def run_sharded(
+    files,
+    *,
+    word_length: int = 24,
+    distance: int = 1,
+    edit: bool = False,
+    maximum: bool = False,
+    total_records: int | None = None,
+    process_id: int | None = None,
+    num_processes: int | None = None,
+    all_gather=None,
+    neighbor_opts: dict | None = None,
+):
+    """Host-sharded dedup: this host packs its record range, merges
+    unique tables globally, and computes the global clustering.
+
+    Returns (labels [U], counts [U], first_occ [U] global read indices,
+    uniq [U, W]) — identical on every host, and identical to a
+    single-host :func:`humid_tpu.ops.unique.unique_words` +
+    clustering run over the whole input.
+    """
+    st = _compute_sharded(
+        files, word_length=word_length, distance=distance, edit=edit,
+        maximum=maximum, total_records=total_records,
+        process_id=process_id, num_processes=num_processes,
+        all_gather=all_gather, neighbor_opts=neighbor_opts,
+    )
+    return st["cl"], st["counts"], st["first_occ"], st["uniq"]
+
+
+def _part_names(names, process_id: int):
+    return [f"{n}.part{process_id:05d}" for n in names]
+
+
+def _part_writers(names):
+    """Writers for per-host part files: gzip is decided by the FINAL
+    name (the ``.partNNNNN`` suffix hides the ``.gz``)."""
+    from ..io import FastqWriter
+
+    return [
+        FastqWriter(n, compress=n.rsplit(".part", 1)[0].endswith(".gz"))
+        for n in names
+    ]
+
+
+def _write_range_selected(files, names, selected_local, lo, hi,
+                          batch_records):
+    """Write the records of [lo, hi) whose LOCAL index is in
+    ``selected_local`` (sorted) to ``names`` (one writer per file)."""
+    writers = _part_writers(names)
+    base = 0
+    ptr = 0
+    try:
+        for batches in read_tuples(files, batch_records):
+            n = batches[0].n
+            s = max(lo - base, 0)
+            e = min(hi - base, n)
+            if e > s:
+                sub = [b.slice_records(s, e) for b in batches]
+                local_off = base + s - lo
+                end = int(np.searchsorted(selected_local,
+                                          local_off + (e - s), "left"))
+                loc = (selected_local[ptr:end] - local_off).astype(
+                    np.int64)
+                for b, w in zip(sub, writers):
+                    w.write_records(b, loc)
+                ptr = end
+            base += n
+            if base >= hi:
+                break
+    finally:
+        for w in writers:
+            w.close()
+
+
+def _write_range_annotated(files, names, cluster_of_local, lo, hi,
+                           batch_records):
+    """Write ALL records of [lo, hi) with ``:<cluster_id>`` appended."""
+    writers = _part_writers(names)
+    base = 0
+    try:
+        for batches in read_tuples(files, batch_records):
+            n = batches[0].n
+            s = max(lo - base, 0)
+            e = min(hi - base, n)
+            if e > s:
+                sub = [b.slice_records(s, e) for b in batches]
+                ids = cluster_of_local[base + s - lo:base + e - lo]
+                for b, w in zip(sub, writers):
+                    w.write_records_annotated(b, ids)
+            base += n
+            if base >= hi:
+                break
+    finally:
+        for w in writers:
+            w.close()
+
+
+def finalize_outputs(names, num_processes: int) -> None:
+    """Concatenate per-host part files into the final outputs (called on
+    host 0 after the output barrier).  Plain parts concatenate to the
+    byte-identical single-host stream; gzip parts form a valid
+    multi-member gzip whose decompressed content is identical."""
+    import shutil
+
+    for name in names:
+        with open(name, "wb") as out:
+            for p in range(num_processes):
+                part = f"{name}.part{p:05d}"
+                with open(part, "rb") as src:
+                    shutil.copyfileobj(src, out, 1 << 24)
+                os.remove(part)
+
+
+def run_distributed(
+    files,
+    *,
+    word_length: int = 24,
+    distance: int = 1,
+    log_name: str = "/dev/stderr",
+    dir_name: str = ".",
+    run_stats: bool = False,
+    write_dedup: bool = True,
+    write_annotated: bool = False,
+    edit: bool = False,
+    maximum: bool = False,
+    total_records: int | None = None,
+    process_id: int | None = None,
+    num_processes: int | None = None,
+    all_gather=None,
+    barrier=None,
+    finalize: bool = True,
+    batch_records: int = 1 << 17,
+    neighbor_opts: dict | None = None,
+):
+    """Full multi-host pipeline: sharded compute + sharded output.
+
+    Every host packs and clusters as :func:`run_sharded`, then writes
+    the dedup/annotated records of its OWN record range to per-host part
+    files; host 0 writes the statistics files, and (after a cross-host
+    barrier) concatenates the parts into the reference-named outputs —
+    the same files a single-host :func:`humid_tpu.pipeline.run` produces
+    (humid.cc:203-292 output contract).
+
+    ``all_gather``/``barrier`` are injectable for in-process multi-host
+    simulation; under a real ``jax.distributed`` job leave them None.
+    """
+    from ..phaselog import PhaseLog
+    from ..stats import write_statistics
+    from .multihost import default_barrier, global_unique_index
+
+    p = process_id if process_id is not None else jax.process_index()
+    log = PhaseLog(log_name if p == 0 else os.devnull)
+
+    t = log.start("Reading data")
+    st = _compute_sharded(
+        files, word_length=word_length, distance=distance, edit=edit,
+        maximum=maximum, total_records=total_records, process_id=p,
+        num_processes=num_processes, all_gather=all_gather,
+        neighbor_opts=neighbor_opts,
+    )
+    log.end(t)
+    cl, counts, first_occ = st["cl"], st["counts"], st["first_occ"]
+    lo, hi, n_proc = st["lo"], st["hi"], st["n_proc"]
+
+    # Representative read per cluster (humid.cc:223-232).
+    if cl.num_clusters:
+        rep_reads = np.sort(first_occ[cl.max_leaf])
+    else:
+        rep_reads = np.zeros(0, np.int64)
+
+    # Local per-read cluster ids (0 = filtered, humid.cc:271-278).
+    filtered = st["filtered"]
+    cluster_of_local = np.zeros(hi - lo, np.int64)
+    if len(st["usable"]):
+        inv_local = global_unique_index(st["uniq"], st["usable"])
+        cluster_of_local[np.flatnonzero(~filtered)] = cl.labels[inv_local]
+
+    os.makedirs(dir_name, exist_ok=True)
+    dedup_names = make_file_names(list(files), dir_name, "dedup")
+    ann_names = make_file_names(list(files), dir_name, "annotated")
+
+    if write_dedup:
+        t = log.start("Writing filtered results")
+        sel = rep_reads[(rep_reads >= lo) & (rep_reads < hi)] - lo
+        _write_range_selected(files, _part_names(dedup_names, p), sel,
+                              lo, hi, batch_records)
+        log.end(t)
+    if write_annotated:
+        t = log.start("Writing annotated results")
+        _write_range_annotated(files, _part_names(ann_names, p),
+                               cluster_of_local, lo, hi, batch_records)
+        log.end(t)
+    if run_stats and p == 0:
+        write_statistics(
+            counts=counts,
+            degrees=np.diff(st["indptr"]),
+            sizes=cl.size,
+            total=st["total_records"],
+            usable=int(counts.sum()),
+            unique=len(counts),
+            num_clusters=cl.num_clusters,
+            dir_name=dir_name,
+        )
+
+    if barrier is None and n_proc > 1 and jax.process_count() == 1:
+        # Uncoordinated processes (no jax.distributed, no injected
+        # barrier): host 0 cannot know the others finished, so leave the
+        # part files for an external finalize_outputs() call.
+        log.close()
+        return cl, counts, first_occ, st["uniq"]
+    (barrier if barrier is not None else default_barrier)()
+    if finalize and p == 0:
+        targets = (dedup_names if write_dedup else []) + \
+            (ann_names if write_annotated else [])
+        finalize_outputs(targets, n_proc)
+    log.close()
+    return cl, counts, first_occ, st["uniq"]

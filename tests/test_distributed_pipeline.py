@@ -72,3 +72,88 @@ def test_sharded_single_process_path(tmp_path):
         files, process_id=0, num_processes=1)
     np.testing.assert_array_equal(cl.labels, ref.labels)
     assert cl.num_clusters == ref.clusters
+
+
+def _run_hosts_with_outputs(files, n_hosts, out_dir, **kw):
+    """Simulate every host's run_distributed (injected gather/barrier),
+    then finalize the part files."""
+    from humid_tpu.parallel.pipeline import (
+        finalize_outputs,
+        run_distributed,
+    )
+    from humid_tpu.io import make_file_names
+
+    total = count_records(files)
+    wl = kw.get("word_length", 24)
+
+    def all_gather(arrs):
+        gathered = [[] for _ in arrs]
+        for p in range(n_hosts):
+            from humid_tpu.parallel.multihost import host_record_range
+            from humid_tpu.ops.unique import unique_words
+
+            lo, hi = host_record_range(total, p, n_hosts)
+            packed, filtered = pack_host_range(files, lo, hi,
+                                               word_length=wl)
+            u, c, f, _ = unique_words(packed[~filtered])
+            fg = (np.flatnonzero(~filtered) + lo)[f] if len(f) else f
+            for slot, val in enumerate((u, c, fg)):
+                gathered[slot].append(val)
+        return gathered
+
+    for p in range(n_hosts):
+        run_distributed(
+            files, dir_name=out_dir, log_name=os.devnull,
+            total_records=total, process_id=p, num_processes=n_hosts,
+            all_gather=all_gather, barrier=lambda: None, finalize=False,
+            **kw,
+        )
+    names = []
+    if kw.get("write_dedup", True):
+        names += make_file_names(list(files), out_dir, "dedup")
+    if kw.get("write_annotated", False):
+        names += make_file_names(list(files), out_dir, "annotated")
+    finalize_outputs(names, n_hosts)
+
+
+def test_distributed_outputs_byte_identical(tmp_path):
+    """Sharded run emits byte-identical output files vs single-host."""
+    gen_dataset(np.random.default_rng(11), str(tmp_path), n_reads=900,
+                n_files=2, umi_style="underscore")
+    files = [str(tmp_path / f"file{i}.fastq") for i in range(2)]
+
+    ref_dir = tmp_path / "ref"
+    run(files, dir_name=str(ref_dir), log_name=os.devnull,
+        write_dedup=True, write_annotated=True, run_stats=True)
+
+    sh_dir = tmp_path / "sharded"
+    _run_hosts_with_outputs(files, 3, str(sh_dir), write_dedup=True,
+                            write_annotated=True, run_stats=True)
+
+    for f in sorted(os.listdir(ref_dir)):
+        a = (ref_dir / f).read_bytes()
+        b = (sh_dir / f).read_bytes()
+        assert a == b, f"{f} differs between single-host and sharded"
+
+
+def test_distributed_outputs_gz_and_modes(tmp_path):
+    """Sharded gz parts decompress to the single-host content; -x and
+    -m 2 modes agree too."""
+    import gzip
+
+    gen_dataset(np.random.default_rng(13), str(tmp_path), n_reads=600,
+                n_files=1, umi_style="colon", gz=True)
+    files = [str(tmp_path / "file0.fastq.gz")]
+
+    ref_dir = tmp_path / "ref"
+    run(files, dir_name=str(ref_dir), log_name=os.devnull,
+        distance=2, maximum=True, write_annotated=True)
+
+    sh_dir = tmp_path / "sharded"
+    _run_hosts_with_outputs(files, 2, str(sh_dir), distance=2,
+                            maximum=True, write_annotated=True)
+
+    for f in sorted(os.listdir(ref_dir)):
+        a = gzip.open(str(ref_dir / f)).read()
+        b = gzip.open(str(sh_dir / f)).read()
+        assert a == b, f"{f} content differs"
