@@ -223,6 +223,20 @@ class Trie {
     asym_(&root, word, 0, dist, /*tight=*/true, f);
   }
 
+  // Asymmetric bounded-Levenshtein search (trie.asymmetricLevenshtein as
+  // consumed at humid.cc:140-158): visit every leaf lexicographically
+  // AFTER `word` whose full-word edit distance (substitutions + indels)
+  // is <= dist.  Classic DP-row-over-trie walk; subtrees whose words
+  // sort before the query ("less") are pruned, so each unordered pair
+  // is yielded exactly once across the full walk.
+  template <class F>
+  void asym_levenshtein(const std::vector<uint8_t>& word, int dist,
+                        F&& f) {
+    std::vector<int> row(word.size() + 1);
+    for (size_t j = 0; j <= word.size(); ++j) row[j] = int(j);
+    lev_(&root, word, 0, row, dist, /*tight=*/true, /*greater=*/false, f);
+  }
+
  private:
   template <class F>
   void walk_(Node* n, std::vector<uint8_t>& path, F& f) {
@@ -253,6 +267,43 @@ class Trie {
       } else if (budget > 0 && (!tight || c > w[d])) {
         asym_(ch, w, d + 1, budget - 1, false, f);
       }
+    }
+  }
+
+  // tight: path == query prefix; greater: path already sorts after the
+  // query.  Children with c < query[d] under tight lead only to words
+  // sorting before the query and are pruned.
+  template <class F>
+  void lev_(Node* n, const std::vector<uint8_t>& w, size_t d,
+            const std::vector<int>& row, int budget, bool tight,
+            bool greater, F& f) {
+    if (n->leaf && greater && row[w.size()] <= budget) f(n->leaf);
+    for (int c = 0; c < 4; ++c) {
+      Node* ch = n->child[c];
+      if (!ch) continue;
+      bool t2 = tight, g2 = greater;
+      if (tight) {
+        if (c == w[d]) {
+          t2 = true;
+          g2 = false;
+        } else if (c > w[d]) {
+          t2 = false;
+          g2 = true;
+        } else {
+          continue;  // word would sort before the query
+        }
+      }
+      std::vector<int> nr(w.size() + 1);
+      nr[0] = row[0] + 1;
+      int mn = nr[0];
+      for (size_t j = 1; j <= w.size(); ++j) {
+        int sub = row[j - 1] + (uint8_t(c) == w[j - 1] ? 0 : 1);
+        int del = row[j] + 1;
+        int ins = nr[j - 1] + 1;
+        nr[j] = std::min(sub, std::min(del, ins));
+        mn = std::min(mn, nr[j]);
+      }
+      if (mn <= budget) lev_(ch, w, d + 1, nr, budget, t2, g2, f);
     }
   }
 
@@ -387,6 +438,7 @@ struct Args {
   bool stats = false;
   bool dedup = true;
   bool annotate = false;
+  bool edit = false;
   bool maximum = false;
   std::vector<std::string> files;
 };
@@ -415,13 +467,15 @@ int main(int argc, char** argv) {
       a.dedup = !a.dedup;
     else if (s == "-a")
       a.annotate = true;
+    else if (s == "-e")
+      a.edit = true;
     else if (s == "-x")
       a.maximum = true;
     else
       a.files.push_back(s);
   }
   if (a.files.empty()) {
-    fprintf(stderr, "usage: humid_ref [-n N] [-m M] [-d DIR] [-s] [-q] [-a] [-x] files...\n");
+    fprintf(stderr, "usage: humid_ref [-n N] [-m M] [-d DIR] [-s] [-q] [-a] [-e] [-x] files...\n");
     return 1;
   }
 
@@ -460,11 +514,15 @@ int main(int argc, char** argv) {
   int64_t unique_words = 0;
   trie.walk([&](std::vector<uint8_t>& path, Leaf* leaf) {
     ++unique_words;
-    trie.asym_hamming(path, a.m, [&](Leaf* hit) {
+    auto on_hit = [&](Leaf* hit) {
       if (hit == leaf) return;
       leaf->neighbours.push_back(hit);
       hit->neighbours.push_back(leaf);
-    });
+    };
+    if (a.edit)
+      trie.asym_levenshtein(path, a.m, on_hit);
+    else
+      trie.asym_hamming(path, a.m, on_hit);
   });
 
   // Clustering (seeds in lexicographic order; ids from 1, humid.cc:177).

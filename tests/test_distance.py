@@ -271,3 +271,25 @@ def test_runs_fallback_enumeration_matches_native():
     np.testing.assert_array_equal(
         na[np.lexsort((na[:, 1], na[:, 0]))],
         nf[np.lexsort((nf[:, 1], nf[:, 0]))])
+
+
+@pytest.mark.parametrize("strategy", ["dense", "bucketed"])
+def test_pallas_impl_matches_xor(strategy):
+    """The Pallas kernel logic executes under interpret=True on CPU and
+    yields exactly the XLA pair set (VERDICT r1 item 4)."""
+    rng = np.random.default_rng(41)
+    length = 24
+    pool, _ = _rand_words(rng, 40, length)
+    codes = pool[rng.integers(0, 40, 800)].copy()
+    mut = rng.random(800) < 0.5
+    codes[np.flatnonzero(mut), rng.integers(0, length, int(mut.sum()))] = (
+        rng.integers(0, 4, int(mut.sum()))
+    )
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    a1, b1 = find_neighbor_pairs(uniq, 1, word_length=length,
+                                 impl="pallas", strategy=strategy)
+    a2, b2 = find_neighbor_pairs(uniq, 1, word_length=length,
+                                 impl="xor", strategy="dense")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)

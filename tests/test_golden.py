@@ -55,12 +55,20 @@ CASES = [
     (200, 1, "none", False, ["-n", "40"], {"read_len": 30}),
     (300, 2, "underscore", False, ["-x", "-m", "2"],
      {"ragged": True}),
+    # Edit distance (-e) at the default word length 24: plain,
+    # max-clustering, and -m 2 (VERDICT r1 item 3); the indel case uses
+    # ragged reads so same-pool words of different lengths land within
+    # edit distance but not Hamming distance.
+    (250, 1, "none", False, ["-e"], {}),
+    (250, 1, "none", False, ["-e", "-x"], {"ragged": True}),
+    (200, 2, "underscore", False, ["-e", "-m", "2"], {}),
 ]
 
 
 @pytest.mark.parametrize("case", CASES, ids=[
     "single", "paired_umi", "colon_gz", "threefile", "m2", "max", "m0",
     "n16", "ragged_n", "unequal", "word_gt_read", "max_m2_ragged",
+    "edit", "edit_max_ragged", "edit_m2",
 ])
 def test_golden_outputs_match(case, humid_ref, tmp_path):
     n_reads, n_files, umi_style, gz, extra, gen_kw = case
@@ -102,3 +110,32 @@ def _read(path):
             return f.read()
     with open(p, "rb") as f:
         return f.read()
+
+
+@pytest.mark.parametrize("strategy", ["auto", "bucketed"])
+def test_golden_midscale_production_paths(strategy, humid_ref, tmp_path,
+                                          monkeypatch):
+    """A ~300k-read case so the production subquadratic paths are active
+    end-to-end (runs via auto above runs_threshold; bucketed forced via
+    env), byte-compared against the C++ baseline (VERDICT r1 item 5)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    fq = str(tmp_path / "mid.fastq")
+    bench.gen_dataset(fq, 300_000, read_len=60, seed=97)
+
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+    subprocess.run([humid_ref, "-d", str(out_ref), "-s", fq],
+                   check=True, capture_output=True)
+    if strategy != "auto":
+        monkeypatch.setenv("HUMID_TPU_STRATEGY", strategy)
+    from humid_tpu.cli import main
+    main(["-d", str(out_tpu), "-s", "-l", os.devnull, fq])
+
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_tpu))
+    for name in names:
+        assert _read(out_ref / name) == _read(out_tpu / name), name
