@@ -319,6 +319,133 @@ PyObject* run_pairs(PyObject* /*self*/, PyObject* args) {
   return PyLong_FromLongLong(static_cast<long long>(written));
 }
 
+// Sorted merge join between two keyed views of the unique-word set (the
+// shifted-segment candidate generator for edit distance,
+// humid_tpu/ops/neighbors.py find_edit_pairs_shifted).  keys_a/keys_b
+// are unsorted; order_a/order_b sort them.  Equal-key blocks emit the
+// cross product of (A row, B row) pairs, normalized (min, max), self
+// pairs skipped; self_join != 0 means the two views are identical and
+// only i < j pairs are emitted.  Returns pairs written, or -(needed) if
+// the output capacity is too small (caller reallocates and retries).
+PyObject* merge_join_pairs(PyObject* /*self*/, PyObject* args) {
+  Py_buffer ka_b, oa_b, kb_b, ob_b, outa_b, outb_b;
+  long self_join;
+  if (!PyArg_ParseTuple(args, "y*y*y*y*lw*w*", &ka_b, &oa_b, &kb_b, &ob_b,
+                        &self_join, &outa_b, &outb_b)) {
+    return nullptr;
+  }
+  const uint64_t* ka = static_cast<const uint64_t*>(ka_b.buf);
+  const int64_t* oa = static_cast<const int64_t*>(oa_b.buf);
+  const uint64_t* kb = static_cast<const uint64_t*>(kb_b.buf);
+  const int64_t* ob = static_cast<const int64_t*>(ob_b.buf);
+  int64_t* outa = static_cast<int64_t*>(outa_b.buf);
+  int64_t* outb = static_cast<int64_t*>(outb_b.buf);
+  const Py_ssize_t na = oa_b.len / 8, nb = ob_b.len / 8;
+  const Py_ssize_t cap = outa_b.len / 8;
+  int64_t written = 0;
+  int64_t needed = 0;
+  Py_BEGIN_ALLOW_THREADS;
+  Py_ssize_t i = 0, j = 0;
+  while (i < na && j < nb) {
+    const uint64_t key = ka[oa[i]];
+    const uint64_t keyb = kb[ob[j]];
+    if (key < keyb) { ++i; continue; }
+    if (keyb < key) { ++j; continue; }
+    Py_ssize_t ie = i, je = j;
+    while (ie < na && ka[oa[ie]] == key) ++ie;
+    while (je < nb && kb[ob[je]] == key) ++je;
+    for (Py_ssize_t x = i; x < ie; ++x) {
+      const int64_t a = oa[x];
+      for (Py_ssize_t y = j; y < je; ++y) {
+        const int64_t b = ob[y];
+        if (a == b) continue;
+        if (self_join && a > b) continue;  // emit i < j once
+        ++needed;
+        if (written < cap) {
+          outa[written] = a < b ? a : b;
+          outb[written] = a < b ? b : a;
+          ++written;
+        }
+      }
+    }
+    i = ie;
+    j = je;
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&ka_b);
+  PyBuffer_Release(&oa_b);
+  PyBuffer_Release(&kb_b);
+  PyBuffer_Release(&ob_b);
+  PyBuffer_Release(&outa_b);
+  PyBuffer_Release(&outb_b);
+  if (needed > written) {
+    return PyLong_FromLongLong(-static_cast<long long>(needed));
+  }
+  return PyLong_FromLongLong(static_cast<long long>(written));
+}
+
+// Banded Levenshtein verification of candidate pairs: keep (a, b) iff
+// the full-word edit distance of codes[a] vs codes[b] (uint8 base codes,
+// row-major [n, L]) is <= max_dist.  Band half-width = max_dist; cells
+// outside the band cannot lie on a <=max_dist path.  Returns pairs kept.
+PyObject* edit_filter_pairs(PyObject* /*self*/, PyObject* args) {
+  Py_buffer codes_b, a_b, b_b, outa_b, outb_b;
+  long L_long, max_dist;
+  if (!PyArg_ParseTuple(args, "y*ly*y*lw*w*", &codes_b, &L_long, &a_b,
+                        &b_b, &max_dist, &outa_b, &outb_b)) {
+    return nullptr;
+  }
+  const uint8_t* codes = static_cast<const uint8_t*>(codes_b.buf);
+  const int64_t* pa = static_cast<const int64_t*>(a_b.buf);
+  const int64_t* pb = static_cast<const int64_t*>(b_b.buf);
+  int64_t* outa = static_cast<int64_t*>(outa_b.buf);
+  int64_t* outb = static_cast<int64_t*>(outb_b.buf);
+  const Py_ssize_t np = a_b.len / 8;
+  const int L = static_cast<int>(L_long);
+  const int m = static_cast<int>(max_dist);
+  const int INF = 1 << 20;
+  int64_t written = 0;
+  Py_BEGIN_ALLOW_THREADS;
+  std::vector<int> row(static_cast<size_t>(L) + 1);
+  std::vector<int> nrow(static_cast<size_t>(L) + 1);
+  for (Py_ssize_t p = 0; p < np; ++p) {
+    const uint8_t* x = codes + pa[p] * L;
+    const uint8_t* y = codes + pb[p] * L;
+    for (int j = 0; j <= L; ++j) row[j] = j <= m ? j : INF;
+    bool alive = true;
+    for (int i = 1; i <= L && alive; ++i) {
+      const int jlo = i - m > 1 ? i - m : 1;
+      const int jhi = i + m < L ? i + m : L;
+      nrow[jlo - 1] = (jlo - 1 == 0) ? i : INF;
+      int best = nrow[jlo - 1];
+      for (int j = jlo; j <= jhi; ++j) {
+        const int sub = row[j - 1] + (x[i - 1] == y[j - 1] ? 0 : 1);
+        const int del = (j <= i + m - 1) ? row[j] + 1 : INF;
+        const int ins = nrow[j - 1] + 1;
+        int v = sub < del ? sub : del;
+        if (ins < v) v = ins;
+        nrow[j] = v;
+        if (v < best) best = v;
+      }
+      if (jhi < L) nrow[jhi + 1] = INF;
+      if (best > m) alive = false;
+      std::swap(row, nrow);
+    }
+    if (alive && row[L] <= m) {
+      outa[written] = pa[p];
+      outb[written] = pb[p];
+      ++written;
+    }
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&codes_b);
+  PyBuffer_Release(&a_b);
+  PyBuffer_Release(&b_b);
+  PyBuffer_Release(&outa_b);
+  PyBuffer_Release(&outb_b);
+  return PyLong_FromLongLong(static_cast<long long>(written));
+}
+
 PyMethodDef methods[] = {
     {"argsort_u64", argsort_u64, METH_VARARGS,
      "argsort_u64(keys, order_out): stable parallel argsort of uint64 "
@@ -333,6 +460,13 @@ PyMethodDef methods[] = {
     {"run_pairs", run_pairs, METH_VARARGS,
      "run_pairs(order, run_start, run_len, out_a, out_b) -> n: enumerate "
      "all unordered in-run candidate pairs (no distance filter)."},
+    {"merge_join_pairs", merge_join_pairs, METH_VARARGS,
+     "merge_join_pairs(keys_a, order_a, keys_b, order_b, self_join, "
+     "out_a, out_b) -> n (or -needed on overflow): equal-key cross "
+     "product pairs between two sorted key views."},
+    {"edit_filter_pairs", edit_filter_pairs, METH_VARARGS,
+     "edit_filter_pairs(codes_u8, L, a, b, max_dist, out_a, out_b) -> n: "
+     "keep candidate pairs within banded Levenshtein max_dist."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -384,16 +384,17 @@ def find_neighbor_pairs(
     if strategy == "auto":
         strategy = (
             "runs"
-            if metric == "hamming" and max_dist >= 1 and u > runs_threshold
+            if max_dist >= 1 and u > runs_threshold
             and word_length is not None
+            and (metric == "hamming" or _merge_join_native is not None)
             else "dense"
         )
     if strategy == "runs":
+        if metric == "edit":
+            return find_edit_pairs_shifted(
+                packed, max_dist, word_length=word_length)
         if metric != "hamming":
-            raise ValueError(
-                "runs strategy supports only the hamming metric "
-                "(see find_edit_pairs_shifted for the edit analogue)"
-            )
+            raise ValueError(f"runs strategy: unknown metric {metric!r}")
         return find_neighbor_pairs_runs(
             packed, max_dist, word_length=word_length, tile=tile,
             cap_row=cap_row, cap_total=cap_total, impl=impl,
@@ -717,6 +718,152 @@ def _big_run_pairs(packed, big_parts, max_dist, *, word_length, tile,
     ga = orders[pa // u_pad, pa % u_pad]
     gb = orders[pb // u_pad, pb % u_pad]
     return np.minimum(ga, gb), np.maximum(ga, gb)
+
+
+try:
+    from .._hostops import edit_filter_pairs as _edit_filter_native
+    from .._hostops import merge_join_pairs as _merge_join_native
+except ImportError:  # pragma: no cover - extension not built
+    _edit_filter_native = None
+    _merge_join_native = None
+
+
+def _segment_keys_at(packed: np.ndarray, word_length: int, lo: int,
+                     hi: int) -> np.ndarray:
+    """[U] uint64 keys of the bases at positions [lo, hi) of every word
+    (same bit layout as _segment_run_ids)."""
+    u, w = packed.shape
+    width = 2 * (hi - lo)
+    if w <= 2:
+        word64 = packed[:, 0].astype(np.uint64) << np.uint64(32)
+        if w == 2:
+            word64 |= packed[:, 1].astype(np.uint64)
+        return ((word64 >> np.uint64(64 - 2 * hi))
+                & np.uint64((1 << width) - 1))
+    from .. import words as W
+
+    codes = W.unpack_words(packed, word_length).astype(np.uint64)
+    k = np.zeros(u, np.uint64)
+    for c in range(lo, hi):
+        k = (k << np.uint64(2)) | codes[:, c]
+    return k
+
+
+def _edit_verify_host(codes: np.ndarray, a: np.ndarray, b: np.ndarray,
+                      max_dist: int):
+    """Keep candidate pairs within banded Levenshtein ``max_dist``
+    (native C banded DP; numpy-free fallback via the test oracle DP)."""
+    if len(a) == 0:
+        return a, b
+    if _edit_filter_native is not None:
+        oa = np.empty(len(a), np.int64)
+        ob = np.empty(len(a), np.int64)
+        n = _edit_filter_native(
+            np.ascontiguousarray(codes), codes.shape[1],
+            np.ascontiguousarray(a), np.ascontiguousarray(b),
+            int(max_dist), oa, ob)
+        return oa[:n].copy(), ob[:n].copy()
+    keep = np.zeros(len(a), bool)
+    for i in range(len(a)):  # pragma: no cover - fallback
+        keep[i] = _lev_py(codes[a[i]], codes[b[i]]) <= max_dist
+    return a[keep], b[keep]
+
+
+def _lev_py(x, y):  # pragma: no cover - fallback only
+    L = len(x)
+    row = list(range(L + 1))
+    for i in range(1, L + 1):
+        nrow = [i]
+        for j in range(1, L + 1):
+            nrow.append(min(row[j - 1] + (x[i - 1] != y[j - 1]),
+                            row[j] + 1, nrow[-1] + 1))
+        row = nrow
+    return row[L]
+
+
+def find_edit_pairs_shifted(
+    packed: np.ndarray,
+    max_dist: int,
+    *,
+    word_length: int,
+    join_cap: int = 1 << 26,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Subquadratic Levenshtein neighbour pairs via shifted segments.
+
+    Partition lemma with indels: in an alignment with <= m edits over
+    m+1 contiguous query segments, at least one segment is untouched, so
+    it appears EXACTLY in the partner word at its own position offset by
+    the indel balance d in [-m, m].  For every (segment, shift) the
+    equal-key pairs of (segment value at canonical position) x (segment
+    value at shifted position) are candidates, generated by a sorted
+    merge join (csrc/hostops.cpp) and verified with a banded
+    Levenshtein DP.  Candidates ~ real pairs + (m+1)(2m+1) *
+    U^2/4^(L/(m+1)) random collisions — subquadratic for typical word
+    lengths, replacing the dense O(U^2) edit tile scan
+    (findEditNeighbours, humid.cc:140-158).
+
+    ``join_cap`` bounds a single join's output; degenerate key spaces
+    (e.g. all-identical segments) exceeding it raise with advice to use
+    strategy="dense".
+    """
+    u, w = packed.shape
+    if u <= 1 or max_dist == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if _merge_join_native is None:
+        raise RuntimeError(
+            "shifted-segment edit search needs the native extension; "
+            "use strategy='dense'")
+
+    from .unique import _stable_argsort_u64
+    from .. import words as W
+
+    n_seg = max_dist + 1
+    bounds = [word_length * s // n_seg for s in range(n_seg + 1)]
+    codes = np.ascontiguousarray(
+        W.unpack_words(packed, word_length).astype(np.uint8))
+
+    # Canonical keys + sort orders, one per segment (reused across
+    # shifts); shifted keys sorted per (segment, shift).
+    parts_a, parts_b = [], []
+    for s in range(n_seg):
+        lo, hi = bounds[s], bounds[s + 1]
+        ka = _segment_keys_at(packed, word_length, lo, hi)
+        oa = _stable_argsort_u64(ka)
+        for d in range(-max_dist, max_dist + 1):
+            if lo + d < 0 or hi + d > word_length:
+                continue
+            if d == 0:
+                kb, ob, self_join = ka, oa, 1
+            else:
+                kb = _segment_keys_at(packed, word_length, lo + d, hi + d)
+                ob = _stable_argsort_u64(kb)
+                self_join = 0
+            cap = 1 << 20
+            while True:
+                outa = np.empty(cap, np.int64)
+                outb = np.empty(cap, np.int64)
+                n = _merge_join_native(
+                    np.ascontiguousarray(ka), np.ascontiguousarray(oa),
+                    np.ascontiguousarray(kb), np.ascontiguousarray(ob),
+                    self_join, outa, outb)
+                if n >= 0:
+                    break
+                if -n > join_cap:
+                    raise ValueError(
+                        f"shifted-segment join for (segment {s}, shift "
+                        f"{d}) needs {-n} candidate pairs (> join_cap="
+                        f"{join_cap}); the key space is degenerate — "
+                        "use strategy='dense'")
+                cap = 1 << int(-n - 1).bit_length()
+            parts_a.append(outa[:n].copy())
+            parts_b.append(outb[:n].copy())
+
+    a = np.concatenate(parts_a)
+    b = np.concatenate(parts_b)
+    if not len(a):
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    a, b = _dedupe_pairs(a, b)
+    return _edit_verify_host(codes, a, b, max_dist)
 
 
 def find_neighbor_pairs_bucketed(

@@ -139,3 +139,25 @@ def test_golden_midscale_production_paths(strategy, humid_ref, tmp_path,
     assert names == sorted(os.listdir(out_tpu))
     for name in names:
         assert _read(out_ref / name) == _read(out_tpu / name), name
+
+
+def test_golden_midscale_edit_shifted(humid_ref, tmp_path):
+    """20k-read -e case: the auto strategy is the shifted-segment edit
+    path (u > runs_threshold), byte-compared against the C++ baseline."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    fq = str(tmp_path / "edit.fastq")
+    bench.gen_dataset(fq, 20_000, read_len=60, seed=5)
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+    subprocess.run([humid_ref, "-d", str(out_ref), "-s", "-e", fq],
+                   check=True, capture_output=True)
+    from humid_tpu.cli import main
+    main(["-d", str(out_tpu), "-s", "-e", "-l", os.devnull, fq])
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_tpu))
+    for name in names:
+        assert _read(out_ref / name) == _read(out_tpu / name), name
