@@ -1,0 +1,23 @@
+# Developer entry points — `make check` is the gate every change must
+# pass, mirroring the reference's push-time CI (cpp-library.yml runs its
+# catch suite under valgrind on every push; here: the full pytest suite
+# on the CPU mesh plus the ASan rebuild of the native extensions).
+
+PY ?= python
+
+.PHONY: ext test memcheck bench check
+
+ext:
+	$(PY) setup.py build_ext --inplace
+
+test: ext
+	JAX_PLATFORMS=cpu $(PY) -m pytest tests/ -q
+
+memcheck: ext
+	./scripts/check_native.sh
+
+bench: ext
+	$(PY) bench.py
+
+check: test memcheck
+	@echo "check OK"

@@ -27,6 +27,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <ctime>
 #include <map>
 #include <memory>
 #include <string>
@@ -431,9 +432,28 @@ std::string record_str(const Record& r) {
 
 // ----------------------------------------------------------------------
 
+// Timing log in the reference's format (log.cc:4-15): "<msg>... " at
+// phase start, "done. (XmYs)\n" at phase end; nt-budget block after the
+// first phase (humid.cc:80-87).
+time_t start_message(FILE* f, const char* msg) {
+  if (f) {
+    fprintf(f, "%s... ", msg);
+    fflush(f);
+  }
+  return time(nullptr);
+}
+
+void end_message(FILE* f, time_t start) {
+  if (!f) return;
+  long d = long(time(nullptr) - start);
+  fprintf(f, "done. (%ldm%lds)\n", d / 60, d % 60);
+  fflush(f);
+}
+
 struct Args {
   int n = 24;
   int m = 1;
+  std::string log;
   std::string dir = ".";
   bool stats = false;
   bool dedup = true;
@@ -459,6 +479,8 @@ int main(int argc, char** argv) {
       a.n = atoi(argv[++i]);
     else if (s == "-m")
       a.m = atoi(argv[++i]);
+    else if (s == "-l")
+      a.log = argv[++i];
     else if (s == "-d")
       a.dir = argv[++i];
     else if (s == "-s")
@@ -479,7 +501,10 @@ int main(int argc, char** argv) {
     return 1;
   }
 
+  FILE* logf = a.log.empty() ? nullptr : fopen(a.log.c_str(), "w");
+
   // UMI peek on first record of first file (humid.cc:24-33).
+  time_t t_nt = start_message(logf, "Determing nucleotides to take");
   int umi_len = 0;
   {
     FastqIn in(a.files[0]);
@@ -489,10 +514,19 @@ int main(int argc, char** argv) {
   int umi_size = std::min(umi_len, a.n);
   int from_file = a.n > umi_len ? a.n - umi_len : 0;
   std::vector<int> take = nt_from_file(int(a.files.size()), from_file);
+  end_message(logf, t_nt);
+  if (logf) {
+    fprintf(logf, "  header: %d", umi_size);
+    for (size_t i = 0; i < a.files.size(); ++i)
+      fprintf(logf, "\n  %s: %d", a.files[i].c_str(), take[i]);
+    fprintf(logf, "\n");
+    fflush(logf);
+  }
 
   // Pass 1: build trie.
   Trie trie;
   int64_t total = 0, usable = 0;
+  time_t t_read = start_message(logf, "Reading data");
   {
     std::vector<std::unique_ptr<FastqIn>> owners;
     std::vector<FastqIn*> ins;
@@ -509,8 +543,12 @@ int main(int argc, char** argv) {
       trie.add(w.data);
     }
   }
+  end_message(logf, t_read);
 
   // Neighbour search (asymmetric; each unordered pair once).
+  time_t t_nb = start_message(
+      logf, a.edit ? "Calculating neighbours using Levenshtein distance"
+                   : "Calculating neighbours using Hamming distance");
   int64_t unique_words = 0;
   trie.walk([&](std::vector<uint8_t>& path, Leaf* leaf) {
     ++unique_words;
@@ -525,7 +563,12 @@ int main(int argc, char** argv) {
       trie.asym_hamming(path, a.m, on_hit);
   });
 
+  end_message(logf, t_nb);
+
   // Clustering (seeds in lexicographic order; ids from 1, humid.cc:177).
+  time_t t_cl = start_message(
+      logf, a.maximum ? "Calculating maximum clusters"
+                      : "Calculating directional clusters");
   std::vector<std::unique_ptr<Cluster>> clusters;
   trie.walk([&](std::vector<uint8_t>&, Leaf* leaf) {
     if (leaf->cluster) return;
@@ -538,17 +581,16 @@ int main(int argc, char** argv) {
       assign_directional(leaf, cl);
   });
 
-  // Pass 2: outputs.
-  if (a.dedup || a.annotate) {
-    std::vector<std::unique_ptr<Out>> douts, aouts;
-    if (a.dedup)
-      for (auto& f : a.files)
-        douts.push_back(std::make_unique<Out>(make_name(f, a.dir, "dedup")));
-    if (a.annotate)
-      for (auto& f : a.files)
-        aouts.push_back(
-            std::make_unique<Out>(make_name(f, a.dir, "annotated")));
+  end_message(logf, t_cl);
 
+  // Pass 2: outputs — two separate input passes exactly like the
+  // reference (writeFiltered humid.cc:203-241, then writeAnnotated
+  // humid.cc:251-292), each with its own log phase.
+  if (a.dedup) {
+    time_t t_out = start_message(logf, "Writing filtered results");
+    std::vector<std::unique_ptr<Out>> douts;
+    for (auto& f : a.files)
+      douts.push_back(std::make_unique<Out>(make_name(f, a.dir, "dedup")));
     std::vector<std::unique_ptr<FastqIn>> owners;
     std::vector<FastqIn*> ins;
     for (auto& f : a.files) {
@@ -559,29 +601,50 @@ int main(int argc, char** argv) {
     while (read_tuple(ins, &tuple)) {
       Word w = make_word(tuple, take, umi_size);
       Leaf* leaf = w.filtered ? nullptr : trie.find(w.data);
-      if (a.dedup && leaf && leaf->cluster->max_leaf == leaf &&
+      if (leaf && leaf->cluster->max_leaf == leaf &&
           !leaf->cluster->visited) {
         leaf->cluster->visited = true;
         for (size_t i = 0; i < tuple.size(); ++i)
           douts[i]->write(record_str(tuple[i]));
       }
-      if (a.annotate) {
-        int64_t cid = leaf ? leaf->cluster->id : 0;  // 0 = filtered
-        for (size_t i = 0; i < tuple.size(); ++i) {
-          Record r = tuple[i];
-          r.name += ":" + std::to_string(cid);
-          aouts[i]->write(record_str(r));
-        }
+    }
+    end_message(logf, t_out);
+  }
+  if (a.annotate) {
+    time_t t_ann = start_message(logf, "Writing annotated results");
+    std::vector<std::unique_ptr<Out>> aouts;
+    for (auto& f : a.files)
+      aouts.push_back(
+          std::make_unique<Out>(make_name(f, a.dir, "annotated")));
+    std::vector<std::unique_ptr<FastqIn>> owners;
+    std::vector<FastqIn*> ins;
+    for (auto& f : a.files) {
+      owners.push_back(std::make_unique<FastqIn>(f));
+      ins.push_back(owners.back().get());
+    }
+    std::vector<Record> tuple(a.files.size());
+    while (read_tuple(ins, &tuple)) {
+      Word w = make_word(tuple, take, umi_size);
+      Leaf* leaf = w.filtered ? nullptr : trie.find(w.data);
+      int64_t cid = leaf ? leaf->cluster->id : 0;  // 0 = filtered
+      for (size_t i = 0; i < tuple.size(); ++i) {
+        Record r = tuple[i];
+        r.name += ":" + std::to_string(cid);
+        aouts[i]->write(record_str(r));
       }
     }
+    end_message(logf, t_ann);
   }
 
   if (a.stats) {
+    time_t t_st = start_message(logf,
+                                "Calculating count and neighbour stats");
     std::map<int64_t, int64_t> counts, neigh, sizes;
     trie.walk([&](std::vector<uint8_t>&, Leaf* leaf) {
       counts[leaf->count]++;
       neigh[int64_t(leaf->neighbours.size())]++;
     });
+    end_message(logf, t_st);
     for (auto& c : clusters) sizes[c->size]++;
     auto dump = [&](const char* name, std::map<int64_t, int64_t>& m) {
       Out o(a.dir + "/" + name);
@@ -598,6 +661,7 @@ int main(int argc, char** argv) {
     s.write("unique: " + std::to_string(unique_words) + "\n");
     s.write("clusters: " + std::to_string(int64_t(clusters.size())) + "\n");
   }
+  if (logf) fclose(logf);
   fprintf(stderr, "total=%lld usable=%lld unique=%lld clusters=%zu\n",
           (long long)total, (long long)usable, (long long)unique_words,
           clusters.size());

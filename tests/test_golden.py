@@ -161,3 +161,28 @@ def test_golden_midscale_edit_shifted(humid_ref, tmp_path):
     assert names == sorted(os.listdir(out_tpu))
     for name in names:
         assert _read(out_ref / name) == _read(out_tpu / name), name
+
+
+def test_golden_log_structure(humid_ref, tmp_path):
+    """The -l log matches the reference's format line for line
+    (log.cc:4-15 phase lines + the nt-budget block, humid.cc:80-87),
+    with the variable (XmYs) timings normalized (VERDICT r1 item 7)."""
+    import re
+
+    gen_dataset(np.random.default_rng(55), str(tmp_path), n_reads=300,
+                n_files=2, umi_style="underscore")
+    files = [str(tmp_path / f"file{i}.fastq") for i in range(2)]
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+    log_ref = str(tmp_path / "ref.log")
+    log_tpu = str(tmp_path / "tpu.log")
+    subprocess.run(
+        [humid_ref, "-d", str(out_ref), "-s", "-a", "-l", log_ref,
+         *files], check=True, capture_output=True)
+    from humid_tpu.cli import main
+    main(["-d", str(out_tpu), "-s", "-a", "-l", log_tpu, *files])
+
+    norm = lambda s: re.sub(r"\(\d+m\d+s\)", "(XmYs)", s)
+    assert norm(open(log_ref).read()) == norm(open(log_tpu).read())

@@ -130,3 +130,78 @@ def test_concat_segments_final_segment_without_newline():
                           np.array([5, 5], np.int64),
                           np.array([1, 0], np.uint8))
     assert bytes(got) == b"HELLO\nWORLD"
+
+
+def test_native_hostops_pair_primitives():
+    """Exercise the _hostops pair primitives (also under the ASan gate):
+    radix argsort stability, run_pairs_hamming, merge_join_pairs
+    overflow/retry, edit_filter_pairs banded DP."""
+    from humid_tpu import _hostops
+
+    rng = np.random.default_rng(9)
+    # radix argsort == numpy stable argsort (with duplicate keys)
+    keys = rng.integers(0, 1 << 20, 1 << 16, dtype=np.uint64)
+    order = np.empty(len(keys), np.int64)
+    _hostops.argsort_u64(keys, order)
+    np.testing.assert_array_equal(order, np.argsort(keys, kind="stable"))
+
+    # run_pairs_hamming on a hand-built run
+    words = np.array([0b00, 0b01, 0b11, 0b00], np.uint64)
+    order = np.array([0, 1, 2, 3], np.int64)
+    rs = np.array([0], np.int64)
+    rl = np.array([4], np.int64)
+    oa = np.empty(6, np.int64)
+    ob = np.empty(6, np.int64)
+    n = _hostops.run_pairs_hamming(words, order, rs, rl, 1, oa, ob)
+    got = sorted(zip(oa[:n], ob[:n]))
+    # distances: d(0,1)=1 d(0,2)=1(2-bit=1 base) d(0,3)=0 d(1,2)=1 d(1,3)=1 d(2,3)=1
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+    # merge_join_pairs: -needed on overflow, then exact pairs.  Key-5
+    # block crosses A rows {0,1} x B rows {0,2}; (0,0) is the same row
+    # on both sides and is skipped, leaving (0,2), (1,0), (1,2)
+    # normalized to (0,1), (0,2), (1,2).
+    ka = np.array([5, 5, 7], np.uint64)
+    kb = np.array([5, 9, 5], np.uint64)
+    oa_ = np.argsort(ka, kind="stable").astype(np.int64)
+    ob_ = np.argsort(kb, kind="stable").astype(np.int64)
+    tiny_a = np.empty(1, np.int64)
+    tiny_b = np.empty(1, np.int64)
+    n = _hostops.merge_join_pairs(ka, oa_, kb, ob_, 0, tiny_a, tiny_b)
+    assert n == -3
+    outa = np.empty(3, np.int64)
+    outb = np.empty(3, np.int64)
+    n = _hostops.merge_join_pairs(ka, oa_, kb, ob_, 0, outa, outb)
+    assert n == 3
+    assert sorted(zip(outa[:n], outb[:n])) == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_native_merge_join_self_skip_and_edit_filter():
+    from humid_tpu import _hostops
+
+    # self pairs (a == b index) are skipped; self_join emits i<j once
+    ka = np.array([5, 5, 5], np.uint64)
+    oa = np.argsort(ka, kind="stable").astype(np.int64)
+    outa = np.empty(8, np.int64)
+    outb = np.empty(8, np.int64)
+    n = _hostops.merge_join_pairs(ka, oa, ka, oa, 1, outa, outb)
+    assert sorted(zip(outa[:n], outb[:n])) == [(0, 1), (0, 2), (1, 2)]
+
+    # edit_filter_pairs: shifted word within distance 1, random far pair
+    codes = np.array([
+        [0, 1, 2, 3, 0, 1],
+        [1, 0, 1, 2, 3, 0],   # right-shift of row 0 -> edit dist 2 (del+ins)? verified below
+        [0, 1, 2, 3, 0, 2],   # 1 substitution vs row 0
+        [3, 3, 3, 3, 3, 3],
+    ], np.uint8)
+    a = np.array([0, 0, 0], np.int64)
+    b = np.array([1, 2, 3], np.int64)
+    oa2 = np.empty(3, np.int64)
+    ob2 = np.empty(3, np.int64)
+    n = _hostops.edit_filter_pairs(codes, 6, a, b, 2, oa2, ob2)
+    kept = sorted(zip(oa2[:n], ob2[:n]))
+    from oracle import _levenshtein
+    expect = sorted(
+        (int(x), int(y)) for x, y in zip(a, b)
+        if _levenshtein(tuple(codes[x]), tuple(codes[y])) <= 2)
+    assert kept == expect
