@@ -1,6 +1,10 @@
 from .mesh import data_mesh, shard_rows, replicate
 from .neighbors import sharded_neighbor_pairs
-from .labelprop import distributed_components, dedup_step
+from .labelprop import (
+    dedup_step,
+    distributed_components,
+    distributed_components_node_sharded,
+)
 from .pipeline import run_distributed, run_sharded
 
 __all__ = [
@@ -9,6 +13,7 @@ __all__ = [
     "replicate",
     "sharded_neighbor_pairs",
     "distributed_components",
+    "distributed_components_node_sharded",
     "dedup_step",
     "run_distributed",
     "run_sharded",

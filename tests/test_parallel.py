@@ -112,3 +112,43 @@ def test_pipeline_sharded_strategy(tmp_path):
               neighbor_opts={"strategy": "sharded"})
     np.testing.assert_array_equal(got.labels, ref.labels)
     assert got.clusters == ref.clusters
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 3, 8])
+def test_node_sharded_components_match_replicated(n_dev):
+    """Node-sharded label propagation (O(U/D) label memory) produces the
+    same labels as the replicated variant (VERDICT r1 item 6)."""
+    from humid_tpu.parallel.labelprop import (
+        distributed_components_node_sharded,
+    )
+
+    rng = np.random.default_rng(23)
+    num_nodes = 700
+    a = rng.integers(0, num_nodes, 500)
+    b = rng.integers(0, num_nodes, 500)
+    keep = a != b
+    a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    mesh = data_mesh(n_dev)
+    got = distributed_components_node_sharded(a, b, num_nodes, mesh=mesh)
+    ref = connected_components_device(
+        a.astype(np.int32), b.astype(np.int32), num_nodes
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_node_sharded_components_edge_cases():
+    from humid_tpu.parallel.labelprop import (
+        distributed_components_node_sharded,
+    )
+
+    mesh = data_mesh(4)
+    # no edges
+    got = distributed_components_node_sharded(
+        np.zeros(0, np.int64), np.zeros(0, np.int64), 37, mesh=mesh)
+    np.testing.assert_array_equal(got, np.arange(37))
+    # single chain crossing every shard boundary
+    n = 64
+    a = np.arange(n - 1)
+    b = np.arange(1, n)
+    got = distributed_components_node_sharded(a, b, n, mesh=mesh)
+    np.testing.assert_array_equal(got, np.zeros(n, np.int32))
