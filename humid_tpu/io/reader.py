@@ -191,6 +191,49 @@ def _frame_chunk(buf: np.ndarray, skip_nl: int):
     return h, starts, ends, off
 
 
+class _Readahead:
+    """Bounded read-ahead thread over a byte stream, so gzip inflation
+    overlaps the consumer's framing/packing (both sides release the
+    GIL)."""
+
+    def __init__(self, stream, chunk_bytes: int, depth: int = 4):
+        import queue
+        import threading
+
+        self._stream = stream
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            try:
+                while not self._stop.is_set():
+                    data = stream.read(chunk_bytes)
+                    self._q.put(data)
+                    if not data:
+                        return
+            except BaseException as e:
+                self._q.put(e)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def read(self, _n: int = -1) -> bytes:
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._t.join(timeout=5)
+        self._stream.close()
+
+
 class FastqReader:
     """Chunked FastQ reader yielding :class:`FastqBatch` objects."""
 
@@ -200,38 +243,62 @@ class FastqReader:
         self.chunk_bytes = chunk_bytes
         self.frame_workers = frame_workers
 
+    # Gzip files up to this COMPRESSED size are inflated in one
+    # libdeflate call (2-3x faster than streaming zlib) and framed by
+    # the parallel path; larger ones stream (bounded memory).
+    _GZ_ONESHOT_MAX = 256 * 1024 * 1024
+
+    def _materialize(self) -> np.ndarray | None:
+        """Whole file as a uint8 buffer when that is cheap: plain files
+        via mmap (zero-copy, page-cache backed), moderate gzip files via
+        one-shot libdeflate.  None -> use the streaming path."""
+        try:
+            f = open(self.path, "rb")
+        except OSError:
+            return None
+        try:
+            if f.read(2) != b"\x1f\x8b":
+                import mmap as _mmap
+
+                try:
+                    mm = _mmap.mmap(f.fileno(), 0, prot=_mmap.PROT_READ)
+                except (ValueError, OSError):
+                    return None  # empty file or unmappable stream
+                return np.frombuffer(mm, np.uint8)
+            import os as _os
+
+            if _os.fstat(f.fileno()).st_size <= self._GZ_ONESHOT_MAX:
+                try:
+                    from ._fastqio import gzip_decompress
+                except ImportError:
+                    return None
+                f.seek(0)
+                raw = gzip_decompress(f.read())
+                if raw is not None:
+                    return np.frombuffer(raw, np.uint8)
+            return None
+        finally:
+            f.close()
+
     def batches(self) -> Iterator[FastqBatch]:
         if (self.frame_workers > 1 and _scan_frames_native is not None
                 and _count_newlines_native is not None):
-            try:
-                f = open(self.path, "rb")
-            except OSError:
-                f = None
-            if f is not None:
-                if f.read(2) != b"\x1f\x8b":
-                    import mmap as _mmap
-
-                    try:
-                        mm = _mmap.mmap(f.fileno(), 0,
-                                        prot=_mmap.PROT_READ)
-                    except (ValueError, OSError):
-                        mm = None  # empty file or unmappable stream
-                    if mm is not None:
-                        f.close()
-                        yield from self._batches_parallel(mm)
-                        return
-                f.close()
+            full = self._materialize()
+            if full is not None:
+                yield from self._batches_parallel(full)
+                return
         yield from self._batches_sequential()
 
-    def _batches_parallel(self, mm) -> Iterator[FastqBatch]:
-        """Plain-file reading with chunk framing fanned out to a thread
-        pool over a shared memory map.
+    def _batches_parallel(self, full: np.ndarray) -> Iterator[FastqBatch]:
+        """Whole-buffer reading with chunk framing fanned out to a
+        thread pool (buffer = mmap of a plain file or a one-shot-
+        inflated gzip).
 
-        The producer walks fixed chunk ranges of the mapping, tracking
+        The producer walks fixed chunk ranges of the buffer, tracking
         the cumulative newline count (memchr-speed) so each chunk's
         record phase is known at submit time; workers frame their chunk
         independently; results are consumed in order.  All batches are
-        zero-copy views of the mapping, and the record straddling a
+        zero-copy views of the buffer, and the record straddling a
         chunk boundary is just the contiguous slice between the previous
         chunk's last complete record and the next chunk's first — no
         assembly buffers.
@@ -239,7 +306,6 @@ class FastqReader:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        full = np.frombuffer(mm, np.uint8)
         total = len(full)
         tail_start = 0  # file offset of the straddling record's first byte
         nl_total = 0
@@ -290,6 +356,8 @@ class FastqReader:
 
     def _batches_sequential(self) -> Iterator[FastqBatch]:
         stream = _open_stream(self.path)
+        if isinstance(stream, gzip.GzipFile) and self.frame_workers > 1:
+            stream = _Readahead(stream, self.chunk_bytes)
         leftover = b""
         avg_rec = 0.0  # running bytes/record -> single-pass scan capacity
         try:

@@ -120,27 +120,65 @@ def build_records_annotated(
     return _build_output(src, seg_start.ravel(), seg_len.ravel(), nl_after)
 
 
+def compress_member(out: np.ndarray, compression: int = 4) -> bytes:
+    """One deterministic gzip member for a record buffer.  Members
+    concatenate into a valid multi-member gzip stream, which lets
+    writers compress batches on a thread pool instead of through one
+    serial stream (zlib releases the GIL)."""
+    return gzip.compress(bytes(out.data), compression, mtime=0)
+
+
 class FastqWriter:
+    """FastQ output writer.
+
+    Gzip outputs are written as a sequence of independent gzip members
+    (one per batch) — a valid gzip stream whose decompressed content is
+    byte-identical to the reference's single-stream output, and whose
+    compression parallelizes across batches (see
+    :func:`compress_member` and pipeline._pipelined_write).
+    """
+
     def __init__(self, path: str, compression: int = 4,
                  compress: bool | None = None):
         """``compress`` None infers gzip from a ``.gz`` suffix; pass an
         explicit bool for files whose name hides the format (e.g. the
         multi-host ``.partNNNNN`` shards)."""
         self.path = path
-        if compress is None:
-            compress = path.endswith(".gz")
-        if compress:
-            self._f = gzip.open(path, "wb", compresslevel=compression)
-        else:
-            self._f = open(path, "wb")
+        self.compression = compression
+        self.is_gz = (path.endswith(".gz") if compress is None
+                      else compress)
+        self._f = open(path, "wb")
+        self._wrote = False
 
     def write_bytes(self, data: bytes) -> None:
+        """Write raw record bytes (compressed into a member for gz)."""
+        if not data:
+            return
+        if self.is_gz:
+            data = gzip.compress(data, self.compression, mtime=0)
         self._f.write(data)
+        self._wrote = True
+
+    def write_payload(self, payload) -> None:
+        """Write an already-finalized payload: ``bytes`` are assumed to
+        be a complete gzip member (or raw bytes for plain files); numpy
+        buffers are raw records, compressed here if needed."""
+        if isinstance(payload, (bytes, bytearray)):
+            if len(payload):
+                self._f.write(payload)
+                self._wrote = True
+            return
+        self.write_array(payload)
 
     def write_array(self, out: np.ndarray) -> None:
         """Write a pre-assembled record buffer (no copy for plain files)."""
-        if len(out):
+        if not len(out):
+            return
+        if self.is_gz:
+            self._f.write(compress_member(out, self.compression))
+        else:
             self._f.write(out.data)
+        self._wrote = True
 
     def write_records(self, batch: FastqBatch, indices: np.ndarray) -> None:
         """Write the selected records of a batch in index order."""
@@ -154,6 +192,9 @@ class FastqWriter:
         self.write_array(build_records_annotated(batch, cluster_ids))
 
     def close(self) -> None:
+        if self.is_gz and not self._wrote:
+            # An empty gzip file must still be a valid (empty) member.
+            self._f.write(gzip.compress(b"", self.compression, mtime=0))
         self._f.close()
 
     def __enter__(self):

@@ -317,28 +317,46 @@ def run(
     return res
 
 
-def _pipelined_write(source, names, build_one, build_workers: int = 2):
+def _pipelined_write(source, names, build_one,
+                     build_workers: int | None = None):
     """Drive an output pass with builds overlapped against writes.
 
     ``build_one(batches) -> list[np.ndarray]`` (one record buffer per
     file) runs on a thread pool (record assembly is GIL-releasing native
-    gather); the main thread writes completed buffers in order.  Bounded
-    in-flight futures keep memory proportional to the pool size.
+    gather); gzip outputs are also compressed on the pool, each batch
+    becoming an independent gzip member (valid multi-member stream with
+    byte-identical decompressed content).  The main thread writes
+    completed payloads in order; bounded in-flight futures keep memory
+    proportional to the pool size.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    from .io.writer import compress_member
+
     writers = [FastqWriter(n) for n in names]
+    if build_workers is None:
+        # Gzip outputs spend their time in member compression — give
+        # them the whole pool; plain outputs are gather-bound.
+        build_workers = 4 if any(w.is_gz for w in writers) else 2
+
+    def _build_and_pack(item):
+        outs = build_one(item)
+        return [
+            compress_member(o, w.compression)
+            if w.is_gz and len(o) else o
+            for w, o in zip(writers, outs)
+        ]
 
     def _flush(fut):
         for w, out in zip(writers, fut.result()):
-            w.write_array(out)
+            w.write_payload(out)
 
     try:
         with ThreadPoolExecutor(max_workers=build_workers) as ex:
             inflight: deque = deque()
             for batches in source:
-                inflight.append(ex.submit(build_one, batches))
+                inflight.append(ex.submit(_build_and_pack, batches))
                 while len(inflight) > build_workers + 1:
                     _flush(inflight.popleft())
             while inflight:
