@@ -105,7 +105,9 @@ def _edit_block_impl(rows, cols, row_off, col_off, cap: int,
 def edit_block(rows, cols, row_off, col_off, max_dist, cap: int,
                word_length: int):
     """Levenshtein analogue of hamming_block_xor; max_dist must be a host
-    int (band width is a static shape parameter)."""
+    int (band width is a static shape parameter).  Test oracle for the
+    dense edit scan and the shifted-segment path — the pipeline drives
+    find_neighbor_pairs(metric="edit")."""
     return _edit_block_impl(
         rows, cols, row_off, col_off, cap, word_length, int(max_dist)
     )

@@ -14,6 +14,12 @@ bases differ.  Two equivalent device paths are provided:
   dist = L - matches.  Wins when word length is large and the MXU is idle.
 
 Both are exact integer computations.
+
+Role: these standalone block kernels are the REFERENCE ORACLES for the
+production paths (the fused tile scan in :mod:`.neighbors`, the Pallas
+sweep, and the runs-strategy host filter are all tested against them)
+and the building blocks of ``__graft_entry__``'s compile check; the
+pipeline itself drives :func:`humid_tpu.ops.find_neighbor_pairs`.
 """
 
 from __future__ import annotations
