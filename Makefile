@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: ext test memcheck bench check
+.PHONY: ext test memcheck bench check docs
 
 ext:
 	$(PY) setup.py build_ext --inplace
@@ -21,3 +21,8 @@ bench: ext
 
 check: test memcheck
 	@echo "check OK"
+
+# The reference regenerates docs/cli.rst by running `./humid -h`
+# (src/Makefile:49-50); same idea here.
+docs:
+	JAX_PLATFORMS=cpu $(PY) -m humid_tpu -h > docs/cli-help.txt

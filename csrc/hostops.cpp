@@ -309,22 +309,55 @@ PyObject* run_pairs_hamming(PyObject* /*self*/, PyObject* args) {
   int64_t written = 0;
   bool overflow = false;
   Py_BEGIN_ALLOW_THREADS;
-  for (Py_ssize_t r = 0; r < nruns && !overflow; ++r) {
-    const int64_t s = rs[r], len = rl[r];
-    for (int64_t i = 0; i < len; ++i) {
-      const int64_t a = order[s + i];
-      const uint64_t wa = words[a];
-      for (int64_t j = i + 1; j < len; ++j) {
-        const int64_t b = order[s + j];
-        if (base_diff(wa, words[b]) <= max_dist) {
-          if (written >= cap) { overflow = true; break; }
-          oa[written] = a < b ? a : b;
-          ob[written] = a < b ? b : a;
-          ++written;
+  // Parallel over runs with thread-local match buffers; each thread
+  // reserves a contiguous output slice when its buffer fills.  Output
+  // order is irrelevant (the caller dedupes + sorts the union).
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+  {
+    std::vector<int64_t> la, lb;
+    la.reserve(1 << 14);
+    lb.reserve(1 << 14);
+    auto flush = [&]() {
+      if (la.empty()) return;
+      int64_t off;
+#if defined(_OPENMP)
+#pragma omp critical(rph_reserve)
+#endif
+      {
+        off = written;
+        written += static_cast<int64_t>(la.size());
+      }
+      if (written > cap) {
+        overflow = true;  // benign race: any writer may set it
+      } else {
+        std::memcpy(oa + off, la.data(), la.size() * sizeof(int64_t));
+        std::memcpy(ob + off, lb.data(), lb.size() * sizeof(int64_t));
+      }
+      la.clear();
+      lb.clear();
+    };
+#if defined(_OPENMP)
+#pragma omp for schedule(dynamic, 16) nowait
+#endif
+    for (Py_ssize_t r = 0; r < nruns; ++r) {
+      if (overflow) continue;
+      const int64_t s = rs[r], len = rl[r];
+      for (int64_t i = 0; i < len; ++i) {
+        const int64_t a = order[s + i];
+        const uint64_t wa = words[a];
+        for (int64_t j = i + 1; j < len; ++j) {
+          const int64_t b = order[s + j];
+          if (base_diff(wa, words[b]) <= max_dist) {
+            la.push_back(a < b ? a : b);
+            lb.push_back(a < b ? b : a);
+          }
         }
       }
-      if (overflow) break;
+      if (la.size() >= (1 << 14)) flush();
     }
+    flush();
   }
   Py_END_ALLOW_THREADS;
   PyBuffer_Release(&words_b);
