@@ -32,10 +32,30 @@ namespace {
 // histograms, digit-major exclusive prefix (which preserves stability),
 // parallel scatter.  ~5-10x faster than comparison stable_sort at
 // n >= 1e6 on a few cores.
+// Grow-only scratch reused across calls (first-touch page zeroing of
+// multi-GB buffers costs seconds at WGS scale).  thread_local: the runs
+// strategy sorts partitions from concurrent Python threads.
+struct RadixArena {
+  std::vector<uint64_t> k0, k1;
+  std::vector<int64_t> i0, i1;
+  void ensure(Py_ssize_t n) {
+    if (static_cast<Py_ssize_t>(k0.size()) < n) {
+      k0.resize(n);
+      k1.resize(n);
+      i0.resize(n);
+      i1.resize(n);
+    }
+  }
+};
+
 void radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
                        uint64_t* sorted_keys = nullptr) {
-  std::vector<uint64_t> kbuf0(n), kbuf1(n);
-  std::vector<int64_t> ibuf0(n), ibuf1(n);
+  thread_local RadixArena arena;
+  arena.ensure(n);
+  auto& kbuf0 = arena.k0;
+  auto& kbuf1 = arena.k1;
+  auto& ibuf0 = arena.i0;
+  auto& ibuf1 = arena.i1;
   uint64_t orall = 0, andall = ~0ull;
 #if defined(_OPENMP)
 #pragma omp parallel for reduction(|:orall) reduction(&:andall)
@@ -157,13 +177,15 @@ PyObject* argsort_u64(PyObject* /*self*/, PyObject* args) {
 // Returns k (number of distinct keys).
 PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
   Py_buffer keys_b, order_b, gs_b, cnt_b, fo_b, inv_b;
-  if (!PyArg_ParseTuple(args, "y*w*w*w*w*w*", &keys_b, &order_b, &gs_b,
-                        &cnt_b, &fo_b, &inv_b)) {
+  long want_inv = 1;
+  if (!PyArg_ParseTuple(args, "y*w*w*w*w*w*|l", &keys_b, &order_b, &gs_b,
+                        &cnt_b, &fo_b, &inv_b, &want_inv)) {
     return nullptr;
   }
   const Py_ssize_t n = keys_b.len / 8;
   bool ok = order_b.len / 8 >= n && gs_b.len / 8 >= n &&
-            cnt_b.len / 8 >= n && fo_b.len / 8 >= n && inv_b.len / 8 >= n;
+            cnt_b.len / 8 >= n && fo_b.len / 8 >= n &&
+            (!want_inv || inv_b.len / 8 >= n);
   Py_ssize_t k = 0;
   if (ok && n > 0) {
     const uint64_t* keys = static_cast<const uint64_t*>(keys_b.buf);
@@ -178,7 +200,11 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
       // group-structure pass: per-block group counts -> block prefix ->
       // per-block emit (the sequential loop dominated unique time at
       // 30M+ keys).
-      std::vector<uint64_t> skeys(n);
+      thread_local std::vector<uint64_t> skeys_arena;
+      if (static_cast<Py_ssize_t>(skeys_arena.size()) < n) {
+        skeys_arena.resize(n);
+      }
+      std::vector<uint64_t>& skeys = skeys_arena;
       radix_argsort_u64(keys, order, n, skeys.data());
       int nt = 1;
 #if defined(_OPENMP)
@@ -218,13 +244,23 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
         const Py_ssize_t lo = t * chunk;
         const Py_ssize_t hi = std::min(n, lo + chunk);
         int64_t g = block_off[t];
-        for (Py_ssize_t i = lo; i < hi; ++i) {
-          if ((i == 0) || (skeys[i] != skeys[i - 1])) {
-            gs[g] = i;
-            fo[g] = order[i];  // stable sort: group start == first occ
-            ++g;
+        if (want_inv) {
+          for (Py_ssize_t i = lo; i < hi; ++i) {
+            if ((i == 0) || (skeys[i] != skeys[i - 1])) {
+              gs[g] = i;
+              fo[g] = order[i];  // stable sort: group start == first occ
+              ++g;
+            }
+            inv[order[i]] = g - 1;
           }
-          inv[order[i]] = g - 1;
+        } else {
+          for (Py_ssize_t i = lo; i < hi; ++i) {
+            if ((i == 0) || (skeys[i] != skeys[i - 1])) {
+              gs[g] = i;
+              fo[g] = order[i];
+              ++g;
+            }
+          }
         }
       }
 #if defined(_OPENMP)
@@ -241,7 +277,7 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
       uint64_t prev = keys[order[0]];
       gs[0] = 0;
       fo[0] = order[0];
-      inv[order[0]] = 0;
+      if (want_inv) inv[order[0]] = 0;
       k = 1;
       for (Py_ssize_t i = 1; i < n; ++i) {
         const int64_t oi = order[i];
@@ -253,7 +289,7 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
           prev = key;
           ++k;
         }
-        inv[oi] = k - 1;
+        if (want_inv) inv[oi] = k - 1;
       }
       cnt[k - 1] = n - gs[k - 1];
     }

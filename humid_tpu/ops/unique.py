@@ -19,18 +19,20 @@ except ImportError:  # pragma: no cover - extension not built
     _unique_u64 = None
 
 
-def _unique_by_key_native(packed: np.ndarray, key: np.ndarray):
+def _unique_by_key_native(packed: np.ndarray, key: np.ndarray,
+                          want_inverse: bool = True):
     """Fused native sort + group structure (csrc/hostops.cpp)."""
     n = len(key)
     order = np.empty(n, np.int64)
     group_start = np.empty(n, np.int64)
     counts = np.empty(n, np.int64)
     first_occ = np.empty(n, np.int64)
-    inverse = np.empty(n, np.int64)
+    inverse = np.empty(n if want_inverse else 1, np.int64)
     k = _unique_u64(np.ascontiguousarray(key), order, group_start,
-                    counts, first_occ, inverse)
+                    counts, first_occ, inverse, int(want_inverse))
     uniq = packed[order[group_start[:k]]]
-    return uniq, counts[:k].copy(), first_occ[:k].copy(), inverse
+    return (uniq, counts[:k].copy(), first_occ[:k].copy(),
+            inverse if want_inverse else None)
 
 
 def _stable_argsort_u64(key: np.ndarray) -> np.ndarray:
@@ -41,11 +43,15 @@ def _stable_argsort_u64(key: np.ndarray) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
-def unique_words(packed: np.ndarray):
+def unique_words(packed: np.ndarray, want_inverse: bool = True):
     """Group identical fingerprints.
 
     Args:
       packed: [N, W] uint32 fingerprint lanes (unfiltered words only).
+      want_inverse: skip building the [N] row->unique map when the
+        caller doesn't need per-read labels (dedup-only runs) — the
+        random-scatter inverse write is a large share of unique time at
+        WGS scale.
 
     Returns:
       uniq:       [U, W] uint32, ascending lexicographic order.
@@ -54,7 +60,8 @@ def unique_words(packed: np.ndarray):
       first_occ:  [U]   int64 index (into the N input rows) of the first
                   occurrence of each unique word in input order — the
                   representative the dedup writer emits (humid.cc:224-231).
-      inverse:    [N]   int64 mapping row -> unique index.
+      inverse:    [N]   int64 mapping row -> unique index (None when
+                  ``want_inverse`` is False).
     """
     n, w = packed.shape
     if n == 0:
@@ -73,7 +80,7 @@ def unique_words(packed: np.ndarray):
         else:
             key = (packed[:, 0].astype(np.uint64) << np.uint64(32)) | \
                 packed[:, 1].astype(np.uint64)
-        return _unique_by_key_native(packed, key)
+        return _unique_by_key_native(packed, key, want_inverse)
     if w == 1:
         order = _stable_argsort_u64(packed[:, 0].astype(np.uint64))
     elif w == 2:
@@ -93,7 +100,10 @@ def unique_words(packed: np.ndarray):
     # lexsort is stable -> within a group original indices ascend, so the
     # group's first sorted element is the first occurrence in input order.
     first_occ = order[group_start].astype(np.int64)
-    gid = np.cumsum(new_group) - 1
-    inverse = np.empty(n, dtype=np.int64)
-    inverse[order] = gid
+    if want_inverse:
+        gid = np.cumsum(new_group) - 1
+        inverse = np.empty(n, dtype=np.int64)
+        inverse[order] = gid
+    else:
+        inverse = None
     return uniq, counts, first_occ, inverse

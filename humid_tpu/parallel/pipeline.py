@@ -110,7 +110,8 @@ def _compute_sharded(
     )
     usable = packed[~filtered]
     local_to_read = np.flatnonzero(~filtered) + lo
-    uniq_l, counts_l, first_l, _ = unique_words(usable)
+    uniq_l, counts_l, first_l, _ = unique_words(usable,
+                                                want_inverse=False)
     first_global = (local_to_read[first_l] if len(first_l)
                     else first_l)
 

@@ -221,7 +221,11 @@ def run(
     _t_uni = _time.time()
     any_filtered = bool(filtered.any())
     usable_packed = packed[~filtered] if any_filtered else packed
-    uniq, counts, first_occ_usable, inverse = unique_words(usable_packed)
+    # The row->unique inverse (and with it the per-read cluster-id
+    # vector) is only needed for annotated output; skipping it saves a
+    # 100M-row random scatter + gather at WGS scale.
+    uniq, counts, first_occ_usable, inverse = unique_words(
+        usable_packed, want_inverse=write_annotated)
     log.timings.append(("unique counting", _time.time() - _t_uni))
     res.unique = len(uniq)
     res.counts = counts
@@ -277,13 +281,16 @@ def run(
         rep_reads = np.zeros(0, np.int64)
     res.rep_reads = rep_reads
 
-    # Per-read cluster id (0 for filtered reads; humid.cc:271-278).
-    if res.unique and usable_to_read is None:
-        cluster_of_read = cl.labels[inverse]
-    else:
-        cluster_of_read = np.zeros(res.total, dtype=np.int64)
-        if res.unique:
-            cluster_of_read[usable_to_read] = cl.labels[inverse]
+    # Per-read cluster id (0 for filtered reads; humid.cc:271-278),
+    # only materialized for annotated output.
+    cluster_of_read = None
+    if write_annotated:
+        if res.unique and usable_to_read is None:
+            cluster_of_read = cl.labels[inverse]
+        else:
+            cluster_of_read = np.zeros(res.total, dtype=np.int64)
+            if res.unique:
+                cluster_of_read[usable_to_read] = cl.labels[inverse]
     res.cluster_of_read = cluster_of_read
 
     # --- pass 2: outputs ---

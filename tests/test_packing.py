@@ -40,3 +40,27 @@ def test_unique_words_counts_and_first_occurrence():
     assert counts.tolist() == [3, 1, 2]
     assert first_occ.tolist() == [0, 3, 1]
     assert inverse.tolist() == [0, 2, 0, 1, 0, 2]
+
+
+def test_unique_words_without_inverse():
+    """want_inverse=False returns identical uniq/counts/first_occ and a
+    None inverse (both native and fallback paths)."""
+    from humid_tpu.ops import unique_words
+
+    rng = np.random.default_rng(8)
+    packed = rng.integers(0, 50, (40_000, 2), dtype=np.int64).astype(
+        np.uint32)
+    u1, c1, f1, inv = unique_words(packed)
+    u2, c2, f2, no_inv = unique_words(packed, want_inverse=False)
+    assert no_inv is None and inv is not None
+    np.testing.assert_array_equal(u1, u2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(f1, f2)
+    # wide-word fallback path
+    packed3 = rng.integers(0, 3, (500, 3), dtype=np.int64).astype(np.uint32)
+    u1, c1, f1, inv = unique_words(packed3)
+    u2, c2, f2, no_inv = unique_words(packed3, want_inverse=False)
+    assert no_inv is None
+    np.testing.assert_array_equal(u1, u2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(f1, f2)
