@@ -157,3 +157,18 @@ def test_distributed_outputs_gz_and_modes(tmp_path):
         a = gzip.open(str(ref_dir / f)).read()
         b = gzip.open(str(sh_dir / f)).read()
         assert a == b, f"{f} content differs"
+
+
+def test_distributed_edit_outputs(tmp_path):
+    """Sharded -e run matches the single-host edit pipeline's files."""
+    gen_dataset(np.random.default_rng(17), str(tmp_path), n_reads=300,
+                n_files=1, umi_style="none", ragged=True)
+    files = [str(tmp_path / "file0.fastq")]
+    ref_dir = tmp_path / "ref"
+    run(files, dir_name=str(ref_dir), log_name=os.devnull, edit=True,
+        write_annotated=True, run_stats=True)
+    sh_dir = tmp_path / "sharded"
+    _run_hosts_with_outputs(files, 2, str(sh_dir), edit=True,
+                            write_annotated=True, run_stats=True)
+    for f in sorted(os.listdir(ref_dir)):
+        assert (ref_dir / f).read_bytes() == (sh_dir / f).read_bytes(), f
