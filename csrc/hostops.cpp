@@ -9,6 +9,7 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <utility>
 
@@ -343,7 +344,7 @@ PyObject* run_pairs_hamming(PyObject* /*self*/, PyObject* args) {
   const Py_ssize_t nruns = rs_b.len / 8;
   const Py_ssize_t cap = oa_b.len / 8;
   int64_t written = 0;
-  bool overflow = false;
+  std::atomic<bool> overflow{false};
   Py_BEGIN_ALLOW_THREADS;
   // Parallel over runs with thread-local match buffers; each thread
   // reserves a contiguous output slice when its buffer fills.  Output
@@ -357,17 +358,19 @@ PyObject* run_pairs_hamming(PyObject* /*self*/, PyObject* args) {
     lb.reserve(1 << 14);
     auto flush = [&]() {
       if (la.empty()) return;
-      int64_t off;
+      int64_t off = -1;
 #if defined(_OPENMP)
 #pragma omp critical(rph_reserve)
 #endif
       {
-        off = written;
-        written += static_cast<int64_t>(la.size());
+        if (written + static_cast<int64_t>(la.size()) > cap) {
+          overflow.store(true, std::memory_order_relaxed);
+        } else {
+          off = written;
+          written += static_cast<int64_t>(la.size());
+        }
       }
-      if (written > cap) {
-        overflow = true;  // benign race: any writer may set it
-      } else {
+      if (off >= 0) {
         std::memcpy(oa + off, la.data(), la.size() * sizeof(int64_t));
         std::memcpy(ob + off, lb.data(), lb.size() * sizeof(int64_t));
       }
@@ -378,7 +381,7 @@ PyObject* run_pairs_hamming(PyObject* /*self*/, PyObject* args) {
 #pragma omp for schedule(dynamic, 16) nowait
 #endif
     for (Py_ssize_t r = 0; r < nruns; ++r) {
-      if (overflow) continue;
+      if (overflow.load(std::memory_order_relaxed)) continue;
       const int64_t s = rs[r], len = rl[r];
       for (int64_t i = 0; i < len; ++i) {
         const int64_t a = order[s + i];

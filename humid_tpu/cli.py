@@ -74,9 +74,13 @@ def main(argv: list[str] | None = None) -> int:
         from .parallel.multihost import init_distributed
         from .parallel.pipeline import run_distributed
 
-        if args.coordinator is not None:
-            init_distributed(args.coordinator, args.num_processes,
-                             args.process_id)
+        if args.coordinator is None:
+            # Without a coordinator the hosts cannot exchange unique
+            # tables; each would silently cluster only its own range.
+            build_parser().error(
+                "--num-processes > 1 requires --coordinator")
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
         run_distributed(
             args.files,
             word_length=args.n,

@@ -381,6 +381,17 @@ def find_neighbor_pairs(
     if u <= 1:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
+    # Env overrides (testing / ops escape hatch), honored here so every
+    # driver sees them; explicit arguments win.
+    import os as _os
+
+    env_strategy = _os.environ.get("HUMID_TPU_STRATEGY")
+    if env_strategy and strategy == "auto":
+        strategy = env_strategy
+    env_impl = _os.environ.get("HUMID_TPU_IMPL")
+    if env_impl and impl is None:
+        impl = env_impl
+
     if strategy == "auto":
         strategy = (
             "runs"
@@ -691,7 +702,6 @@ def _big_run_pairs(packed, big_parts, max_dist, *, word_length, tile,
         pl = np.array(sorted(pairs), np.int32).reshape(-1, 2)
         pair_lists.append(pl + np.int32(pi * t))
         orders.append(order)
-    orders = np.stack(orders)
 
     data_host = np.concatenate(datas, axis=0)
     rid_all = np.concatenate(rids)
@@ -715,8 +725,15 @@ def _big_run_pairs(packed, big_parts, max_dist, *, word_length, tile,
         )
 
     pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
-    ga = orders[pa // u_pad, pa % u_pad]
-    gb = orders[pb // u_pad, pb % u_pad]
+    # Stacked permuted positions -> original unique-word indices,
+    # indexing each partition's order array directly (no [P, U] stack).
+    ga = np.empty(len(pa), np.int64)
+    gb = np.empty(len(pb), np.int64)
+    for pi, order in enumerate(orders):
+        sel = (pa // u_pad) == pi
+        ga[sel] = order[pa[sel] % u_pad]
+        sel = (pb // u_pad) == pi
+        gb[sel] = order[pb[sel] % u_pad]
     return np.minimum(ga, gb), np.maximum(ga, gb)
 
 
@@ -729,9 +746,11 @@ except ImportError:  # pragma: no cover - extension not built
 
 
 def _segment_keys_at(packed: np.ndarray, word_length: int, lo: int,
-                     hi: int) -> np.ndarray:
+                     hi: int, codes: np.ndarray | None = None
+                     ) -> np.ndarray:
     """[U] uint64 keys of the bases at positions [lo, hi) of every word
-    (same bit layout as _segment_run_ids)."""
+    (same bit layout as _segment_run_ids).  ``codes`` (pre-unpacked
+    [U, L]) avoids re-unpacking wide words on every (segment, shift)."""
     u, w = packed.shape
     width = 2 * (hi - lo)
     if w <= 2:
@@ -740,12 +759,13 @@ def _segment_keys_at(packed: np.ndarray, word_length: int, lo: int,
             word64 |= packed[:, 1].astype(np.uint64)
         return ((word64 >> np.uint64(64 - 2 * hi))
                 & np.uint64((1 << width) - 1))
-    from .. import words as W
+    if codes is None:
+        from .. import words as W
 
-    codes = W.unpack_words(packed, word_length).astype(np.uint64)
+        codes = W.unpack_words(packed, word_length)
     k = np.zeros(u, np.uint64)
     for c in range(lo, hi):
-        k = (k << np.uint64(2)) | codes[:, c]
+        k = (k << np.uint64(2)) | codes[:, c].astype(np.uint64)
     return k
 
 
@@ -827,7 +847,7 @@ def find_edit_pairs_shifted(
     parts_a, parts_b = [], []
     for s in range(n_seg):
         lo, hi = bounds[s], bounds[s + 1]
-        ka = _segment_keys_at(packed, word_length, lo, hi)
+        ka = _segment_keys_at(packed, word_length, lo, hi, codes)
         oa = _stable_argsort_u64(ka)
         for d in range(-max_dist, max_dist + 1):
             if lo + d < 0 or hi + d > word_length:
@@ -835,7 +855,8 @@ def find_edit_pairs_shifted(
             if d == 0:
                 kb, ob, self_join = ka, oa, 1
             else:
-                kb = _segment_keys_at(packed, word_length, lo + d, hi + d)
+                kb = _segment_keys_at(packed, word_length, lo + d,
+                                      hi + d, codes)
                 ob = _stable_argsort_u64(kb)
                 self_join = 0
             cap = 1 << 20

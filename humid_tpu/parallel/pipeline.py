@@ -118,6 +118,12 @@ def _compute_sharded(
     if all_gather is None and n_proc == 1:
         uniq, counts, first_occ = uniq_l, counts_l, first_global
     else:
+        if all_gather is None and jax.process_count() != n_proc:
+            raise RuntimeError(
+                f"num_processes={n_proc} but jax.process_count()="
+                f"{jax.process_count()} and no all_gather was injected; "
+                "initialize jax.distributed (CLI: --coordinator) or the "
+                "merge would silently use only this host's table")
         from .multihost import merge_unique_tables
 
         uniq, counts, first_occ = merge_unique_tables(
@@ -133,7 +139,7 @@ def _compute_sharded(
     cl = cluster_exact(counts, indptr, indices, maximum=maximum)
     return dict(
         cl=cl, counts=counts, first_occ=first_occ, uniq=uniq,
-        indptr=indptr, lo=lo, hi=hi, packed=packed, filtered=filtered,
+        indptr=indptr, lo=lo, hi=hi, filtered=filtered,
         usable=usable, total_records=total_records, n_proc=n_proc,
     )
 

@@ -244,13 +244,9 @@ def run(
     else:
         t = log.start("Calculating neighbours using Hamming distance")
     nb = dict(neighbor_opts or {})
-    # Env overrides (testing / ops escape hatch): force a search strategy
-    # or tile implementation without touching the Python API.
-    for env, key in (("HUMID_TPU_STRATEGY", "strategy"),
-                     ("HUMID_TPU_IMPL", "impl")):
-        v = os.environ.get(env)
-        if v and key not in nb:
-            nb[key] = v
+    # (HUMID_TPU_STRATEGY / HUMID_TPU_IMPL env overrides are honored
+    # inside find_neighbor_pairs, so every driver — single-host,
+    # sharded, tests — sees them.)
     pa, pb = find_neighbor_pairs(
         uniq, distance,
         metric="edit" if edit else "hamming",
