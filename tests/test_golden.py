@@ -186,3 +186,15 @@ def test_golden_log_structure(humid_ref, tmp_path):
 
     norm = lambda s: re.sub(r"\(\d+m\d+s\)", "(XmYs)", s)
     assert norm(open(log_ref).read()) == norm(open(log_tpu).read())
+
+
+def test_cli_multihost_requires_coordinator(tmp_path):
+    """--num-processes > 1 without --coordinator must error out instead
+    of silently clustering per-host ranges independently."""
+    import pytest as _pytest
+
+    gen_dataset(np.random.default_rng(1), str(tmp_path), n_reads=10)
+    from humid_tpu.cli import main
+    with _pytest.raises(SystemExit):
+        main(["--num-processes", "2", "--process-id", "0",
+              "-d", str(tmp_path / "o"), str(tmp_path / "file0.fastq")])
