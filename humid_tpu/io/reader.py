@@ -479,7 +479,11 @@ def _concat_batches(batches: list[FastqBatch]) -> FastqBatch:
 def _read_tuples_sync(
     files: Sequence[str], batch_records: int
 ) -> Iterator[list[FastqBatch]]:
-    cursors = [_BatchCursor(FastqReader(f)) for f in files]
+    # Split the framing pool across the lockstep files so n_files
+    # concurrent readers don't oversubscribe the host.
+    workers = max(2, 4 // max(1, len(files)))
+    cursors = [_BatchCursor(FastqReader(f, frame_workers=workers))
+               for f in files]
     while True:
         # Natural (chunk-aligned) sizes make take() a zero-copy view split
         # for at least one cursor and avoid cross-chunk concatenation;
