@@ -309,6 +309,187 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
   return PyLong_FromLongLong(static_cast<long long>(k));
 }
 
+// Fused k-way merge + group structure over pre-sorted (key, idx) runs —
+// the tail step of the overlapped unique-counting path: pass 1 sorts
+// bounded runs on the packing pool while I/O streams, and this merge
+// (visible time ~ one pass over the data instead of a full radix sort)
+// produces the global unique table.
+//
+// Inputs: keys/idx concatenated in run order (each run ascending by
+// key), run_offsets [C+1].  Outputs (caller-allocated): ukeys [<=n],
+// counts [<=n], first_occ [<=n] (MIN idx per key — no stability
+// requirement), and optionally inverse scatter inv[idx[j]] = group id
+// (inv sized to max idx + 1, prefilled by the caller).  Returns k.
+//
+// Parallel: sampled splitter keys partition the key space into one
+// range per thread; runs are subdivided by binary search, each thread
+// merges its ranges with a small heap into thread-local buffers, and a
+// prefix over per-thread group counts places them in the output.
+PyObject* merge_unique_runs(PyObject* /*self*/, PyObject* args) {
+  Py_buffer keys_b, idx_b, off_b, uk_b, cnt_b, fo_b, inv_b;
+  long want_inv;
+  if (!PyArg_ParseTuple(args, "y*y*y*w*w*w*lw*", &keys_b, &idx_b, &off_b,
+                        &uk_b, &cnt_b, &fo_b, &want_inv, &inv_b)) {
+    return nullptr;
+  }
+  const uint64_t* keys = static_cast<const uint64_t*>(keys_b.buf);
+  const int64_t* idx = static_cast<const int64_t*>(idx_b.buf);
+  const int64_t* off = static_cast<const int64_t*>(off_b.buf);
+  uint64_t* ukeys = static_cast<uint64_t*>(uk_b.buf);
+  int64_t* cnt = static_cast<int64_t*>(cnt_b.buf);
+  int64_t* fo = static_cast<int64_t*>(fo_b.buf);
+  int64_t* inv = static_cast<int64_t*>(inv_b.buf);
+  const Py_ssize_t nruns = off_b.len / 8 - 1;
+  const Py_ssize_t n = keys_b.len / 8;
+  Py_ssize_t k_total = 0;
+  if (n > 0 && nruns > 0) {
+    Py_BEGIN_ALLOW_THREADS;
+    int nt = 1;
+#if defined(_OPENMP)
+    nt = omp_get_max_threads();
+#endif
+    // Splitters: sample keys, sort the sample, take nt-1 quantiles.
+    std::vector<uint64_t> sample;
+    const Py_ssize_t stride = std::max<Py_ssize_t>(1, n / 4096);
+    for (Py_ssize_t i = 0; i < n; i += stride) sample.push_back(keys[i]);
+    std::sort(sample.begin(), sample.end());
+    std::vector<uint64_t> split(nt - 1);
+    for (int t = 0; t + 1 < nt; ++t) {
+      split[t] = sample[(t + 1) * sample.size() / nt];
+    }
+    // Range boundaries per (thread, run): elements with key < split[t]
+    // belong to threads <= t, so groups never span threads.
+    std::vector<Py_ssize_t> bounds(
+        static_cast<size_t>(nt + 1) * nruns);
+    for (Py_ssize_t r = 0; r < nruns; ++r) {
+      bounds[r] = off[r];
+      bounds[static_cast<size_t>(nt) * nruns + r] = off[r + 1];
+    }
+    for (int t = 0; t + 1 < nt; ++t) {
+      for (Py_ssize_t r = 0; r < nruns; ++r) {
+        const uint64_t* lo = keys + off[r];
+        const uint64_t* hi = keys + off[r + 1];
+        bounds[static_cast<size_t>(t + 1) * nruns + r] =
+            std::lower_bound(lo, hi, split[t]) - keys;
+      }
+    }
+    struct ThreadOut {
+      std::vector<uint64_t> uk;
+      std::vector<int64_t> cnt, fo;
+    };
+    std::vector<ThreadOut> touts(nt);
+#if defined(_OPENMP)
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+      int t = 0;
+#if defined(_OPENMP)
+      t = omp_get_thread_num();
+#endif
+      ThreadOut& out = touts[t];
+      // Heap of (key, run) over this thread's subranges.
+      std::vector<Py_ssize_t> pos(nruns), end(nruns);
+      Py_ssize_t total = 0;
+      for (Py_ssize_t r = 0; r < nruns; ++r) {
+        pos[r] = bounds[static_cast<size_t>(t) * nruns + r];
+        end[r] = bounds[static_cast<size_t>(t + 1) * nruns + r];
+        total += end[r] - pos[r];
+      }
+      out.uk.reserve(total);
+      out.cnt.reserve(total);
+      out.fo.reserve(total);
+      using HK = std::pair<uint64_t, Py_ssize_t>;  // (key, run)
+      std::vector<HK> heap;
+      auto cmp = [](const HK& a, const HK& b) { return a.first > b.first; };
+      for (Py_ssize_t r = 0; r < nruns; ++r) {
+        if (pos[r] < end[r]) heap.push_back({keys[pos[r]], r});
+      }
+      std::make_heap(heap.begin(), heap.end(), cmp);
+      bool have = false;
+      uint64_t cur = 0;
+      int64_t ccount = 0, cmin = 0;
+      while (!heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        const Py_ssize_t r = heap.back().second;
+        heap.pop_back();
+        const Py_ssize_t p = pos[r];
+        const uint64_t key = keys[p];
+        const int64_t id = idx[p];
+        if (have && key == cur) {
+          ++ccount;
+          if (id < cmin) cmin = id;
+        } else {
+          if (have) {
+            out.uk.push_back(cur);
+            out.cnt.push_back(ccount);
+            out.fo.push_back(cmin);
+          }
+          have = true;
+          cur = key;
+          ccount = 1;
+          cmin = id;
+        }
+        if (want_inv) {
+          inv[id] = static_cast<int64_t>(out.uk.size());  // group id,
+          // offset by this thread's base later
+        }
+        if (++pos[r] < end[r]) {
+          heap.push_back({keys[pos[r]], r});
+          std::push_heap(heap.begin(), heap.end(), cmp);
+        }
+      }
+      if (have) {
+        out.uk.push_back(cur);
+        out.cnt.push_back(ccount);
+        out.fo.push_back(cmin);
+      }
+    }
+    // Compact thread outputs (ascending thread id == ascending keys).
+    std::vector<Py_ssize_t> base(nt + 1, 0);
+    for (int t = 0; t < nt; ++t) {
+      base[t + 1] = base[t] +
+          static_cast<Py_ssize_t>(touts[t].uk.size());
+    }
+    k_total = base[nt];
+#if defined(_OPENMP)
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+      int t = 0;
+#if defined(_OPENMP)
+      t = omp_get_thread_num();
+#endif
+      const ThreadOut& out = touts[t];
+      std::memcpy(ukeys + base[t], out.uk.data(),
+                  out.uk.size() * sizeof(uint64_t));
+      std::memcpy(cnt + base[t], out.cnt.data(),
+                  out.cnt.size() * sizeof(int64_t));
+      std::memcpy(fo + base[t], out.fo.data(),
+                  out.fo.size() * sizeof(int64_t));
+      if (want_inv && base[t]) {
+        // Shift this thread's scattered group ids by its global base.
+        for (Py_ssize_t r = 0; r < nruns; ++r) {
+          const Py_ssize_t lo = bounds[static_cast<size_t>(t) * nruns + r];
+          const Py_ssize_t hi =
+              bounds[static_cast<size_t>(t + 1) * nruns + r];
+          for (Py_ssize_t p = lo; p < hi; ++p) {
+            inv[idx[p]] += base[t];
+          }
+        }
+      }
+    }
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&keys_b);
+  PyBuffer_Release(&idx_b);
+  PyBuffer_Release(&off_b);
+  PyBuffer_Release(&uk_b);
+  PyBuffer_Release(&cnt_b);
+  PyBuffer_Release(&fo_b);
+  PyBuffer_Release(&inv_b);
+  return PyLong_FromLongLong(static_cast<long long>(k_total));
+}
+
 // Candidate-pair enumeration over equal-key runs (the pigeonhole
 // neighbour search, humid_tpu/ops/neighbors.py strategy="runs").
 //
@@ -595,6 +776,10 @@ PyMethodDef methods[] = {
     {"run_pairs", run_pairs, METH_VARARGS,
      "run_pairs(order, run_start, run_len, out_a, out_b) -> n: enumerate "
      "all unordered in-run candidate pairs (no distance filter)."},
+    {"merge_unique_runs", merge_unique_runs, METH_VARARGS,
+     "merge_unique_runs(keys, idx, run_offsets, ukeys, counts, "
+     "first_occ, want_inverse, inv) -> k: fused k-way merge + group "
+     "structure over pre-sorted (key, idx) runs."},
     {"merge_join_pairs", merge_join_pairs, METH_VARARGS,
      "merge_join_pairs(keys_a, order_a, keys_b, order_b, self_join, "
      "out_a, out_b) -> n (or -needed on overflow): equal-key cross "

@@ -98,6 +98,120 @@ def _input_bytes_estimate(files) -> int:
     return total
 
 
+try:
+    from ._hostops import merge_unique_runs as _merge_unique_runs
+except ImportError:  # pragma: no cover - extension not built
+    _merge_unique_runs = None
+
+
+def _combine_key64(packed: np.ndarray) -> np.ndarray:
+    key = packed[:, 0].astype(np.uint64) << np.uint64(32)
+    if packed.shape[1] == 2:
+        key |= packed[:, 1].astype(np.uint64)
+    return key
+
+
+def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
+                      cache: list | None, want_inverse: bool,
+                      run_rows: int = 8 << 20):
+    """Pass 1 fused with unique counting (words <= 2 lanes).
+
+    Packing jobs also emit (usable key, global read index) pairs; bounded
+    runs are sorted on the same pool while the reader streams, and one
+    fused k-way merge (csrc/hostops.cpp merge_unique_runs) builds the
+    global unique table — the visible post-read cost is ~one pass over
+    the keys instead of a full radix sort.
+
+    Returns (total, usable, uniq [U, W] uint32, counts, first_occ
+    [GLOBAL read indices], inv_by_read [N] or None).
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .ops.unique import _stable_argsort_u64
+
+    wl = header_umi_size + sum(nt_to_take)
+    w = W.num_lanes(wl)
+    state = {"total": 0, "acc_n": 0}
+    acc_k: list[np.ndarray] = []
+    acc_i: list[np.ndarray] = []
+    runs: list = []
+    sort_futs: list = []
+
+    def _pack(batches, base):
+        packed, filtered = _batch_words(batches, nt_to_take,
+                                        header_umi_size)
+        if filtered.any():
+            keep = ~filtered
+            keys = _combine_key64(packed[keep])
+            gidx = base + np.flatnonzero(keep)
+        else:
+            keys = _combine_key64(packed)
+            gidx = np.arange(base, base + len(packed), dtype=np.int64)
+        return keys, gidx
+
+    def _sort_run(parts_k, parts_i):
+        k = parts_k[0] if len(parts_k) == 1 else np.concatenate(parts_k)
+        i = parts_i[0] if len(parts_i) == 1 else np.concatenate(parts_i)
+        o = _stable_argsort_u64(k)
+        return k[o], i[o]
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        inflight: deque = deque()
+
+        def _drain_one():
+            keys, gidx = inflight.popleft().result()
+            acc_k.append(keys)
+            acc_i.append(gidx)
+            state["acc_n"] += len(keys)
+            if state["acc_n"] >= run_rows:
+                sort_futs.append(ex.submit(_sort_run, list(acc_k),
+                                           list(acc_i)))
+                acc_k.clear()
+                acc_i.clear()
+                state["acc_n"] = 0
+
+        for batches in read_tuples(files, batch_records):
+            if cache is not None:
+                cache.append(batches)
+            inflight.append(ex.submit(_pack, batches, state["total"]))
+            state["total"] += batches[0].n
+            while len(inflight) > 4:
+                _drain_one()
+        while inflight:
+            _drain_one()
+        if state["acc_n"]:
+            sort_futs.append(ex.submit(_sort_run, acc_k, acc_i))
+        runs = [f.result() for f in sort_futs]
+
+    total = state["total"]
+    if not runs or not sum(len(r[0]) for r in runs):
+        return (total, 0, np.zeros((0, w), np.uint32),
+                np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.full(total, -1, np.int64) if want_inverse else None)
+    keys_cat = np.concatenate([r[0] for r in runs])
+    idx_cat = np.concatenate([r[1] for r in runs])
+    offs = np.cumsum(
+        [0] + [len(r[0]) for r in runs]).astype(np.int64)
+    runs.clear()
+    n_us = len(keys_cat)
+    uk = np.empty(n_us, np.uint64)
+    counts = np.empty(n_us, np.int64)
+    first_occ = np.empty(n_us, np.int64)
+    inv = (np.full(total, -1, np.int64) if want_inverse
+           else np.empty(1, np.int64))
+    k = _merge_unique_runs(keys_cat, idx_cat, offs, uk, counts,
+                           first_occ, int(want_inverse), inv)
+    uniq = np.empty((k, w), np.uint32)
+    uniq[:, 0] = (uk[:k] >> np.uint64(32)).astype(np.uint32)
+    if w == 2:
+        uniq[:, 1] = uk[:k].astype(np.uint32)
+    counts = counts[:k].copy()
+    first_occ = first_occ[:k].copy()
+    return (total, n_us, uniq, counts, first_occ,
+            inv if want_inverse else None)
+
+
 def _pass1(files, nt_to_take, header_umi_size, batch_records,
            cache: list | None = None, pack_workers: int = 3):
     """Stream all files in lockstep; return (packed [N,W], filtered [N]).
@@ -208,35 +322,65 @@ def run(
     if cache_records and (write_dedup or write_annotated):
         cache = []
 
-    t = log.start("Reading data")
-    packed, filtered = _pass1(files, nt_to_take, header_umi_size,
-                              batch_records, cache)
-    res.total = int(len(packed))
-    res.usable = int((~filtered).sum())
-    log.end(t)
-
-    # --- exact duplicate counting (replaces trie leaf counts) ---
     import time as _time
 
-    _t_uni = _time.time()
-    any_filtered = bool(filtered.any())
-    usable_packed = packed[~filtered] if any_filtered else packed
-    # The row->unique inverse (and with it the per-read cluster-id
-    # vector) is only needed for annotated output; skipping it saves a
-    # 100M-row random scatter + gather at WGS scale.
-    uniq, counts, first_occ_usable, inverse = unique_words(
-        usable_packed, want_inverse=write_annotated)
-    log.timings.append(("unique counting", _time.time() - _t_uni))
+    wl = header_umi_size + sum(nt_to_take)
+    # Overlapped unique counting sorts key runs on the packing pool
+    # while the reader streams, leaving only a k-way merge after EOF.
+    # It wins when cores outnumber the I/O pipeline (production hosts);
+    # on small hosts the extra key materialization contends with
+    # framing, so it is opt-in (HUMID_TPU_OVERLAP_UNIQUE=1).
+    overlapped = (W.num_lanes(wl) <= 2 and _merge_unique_runs is not None
+                  and _encode_pack is not None
+                  and os.environ.get("HUMID_TPU_OVERLAP_UNIQUE") == "1")
+    t = log.start("Reading data")
+    if overlapped:
+        # Pass 1 fused with unique counting: per-run sorts ride the
+        # packing pool while the reader streams; only the final k-way
+        # merge runs after EOF.
+        _t_uni = _time.time()
+        (res.total, res.usable, uniq, counts, first_occ,
+         inv_by_read) = _pass1_overlapped(
+            files, nt_to_take, header_umi_size, batch_records, cache,
+            want_inverse=write_annotated)
+        log.end(t)
+        log.timings.append(
+            ("unique counting (overlapped)", _time.time() - _t_uni))
+    else:
+        packed, filtered = _pass1(files, nt_to_take, header_umi_size,
+                                  batch_records, cache)
+        res.total = int(len(packed))
+        res.usable = int((~filtered).sum())
+        log.end(t)
+
+        # --- exact duplicate counting (replaces trie leaf counts) ---
+        _t_uni = _time.time()
+        any_filtered = bool(filtered.any())
+        usable_packed = packed[~filtered] if any_filtered else packed
+        # The row->unique inverse (and with it the per-read cluster-id
+        # vector) is only needed for annotated output; skipping it saves
+        # a 100M-row random scatter + gather at WGS scale.
+        uniq, counts, first_occ_usable, inverse = unique_words(
+            usable_packed, want_inverse=write_annotated)
+        # first_occ indexes usable rows; convert to global read indices.
+        if any_filtered:
+            usable_to_read = np.flatnonzero(~filtered)
+            first_occ = (usable_to_read[first_occ_usable]
+                         if len(first_occ_usable) else first_occ_usable)
+        else:
+            usable_to_read = None  # identity mapping
+            first_occ = first_occ_usable
+        inv_by_read = None
+        if write_annotated:
+            inv_by_read = np.full(res.total, -1, np.int64)
+            if res.total:
+                if any_filtered:
+                    inv_by_read[usable_to_read] = inverse
+                else:
+                    inv_by_read[:] = inverse
+        log.timings.append(("unique counting", _time.time() - _t_uni))
     res.unique = len(uniq)
     res.counts = counts
-    # first_occ indexes usable rows; convert to global read indices.
-    if any_filtered:
-        usable_to_read = np.flatnonzero(~filtered)
-        first_occ = (usable_to_read[first_occ_usable]
-                     if len(first_occ_usable) else first_occ_usable)
-    else:
-        usable_to_read = None  # identity mapping
-        first_occ = first_occ_usable
 
     # --- neighbour search (humid.cc:113-158) ---
     if edit:
@@ -278,15 +422,12 @@ def run(
     res.rep_reads = rep_reads
 
     # Per-read cluster id (0 for filtered reads; humid.cc:271-278),
-    # only materialized for annotated output.
+    # only materialized for annotated output.  Filtered reads carry
+    # inv_by_read == -1, which indexes the appended 0 sentinel.
     cluster_of_read = None
     if write_annotated:
-        if res.unique and usable_to_read is None:
-            cluster_of_read = cl.labels[inverse]
-        else:
-            cluster_of_read = np.zeros(res.total, dtype=np.int64)
-            if res.unique:
-                cluster_of_read[usable_to_read] = cl.labels[inverse]
+        labels_ext = np.append(cl.labels, np.int64(0))
+        cluster_of_read = labels_ext[inv_by_read]
     res.cluster_of_read = cluster_of_read
 
     # --- pass 2: outputs ---

@@ -198,3 +198,23 @@ def test_cli_multihost_requires_coordinator(tmp_path):
     with _pytest.raises(SystemExit):
         main(["--num-processes", "2", "--process-id", "0",
               "-d", str(tmp_path / "o"), str(tmp_path / "file0.fastq")])
+
+
+def test_golden_overlapped_unique_path(humid_ref, tmp_path, monkeypatch):
+    """The overlapped pass1+unique path (HUMID_TPU_OVERLAP_UNIQUE=1,
+    for many-core hosts) stays byte-identical to the C++ baseline."""
+    monkeypatch.setenv("HUMID_TPU_OVERLAP_UNIQUE", "1")
+    gen_dataset(np.random.default_rng(61), str(tmp_path), n_reads=500,
+                n_files=2, umi_style="underscore", ragged=True,
+                n_frac=0.2)
+    files = [str(tmp_path / f"file{i}.fastq") for i in range(2)]
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+    subprocess.run([humid_ref, "-d", str(out_ref), "-s", "-a", *files],
+                   check=True, capture_output=True)
+    from humid_tpu.cli import main
+    main(["-d", str(out_tpu), "-s", "-a", "-l", os.devnull, *files])
+    for name in sorted(os.listdir(out_ref)):
+        assert _read(out_ref / name) == _read(out_tpu / name), name
