@@ -124,19 +124,26 @@ def main() -> int:
     fq = os.path.join(BENCH_DIR, f"bench_{args.reads}.fastq")
     if not os.path.exists(fq):
         gen_dataset(fq, args.reads)
+    files = [fq]
 
     out_dir = os.path.join(BENCH_DIR, "out")
     kw = dict(distance=args.distance, write_dedup=True)
 
     if not args.no_warmup:
         # Untimed warmup: same block shapes -> jit cache is hot.
-        run_once([fq], out_dir, **kw)
+        run_once(files, out_dir, **kw)
     # Best of 3 timed runs (timeit convention): the 4-core host shares
     # time with the TPU tunnel client and disk writeback, so slower
-    # samples measure that noise, not the pipeline.
+    # samples measure that noise, not the pipeline.  The sync drains
+    # dirty pages (e.g. from dataset generation) so writeback does not
+    # fire mid-measurement.
+    try:
+        os.sync()
+    except AttributeError:
+        pass
     times = []
     for _ in range(3):
-        dt, res = run_once([fq], out_dir, **kw)
+        dt, res = run_once(files, out_dir, **kw)
         times.append(dt)
     dt = min(times)
 
