@@ -370,9 +370,11 @@ def find_neighbor_pairs(
         device fallback for degenerate buckets — the production
         default), "dense" (all U x U device tiles), "bucketed"
         (pigeonhole partitions scanned as masked device tiles),
-        "sharded" (ring-rotated search over the local device mesh,
-        humid_tpu.parallel.sharded_neighbor_pairs), or "auto" (runs for
-        Hamming above ``runs_threshold`` unique words, dense below).
+        "sharded" (search over the local device mesh — the pigeonhole
+        bucketed mesh search when it applies, else the ring-rotated
+        dense scan, humid_tpu.parallel), "sharded_bucketed" (force the
+        bucketed mesh search), or "auto" (runs for Hamming above
+        ``runs_threshold`` unique words, dense below).
 
     Returns:
       (a, b): int64 arrays with a < b, sorted by (a, b).
@@ -410,9 +412,25 @@ def find_neighbor_pairs(
             packed, max_dist, word_length=word_length, tile=tile,
             cap_row=cap_row, cap_total=cap_total, impl=impl,
         )
-    if strategy == "sharded":
+    if strategy in ("sharded", "sharded_bucketed"):
         if metric != "hamming":
             raise ValueError("sharded strategy supports only hamming")
+        # "sharded" auto-upgrades to the pigeonhole-bucketed mesh search
+        # when it applies (subquadratic per-chip work); the dense ring
+        # remains for distance 0 / unknown word length / explicit choice.
+        if strategy == "sharded_bucketed" or (
+            max_dist >= 1 and word_length is not None
+            and u > runs_threshold
+        ):
+            if word_length is None:
+                raise ValueError(
+                    "sharded_bucketed strategy requires word_length")
+            from ..parallel import sharded_neighbor_pairs_bucketed
+
+            return sharded_neighbor_pairs_bucketed(
+                packed, max_dist, word_length=word_length, tile=tile,
+                cap_row=cap_row, cap_total=cap_total, impl=impl,
+            )
         from ..parallel import sharded_neighbor_pairs
 
         return sharded_neighbor_pairs(packed, max_dist, tile=tile,

@@ -1,5 +1,8 @@
 from .mesh import data_mesh, shard_rows, replicate
-from .neighbors import sharded_neighbor_pairs
+from .neighbors import (
+    sharded_neighbor_pairs,
+    sharded_neighbor_pairs_bucketed,
+)
 from .labelprop import (
     dedup_step,
     distributed_components,
@@ -12,6 +15,7 @@ __all__ = [
     "shard_rows",
     "replicate",
     "sharded_neighbor_pairs",
+    "sharded_neighbor_pairs_bucketed",
     "distributed_components",
     "distributed_components_node_sharded",
     "dedup_step",

@@ -38,6 +38,8 @@ from jax import shard_map
 from ..ops.neighbors import scan_tile_pairs, _round_up
 from .mesh import DATA_AXIS, data_mesh, pad_to_shards
 
+__all__ = ["sharded_neighbor_pairs", "sharded_neighbor_pairs_bucketed"]
+
 
 def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
                       cap_total: int, n_shards: int):
@@ -152,3 +154,202 @@ def sharded_neighbor_pairs(
     b = b[keep].astype(np.int64)
     order = np.lexsort((b, a))
     return a[order], b[order]
+
+
+def _bucketed_local(pk, ids, pairs, urows, max_dist, *, tile: int,
+                    cap_row: int, cap_total: int, metric: str,
+                    word_length: int):
+    """shard_map body of the bucketed sharded search: the shard's packed
+    rows are converted to the tile representation locally (packed lanes
+    cross the interconnect, not one-hot floats) and only this shard's
+    tile-pair list is scanned, with run-id masking.
+    """
+    from ..ops.neighbors import _device_rep
+
+    rows = _device_rep(pk, metric, word_length)
+    out_a = jnp.full((cap_total,), -1, jnp.int32)
+    out_b = jnp.full((cap_total,), -1, jnp.int32)
+    t = jnp.bool_(True)
+    (out_a, out_b, total), counts = scan_tile_pairs(
+        rows, rows, pairs[0], urows[0], urows[0], max_dist,
+        upper_only=t, enabled=t,
+        row_base=jnp.int32(0), col_base=jnp.int32(0),
+        state=(out_a, out_b, jnp.int32(0)),
+        tile=tile, cap_row=cap_row, metric=metric,
+        max_dist_static=int(0), word_length=word_length,
+        row_ids=ids, col_ids=ids,
+    )
+    return out_a, out_b, total[None], counts
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "cap_row", "cap_total", "metric", "word_length", "mesh"))
+def _bucketed_pairs(packed, ids, pairs, urows, max_dist, *, tile: int,
+                    cap_row: int, cap_total: int, metric: str,
+                    word_length: int, mesh):
+    fn = shard_map(
+        functools.partial(
+            _bucketed_local, tile=tile, cap_row=cap_row,
+            cap_total=cap_total, metric=metric, word_length=word_length,
+        ),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P()),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return fn(packed, ids, pairs, urows, max_dist)
+
+
+def sharded_neighbor_pairs_bucketed(
+    packed: np.ndarray,
+    max_dist: int,
+    *,
+    word_length: int,
+    mesh=None,
+    tile: int = 512,
+    cap_row: int = 16,
+    cap_total: int | None = None,
+    impl: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Subquadratic multi-chip neighbour search: pigeonhole runs sharded
+    over the device mesh.
+
+    The dense ring (:func:`sharded_neighbor_pairs`) scans all O((U/tile)²)
+    tile pairs split D ways.  Here the pigeonhole partitions of the runs
+    strategy (a pair within Hamming distance m agrees exactly on one of
+    the m+1 contiguous word segments — humid_tpu.ops.neighbors
+    find_neighbor_pairs_runs) cut the work first: per partition, words
+    are sorted by segment key and only equal-key runs can contain
+    matches.  Whole runs are assigned to shards (greedy balance on
+    len·(len−1)/2), so every shard scans ONLY the tiles its own runs
+    span, with run-id masking — no collective traffic at all during the
+    scan, and per-chip work that shrinks with both the pigeonhole filter
+    and D.  Cross-partition duplicates are removed host-side.
+
+    Same contract as find_neighbor_pairs: (a, b) int64, a < b, sorted.
+    Replaces findHammingNeighbours (humid.cc:113-130) at mesh scale.
+    """
+    from ..ops.neighbors import (_dedupe_pairs, _pad_pairs,
+                                 _resolve_metric, _segment_run_ids)
+    from ..ops.unique import _stable_argsort_u64
+
+    mesh = mesh or data_mesh()
+    d = mesh.devices.size
+    u, w = packed.shape
+    if u <= 1 or max_dist == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    metric, tile = _resolve_metric(
+        "hamming", impl if impl in (None, "mxu", "xor") else None,
+        word_length, tile)
+    if metric == "hamming_pallas":  # id-masked scan is the XLA tile path
+        metric = "hamming_mxu"
+
+    # --- host prep: partitions -> runs -> shard assignment ---
+    n_seg = max_dist + 1
+    keys = _segment_run_ids(packed, word_length, n_seg)
+    work = []  # (weight, order_array, start, len)
+    for p in range(n_seg):
+        order = _stable_argsort_u64(keys[p])
+        kperm = keys[p][order]
+        new_run = np.empty(u, bool)
+        new_run[0] = True
+        np.not_equal(kperm[1:], kperm[:-1], out=new_run[1:])
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_start, u))
+        sel = run_len >= 2
+        for s, l in zip(run_start[sel].tolist(), run_len[sel].tolist()):
+            work.append((l * (l - 1) // 2, order, s, l))
+    if not work:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    work.sort(key=lambda t: -t[0])
+
+    loads = np.zeros(d, np.int64)
+    shard_runs: list[list] = [[] for _ in range(d)]
+    for wgt, order, s, l in work:
+        si = int(np.argmin(loads))
+        loads[si] += max(wgt, 1)
+        shard_runs[si].append((order, s, l))
+
+    max_rows = max(sum(l for _, _, l in rs) for rs in shard_runs)
+    b = min(tile, _round_up(max_rows, 256))
+    # Power-of-two tile count per shard: dataset-size changes reuse the
+    # compiled program (XLA bakes every array length into the signature).
+    nt = -(-_round_up(max_rows, b) // b)
+    nt = 1 << (nt - 1).bit_length()
+    r_pad = nt * b
+
+    gmaps = np.full((d, r_pad), -1, np.int64)
+    rows_all = np.zeros((d * r_pad, w), packed.dtype)
+    # Padding rows carry distinct negative ids so they never match.
+    rid_all = -np.arange(1, d * r_pad + 1, dtype=np.int32)
+    urows = np.zeros(d, np.int32)
+    tile_lists: list[np.ndarray] = []
+    rid_next = 0
+    for si, rs in enumerate(shard_runs):
+        off = 0
+        tp = set()
+        for order, s, l in rs:
+            idx = order[s:s + l]
+            gmaps[si, off:off + l] = idx
+            rows_all[si * r_pad + off:si * r_pad + off + l] = packed[idx]
+            rid_all[si * r_pad + off:si * r_pad + off + l] = rid_next
+            t0, t1 = off // b, (off + l - 1) // b
+            for i in range(t0, t1 + 1):
+                for j in range(i, t1 + 1):
+                    tp.add((i, j))
+            rid_next += 1
+            off += l
+        urows[si] = off
+        tl = (np.array(sorted(tp), np.int32).reshape(-1, 2)
+              if tp else np.zeros((0, 2), np.int32))
+        tile_lists.append(tl)
+
+    t_max = max(len(t) for t in tile_lists)
+    t_pad = 1 << max(t_max - 1, 0).bit_length()
+    pairs_all = np.zeros((d, t_pad, 3), np.int32)
+    for si, tl in enumerate(tile_lists):
+        padded = _pad_pairs(tl)
+        pairs_all[si, :len(padded)] = padded[:t_pad]
+
+    if cap_total is None:
+        cap_total = 1 << max(18, (8 * (u // d + 1)).bit_length())
+    cap_row = min(cap_row, b)
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    dev_rows = jax.device_put(rows_all, sharding)
+    dev_ids = jax.device_put(rid_all, sharding)
+    dev_pairs = jax.device_put(pairs_all, sharding)
+    dev_urows = jax.device_put(urows, sharding)
+
+    while True:
+        out_a, out_b, totals, counts = _bucketed_pairs(
+            dev_rows, dev_ids, dev_pairs, dev_urows, jnp.int32(max_dist),
+            tile=b, cap_row=cap_row, cap_total=cap_total, metric=metric,
+            word_length=word_length, mesh=mesh,
+        )
+        counts_h, totals_h = jax.device_get((counts, totals))
+        row_max = int(counts_h[:, 1].max(initial=0))
+        if row_max > cap_row:
+            cap_row = min(1 << (row_max - 1).bit_length(), b)
+            continue
+        if int(totals_h.max(initial=0)) > cap_total:
+            cap_total = 1 << int(totals_h.max()).bit_length()
+            continue
+        break
+
+    a_h = np.asarray(out_a).reshape(d, cap_total)
+    b_h = np.asarray(out_b).reshape(d, cap_total)
+    parts_a, parts_b = [], []
+    for si in range(d):
+        t = int(totals_h[si])
+        if not t:
+            continue
+        ga = gmaps[si][a_h[si, :t]]
+        gb = gmaps[si][b_h[si, :t]]
+        parts_a.append(np.minimum(ga, gb))
+        parts_b.append(np.maximum(ga, gb))
+    if not parts_a:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return _dedupe_pairs(np.concatenate(parts_a), np.concatenate(parts_b))

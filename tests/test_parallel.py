@@ -13,6 +13,7 @@ from humid_tpu.parallel import (
     dedup_step,
     distributed_components,
     sharded_neighbor_pairs,
+    sharded_neighbor_pairs_bucketed,
 )
 
 
@@ -52,6 +53,60 @@ def test_sharded_pairs_overflow_retry():
     a2, b2 = find_neighbor_pairs(uniq, 2)
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 3, 8])
+@pytest.mark.parametrize("m", [1, 2])
+def test_sharded_bucketed_pairs_match_single_device(n_dev, m):
+    rng = np.random.default_rng(300 + 10 * n_dev + m)
+    codes = _dataset(rng, 700, 20)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(n_dev)
+    a1, b1 = sharded_neighbor_pairs_bucketed(
+        uniq, m, word_length=20, mesh=mesh, cap_row=4)
+    a2, b2 = find_neighbor_pairs(uniq, m)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_sharded_bucketed_big_runs_and_retry():
+    """Low-entropy words (few distinct segment keys -> giant runs) and a
+    tiny cap_row/cap_total force the retry loop on the mesh path."""
+    rng = np.random.default_rng(9)
+    codes = _dataset(rng, 600, 16, pool=3)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(4)
+    a1, b1 = sharded_neighbor_pairs_bucketed(
+        uniq, 2, word_length=16, mesh=mesh, cap_row=2, cap_total=1 << 8)
+    a2, b2 = find_neighbor_pairs(uniq, 2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_sharded_bucketed_no_matches():
+    codes = np.array([[0, 1, 2, 3] * 6, [3, 2, 1, 0] * 6], np.uint8)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    a, b = sharded_neighbor_pairs_bucketed(
+        uniq, 1, word_length=24, mesh=data_mesh(2))
+    assert len(a) == 0 and len(b) == 0
+
+
+def test_strategy_sharded_bucketed_dispatch():
+    """find_neighbor_pairs routes the explicit strategy and the "sharded"
+    auto-upgrade through the bucketed mesh path."""
+    rng = np.random.default_rng(77)
+    codes = _dataset(rng, 800, 24)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    ref_a, ref_b = find_neighbor_pairs(uniq, 1)
+    a, b = find_neighbor_pairs(uniq, 1, word_length=24,
+                               strategy="sharded_bucketed")
+    np.testing.assert_array_equal(a, ref_a)
+    np.testing.assert_array_equal(b, ref_b)
+    # "sharded" auto-upgrades above runs_threshold; force with a tiny one.
+    a, b = find_neighbor_pairs(uniq, 1, word_length=24, strategy="sharded",
+                               runs_threshold=16)
+    np.testing.assert_array_equal(a, ref_a)
+    np.testing.assert_array_equal(b, ref_b)
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
@@ -110,6 +165,10 @@ def test_pipeline_sharded_strategy(tmp_path):
     ref = run(files, dir_name=str(tmp_path / "o1"), log_name=os.devnull)
     got = run(files, dir_name=str(tmp_path / "o2"), log_name=os.devnull,
               neighbor_opts={"strategy": "sharded"})
+    np.testing.assert_array_equal(got.labels, ref.labels)
+    assert got.clusters == ref.clusters
+    got = run(files, dir_name=str(tmp_path / "o3"), log_name=os.devnull,
+              neighbor_opts={"strategy": "sharded_bucketed"})
     np.testing.assert_array_equal(got.labels, ref.labels)
     assert got.clusters == ref.clusters
 
