@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <utility>
 
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -304,6 +305,226 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
   PyBuffer_Release(&inv_b);
   if (!ok) {
     PyErr_SetString(PyExc_ValueError, "unique_u64: bad buffer sizes");
+    return nullptr;
+  }
+  return PyLong_FromLongLong(static_cast<long long>(k));
+}
+
+// Non-zeroing grow-only buffer: malloc'd, so fresh pages are first
+// touched by the parallel fill loops (std::vector::resize would zero
+// them serially first — seconds of wasted memset at WGS scale).
+struct RawArena {
+  void* p = nullptr;
+  size_t cap = 0;
+  ~RawArena() { std::free(p); }
+  void* ensure(size_t bytes) {
+    if (cap < bytes) {
+      std::free(p);
+      p = std::malloc(bytes);
+      cap = p ? bytes : 0;
+    }
+    return p;
+  }
+};
+
+// Fully fused unique counting over packed word lanes: builds the uint64
+// sort key from the uint32 lanes in C (no numpy temporaries), stable
+// LSD radix argsort with uint32 payload indices, then the group pass
+// emits compact outputs directly — unique lanes, counts, first
+// occurrences, and optionally the row->group inverse.  All n-sized
+// scratch lives in non-zeroing arenas whose pages are first touched by
+// parallel loops; outputs are caller-allocated np.empty buffers of
+// which only ~k entries are written (np.empty does not fault pages, so
+// oversizing them is free).  Replaces trie leaf counting
+// (humid.cc:92-99) on the single-host hot path.
+//
+//   unique_packed(packed u32[n*w], w, uniq u32[n*w], counts i64[n],
+//                 first_occ i64[n], inverse i64[n or 1], want_inv) -> k
+PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
+  Py_buffer packed_b, uniq_b, cnt_b, fo_b, inv_b;
+  long w_l = 0, want_inv = 0;
+  if (!PyArg_ParseTuple(args, "y*lw*w*w*w*l", &packed_b, &w_l, &uniq_b,
+                        &cnt_b, &fo_b, &inv_b, &want_inv)) {
+    return nullptr;
+  }
+  const int w = static_cast<int>(w_l);
+  const Py_ssize_t n = (w > 0) ? packed_b.len / (4 * w) : 0;
+  bool ok = (w == 1 || w == 2) && n <= INT32_MAX &&
+            uniq_b.len >= packed_b.len && cnt_b.len / 8 >= n &&
+            fo_b.len / 8 >= n && (!want_inv || inv_b.len / 8 >= n);
+  Py_ssize_t k = 0;
+  if (ok && n > 0) {
+    const uint32_t* packed = static_cast<const uint32_t*>(packed_b.buf);
+    uint32_t* uniq = static_cast<uint32_t*>(uniq_b.buf);
+    int64_t* cnt = static_cast<int64_t*>(cnt_b.buf);
+    int64_t* fo = static_cast<int64_t*>(fo_b.buf);
+    int64_t* inv = static_cast<int64_t*>(inv_b.buf);
+    Py_BEGIN_ALLOW_THREADS;
+    thread_local RawArena a_k0, a_k1, a_i0, a_i1;
+    uint64_t* k0 = static_cast<uint64_t*>(a_k0.ensure(n * 8));
+    uint64_t* k1 = static_cast<uint64_t*>(a_k1.ensure(n * 8));
+    uint32_t* i0 = static_cast<uint32_t*>(a_i0.ensure(n * 4));
+    uint32_t* i1 = static_cast<uint32_t*>(a_i1.ensure(n * 4));
+    int nt = 1;
+#if defined(_OPENMP)
+    nt = omp_get_max_threads();
+#endif
+    const Py_ssize_t chunk = (n + nt - 1) / nt;
+    // Fused key build + parallel first touch of the arenas.
+    uint64_t orall = 0, andall = ~0ull;
+#if defined(_OPENMP)
+#pragma omp parallel for reduction(|:orall) reduction(&:andall) \
+    schedule(static)
+#endif
+    for (Py_ssize_t i = 0; i < n; ++i) {
+      const uint64_t key =
+          (w == 2) ? (static_cast<uint64_t>(packed[2 * i]) << 32) |
+                         packed[2 * i + 1]
+                   : packed[i];
+      k0[i] = key;
+      i0[i] = static_cast<uint32_t>(i);
+      orall |= key;
+      andall &= key;
+    }
+    uint64_t* ksrc = k0;
+    uint64_t* kdst = k1;
+    uint32_t* isrc = i0;
+    uint32_t* idst = i1;
+    if (n >= kRadixMin) {
+      std::vector<int64_t> hist(static_cast<size_t>(nt) * 256);
+      for (int p = 0; p < 8; ++p) {
+        const int shift = 8 * p;
+        if (((orall >> shift) & 0xff) == ((andall >> shift) & 0xff)) {
+          continue;
+        }
+#if defined(_OPENMP)
+#pragma omp parallel num_threads(nt)
+#endif
+        {
+          int t = 0;
+#if defined(_OPENMP)
+          t = omp_get_thread_num();
+#endif
+          const Py_ssize_t lo = t * chunk;
+          const Py_ssize_t hi = std::min(n, lo + chunk);
+          int64_t* h = &hist[static_cast<size_t>(t) * 256];
+          std::memset(h, 0, 256 * sizeof(int64_t));
+          for (Py_ssize_t i = lo; i < hi; ++i) {
+            ++h[(ksrc[i] >> shift) & 0xff];
+          }
+        }
+        int64_t run = 0;
+        for (int d = 0; d < 256; ++d) {
+          for (int t = 0; t < nt; ++t) {
+            int64_t& slot = hist[static_cast<size_t>(t) * 256 + d];
+            const int64_t c = slot;
+            slot = run;
+            run += c;
+          }
+        }
+#if defined(_OPENMP)
+#pragma omp parallel num_threads(nt)
+#endif
+        {
+          int t = 0;
+#if defined(_OPENMP)
+          t = omp_get_thread_num();
+#endif
+          const Py_ssize_t lo = t * chunk;
+          const Py_ssize_t hi = std::min(n, lo + chunk);
+          int64_t* h = &hist[static_cast<size_t>(t) * 256];
+          for (Py_ssize_t i = lo; i < hi; ++i) {
+            const int64_t pos = h[(ksrc[i] >> shift) & 0xff]++;
+            kdst[pos] = ksrc[i];
+            idst[pos] = isrc[i];
+          }
+        }
+        std::swap(ksrc, kdst);
+        std::swap(isrc, idst);
+      }
+    } else {
+      // Small inputs: stable comparison sort of the index payload.
+      std::stable_sort(isrc, isrc + n, [ksrc](uint32_t a, uint32_t b) {
+        return ksrc[a] < ksrc[b];
+      });
+      for (Py_ssize_t i = 0; i < n; ++i) kdst[i] = ksrc[isrc[i]];
+      std::swap(ksrc, kdst);
+    }
+    // Parallel group structure: per-block boundary counts -> prefix ->
+    // per-block compact emit.
+    std::vector<int64_t> block_off(nt + 1, 0);
+#if defined(_OPENMP)
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+      int t = 0;
+#if defined(_OPENMP)
+      t = omp_get_thread_num();
+#endif
+      const Py_ssize_t lo = t * chunk;
+      const Py_ssize_t hi = std::min(n, lo + chunk);
+      int64_t local = 0;
+      for (Py_ssize_t i = lo; i < hi; ++i) {
+        local += (i == 0) || (ksrc[i] != ksrc[i - 1]);
+      }
+      block_off[t + 1] = local;
+    }
+    for (int t = 0; t < nt; ++t) block_off[t + 1] += block_off[t];
+    k = block_off[nt];
+    thread_local RawArena a_gs;
+    int64_t* gs = static_cast<int64_t*>(a_gs.ensure(k * 8));
+#if defined(_OPENMP)
+#pragma omp parallel num_threads(nt)
+#endif
+    {
+      int t = 0;
+#if defined(_OPENMP)
+      t = omp_get_thread_num();
+#endif
+      const Py_ssize_t lo = t * chunk;
+      const Py_ssize_t hi = std::min(n, lo + chunk);
+      int64_t g = block_off[t];
+      if (want_inv) {
+        for (Py_ssize_t i = lo; i < hi; ++i) {
+          if ((i == 0) || (ksrc[i] != ksrc[i - 1])) {
+            gs[g] = i;
+            fo[g] = isrc[i];  // stable sort: group start == first occ
+            ++g;
+          }
+          inv[isrc[i]] = g - 1;
+        }
+      } else {
+        for (Py_ssize_t i = lo; i < hi; ++i) {
+          if ((i == 0) || (ksrc[i] != ksrc[i - 1])) {
+            gs[g] = i;
+            fo[g] = isrc[i];
+            ++g;
+          }
+        }
+      }
+    }
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (Py_ssize_t g = 0; g < k; ++g) {
+      cnt[g] = (g + 1 < k ? gs[g + 1] : n) - gs[g];
+      const uint64_t key = ksrc[gs[g]];
+      if (w == 2) {
+        uniq[2 * g] = static_cast<uint32_t>(key >> 32);
+        uniq[2 * g + 1] = static_cast<uint32_t>(key);
+      } else {
+        uniq[g] = static_cast<uint32_t>(key);
+      }
+    }
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&packed_b);
+  PyBuffer_Release(&uniq_b);
+  PyBuffer_Release(&cnt_b);
+  PyBuffer_Release(&fo_b);
+  PyBuffer_Release(&inv_b);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError, "unique_packed: bad arguments");
     return nullptr;
   }
   return PyLong_FromLongLong(static_cast<long long>(k));
@@ -769,6 +990,10 @@ PyMethodDef methods[] = {
     {"unique_u64", unique_u64, METH_VARARGS,
      "unique_u64(keys, order, group_start, counts, first_occ, inverse) "
      "-> k: fused stable sort + group structure over uint64 keys."},
+    {"unique_packed", unique_packed, METH_VARARGS,
+     "unique_packed(packed, w, uniq, counts, first_occ, inverse, "
+     "want_inverse) -> k: fused key build + stable radix sort + group "
+     "structure over uint32 word lanes (w <= 2)."},
     {"run_pairs_hamming", run_pairs_hamming, METH_VARARGS,
      "run_pairs_hamming(words_u64, order, run_start, run_len, max_dist, "
      "out_a, out_b) -> n: enumerate in-run candidate pairs and keep those "

@@ -14,9 +14,28 @@ import numpy as np
 try:
     from .._hostops import argsort_u64 as _argsort_u64
     from .._hostops import unique_u64 as _unique_u64
+    from .._hostops import unique_packed as _unique_packed
 except ImportError:  # pragma: no cover - extension not built
     _argsort_u64 = None
     _unique_u64 = None
+    _unique_packed = None
+
+
+def _unique_packed_native(packed: np.ndarray, want_inverse: bool):
+    """Fully fused native path: key build + stable radix sort + group
+    structure all in C (csrc/hostops.cpp unique_packed).  Outputs are
+    np.empty buffers sized n of which only k entries are faulted, so
+    the visible cost is ~two parallel passes over the keys."""
+    n, w = packed.shape
+    packed = np.ascontiguousarray(packed)
+    uniq = np.empty((n, w), np.uint32)
+    counts = np.empty(n, np.int64)
+    first_occ = np.empty(n, np.int64)
+    inverse = np.empty(n if want_inverse else 1, np.int64)
+    k = _unique_packed(packed, w, uniq, counts, first_occ, inverse,
+                       int(want_inverse))
+    return (uniq[:k].copy(), counts[:k].copy(), first_occ[:k].copy(),
+            inverse if want_inverse else None)
 
 
 def _unique_by_key_native(packed: np.ndarray, key: np.ndarray,
@@ -74,6 +93,8 @@ def unique_words(packed: np.ndarray, want_inverse: bool = True):
     # Stable sort in lane-lexicographic order.  For <= 2 lanes a single
     # uint64 key suffices, and the fused native path does sort + group
     # structure + inverse in one call.
+    if w <= 2 and _unique_packed is not None and n <= np.iinfo(np.int32).max:
+        return _unique_packed_native(packed, want_inverse)
     if w <= 2 and _unique_u64 is not None:
         if w == 1:
             key = packed[:, 0].astype(np.uint64)
