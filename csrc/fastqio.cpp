@@ -22,22 +22,144 @@
 
 namespace {
 
+// Newline counting gates the parallel framer (each chunk's record
+// phase is the cumulative newline count mod 4, reader.py), so it runs
+// serially on the producer thread — memchr per line topped out at
+// ~4 GB/s, a visible fraction of pass 1.  The AVX2 path accumulates
+// cmpeq results bytewise (bounded by 255 rounds before overflow) and
+// drains with psadbw: one pass at memory speed.
+#if defined(__x86_64__) || defined(__i386__)
+#include <immintrin.h>
+
+__attribute__((target("avx2")))
+int64_t count_nl_avx2(const unsigned char* p, Py_ssize_t len) {
+  const __m256i nl = _mm256_set1_epi8('\n');
+  const __m256i zero = _mm256_setzero_si256();
+  int64_t n = 0;
+  Py_ssize_t i = 0;
+  while (i + 32 <= len) {
+    // Up to 255 unsaturated byte accumulations before draining.
+    Py_ssize_t rounds = (len - i) / 32;
+    if (rounds > 255) rounds = 255;
+    __m256i acc = zero;
+    for (Py_ssize_t r = 0; r < rounds; ++r, i += 32) {
+      const __m256i v =
+          _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p + i));
+      // cmpeq gives 0xFF per match; subtracting adds 1 per match.
+      acc = _mm256_sub_epi8(acc, _mm256_cmpeq_epi8(v, nl));
+    }
+    const __m256i sums = _mm256_sad_epu8(acc, zero);  // 4 x u64 lane sums
+    n += _mm256_extract_epi64(sums, 0) + _mm256_extract_epi64(sums, 1) +
+         _mm256_extract_epi64(sums, 2) + _mm256_extract_epi64(sums, 3);
+  }
+  for (; i < len; ++i) n += (p[i] == '\n');
+  return n;
+}
+#endif
+
+int64_t count_nl_range(const unsigned char* p, Py_ssize_t len) {
+#if defined(__x86_64__) || defined(__i386__)
+  if (__builtin_cpu_supports("avx2")) return count_nl_avx2(p, len);
+#endif
+  int64_t n = 0;
+  Py_ssize_t i = 0;
+  const Py_ssize_t B = 16384;
+  for (; i + B <= len; i += B) {
+    uint32_t local = 0;
+    for (Py_ssize_t j = i; j < i + B; ++j) local += (p[j] == '\n');
+    n += local;
+  }
+  uint32_t tail = 0;
+  for (; i < len; ++i) tail += (p[i] == '\n');
+  return n + tail;
+}
+
 PyObject* count_newlines(PyObject* /*self*/, PyObject* args) {
   Py_buffer data_b;
   if (!PyArg_ParseTuple(args, "y*", &data_b)) return nullptr;
-  const char* p = static_cast<const char*>(data_b.buf);
-  const char* end = p + data_b.len;
+  const unsigned char* p = static_cast<const unsigned char*>(data_b.buf);
   int64_t n = 0;
   Py_BEGIN_ALLOW_THREADS;
-  while (p < end) {
-    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
-    if (!nl) break;
-    ++n;
-    p = nl + 1;
-  }
+  n = count_nl_range(p, data_b.len);
   Py_END_ALLOW_THREADS;
   PyBuffer_Release(&data_b);
   return PyLong_FromLongLong(static_cast<long long>(n));
+}
+
+// Core of scan_frames: walk newlines, emitting [n, 4] line spans of
+// complete records.  Returns records found; *consumed_out = bytes up to
+// and including the last complete record's newline.  The AVX2 variant
+// finds newlines 32 bytes at a time via cmpeq + movemask (memchr per
+// ~100-byte line left >4x throughput on the table).
+struct FrameState {
+  const char* base;
+  int64_t* st;
+  int64_t* en;
+  Py_ssize_t max_records;
+  Py_ssize_t n = 0;
+  int line = 0;
+  int64_t ls[4], le[4];
+  int64_t line_start = 0;
+  int64_t consumed = 0;
+  // Record the newline at offset e; true when max_records is reached.
+  inline bool emit(int64_t e) {
+    int64_t ee = (e > line_start && base[e - 1] == '\r') ? e - 1 : e;
+    ls[line] = line_start;
+    le[line] = ee;
+    line_start = e + 1;
+    if (++line == 4) {
+      line = 0;
+      for (int k = 0; k < 4; ++k) {
+        st[n * 4 + k] = ls[k];
+        en[n * 4 + k] = le[k];
+      }
+      consumed = line_start;
+      return ++n >= max_records;
+    }
+    return false;
+  }
+};
+
+#if defined(__x86_64__) || defined(__i386__)
+__attribute__((target("avx2")))
+Py_ssize_t scan_bulk_avx2(FrameState& fs, Py_ssize_t len) {
+  const __m256i nlv = _mm256_set1_epi8('\n');
+  Py_ssize_t i = 0;
+  while (i + 32 <= len) {
+    const __m256i v = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(fs.base + i));
+    uint32_t m = static_cast<uint32_t>(
+        _mm256_movemask_epi8(_mm256_cmpeq_epi8(v, nlv)));
+    while (m) {
+      const int b = __builtin_ctz(m);
+      m &= m - 1;
+      if (fs.emit(i + b)) return -1;  // hit max_records
+    }
+    i += 32;
+  }
+  return i;  // resume offset for the scalar tail
+}
+#endif
+
+Py_ssize_t scan_frames_core(const char* base, Py_ssize_t len, int64_t* st,
+                            int64_t* en, Py_ssize_t max_records,
+                            int64_t* consumed_out) {
+  FrameState fs{base, st, en, max_records};
+  Py_ssize_t i = 0;
+#if defined(__x86_64__) || defined(__i386__)
+  if (__builtin_cpu_supports("avx2")) {
+    i = scan_bulk_avx2(fs, len);
+    if (i < 0) {
+      *consumed_out = fs.consumed;
+      return fs.n;
+    }
+  }
+#endif
+  for (; i < len; ++i) {
+    if (base[i] == '\n' && fs.emit(i)) break;
+  }
+  *consumed_out = fs.consumed;
+  return fs.n;
 }
 
 // Single-pass framing: fill up to max_records complete 4-line records,
@@ -60,36 +182,12 @@ PyObject* scan_frames(PyObject* /*self*/, PyObject* args) {
     return nullptr;
   }
   const char* base = static_cast<const char*>(data_b.buf);
-  const char* end = base + data_b.len;
   int64_t* st = static_cast<int64_t*>(starts_b.buf);
   int64_t* en = static_cast<int64_t*>(ends_b.buf);
   Py_ssize_t n = 0;
   int64_t consumed = 0;
   Py_BEGIN_ALLOW_THREADS;
-  const char* p = base;
-  while (n < max_records) {
-    const char* q = p;
-    int64_t ls[4], le[4];
-    int line = 0;
-    for (; line < 4; ++line) {
-      const char* nl = static_cast<const char*>(memchr(q, '\n', end - q));
-      if (!nl) break;
-      int64_t s = q - base;
-      int64_t e = nl - base;
-      if (e > s && base[e - 1] == '\r') --e;
-      ls[line] = s;
-      le[line] = e;
-      q = nl + 1;
-    }
-    if (line < 4) break;  // incomplete trailing record
-    for (int i = 0; i < 4; ++i) {
-      st[n * 4 + i] = ls[i];
-      en[n * 4 + i] = le[i];
-    }
-    ++n;
-    p = q;
-  }
-  consumed = p - base;
+  n = scan_frames_core(base, data_b.len, st, en, max_records, &consumed);
   Py_END_ALLOW_THREADS;
   PyBuffer_Release(&data_b);
   PyBuffer_Release(&starts_b);

@@ -42,6 +42,52 @@ def test_unique_words_counts_and_first_occurrence():
     assert inverse.tolist() == [0, 2, 0, 1, 0, 2]
 
 
+def test_unique_packed_matches_numpy_reference():
+    """The fused native path (unique_packed: key build + radix sort +
+    group structure in one C call) must agree exactly with a pure-numpy
+    lexsort reference on both lane widths, across the comparison-sort
+    (n < kRadixMin) and radix regimes, with and without the inverse."""
+    from humid_tpu.ops.unique import _unique_packed, _unique_packed_native
+
+    if _unique_packed is None:
+        import pytest
+
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(17)
+    for n, w, want_inv in [
+        (1, 2, True), (7, 1, True), (1000, 2, True), (1000, 1, False),
+        (50_000, 2, True), (50_000, 2, False), (50_000, 1, True),
+    ]:
+        # Small key pool -> many duplicate groups of varying size.
+        pool = rng.integers(0, 1 << (48 if w == 2 else 32),
+                            size=max(1, n // 4), dtype=np.uint64)
+        keys = pool[rng.integers(0, len(pool), n)]
+        packed = np.empty((n, w), np.uint32)
+        if w == 2:
+            packed[:, 0] = (keys >> 32).astype(np.uint32)
+            packed[:, 1] = keys.astype(np.uint32)
+        else:
+            packed[:, 0] = keys.astype(np.uint32)
+        got = _unique_packed_native(packed, want_inv)
+        order = np.lexsort(tuple(packed[:, w - 1 - i] for i in range(w)))
+        s = packed[order]
+        ng = np.empty(n, bool)
+        ng[0] = True
+        ng[1:] = (s[1:] != s[:-1]).any(axis=1)
+        gs = np.flatnonzero(ng)
+        np.testing.assert_array_equal(got[0], s[gs])
+        np.testing.assert_array_equal(
+            got[1], np.diff(np.append(gs, n)))
+        np.testing.assert_array_equal(got[2], order[gs])
+        if want_inv:
+            gid = np.cumsum(ng) - 1
+            inv = np.empty(n, np.int64)
+            inv[order] = gid
+            np.testing.assert_array_equal(got[3], inv)
+        else:
+            assert got[3] is None
+
+
 def test_unique_words_without_inverse():
     """want_inverse=False returns identical uniq/counts/first_occ and a
     None inverse (both native and fallback paths)."""
