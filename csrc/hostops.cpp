@@ -37,27 +37,31 @@ namespace {
 // Grow-only scratch reused across calls (first-touch page zeroing of
 // multi-GB buffers costs seconds at WGS scale).  thread_local: the runs
 // strategy sorts partitions from concurrent Python threads.
-struct RadixArena {
-  std::vector<uint64_t> k0, k1;
-  std::vector<int64_t> i0, i1;
-  void ensure(Py_ssize_t n) {
-    if (static_cast<Py_ssize_t>(k0.size()) < n) {
-      k0.resize(n);
-      k1.resize(n);
-      i0.resize(n);
-      i1.resize(n);
+// Non-zeroing grow-only buffer: malloc'd, so fresh pages are first
+// touched by the parallel fill loops (std::vector::resize would zero
+// them serially first — seconds of wasted memset at WGS scale, paid
+// again by every fresh pool thread since the arenas are thread_local).
+struct RawArena {
+  void* p = nullptr;
+  size_t cap = 0;
+  ~RawArena() { std::free(p); }
+  void* ensure(size_t bytes) {
+    if (cap < bytes) {
+      std::free(p);
+      p = std::malloc(bytes);
+      cap = p ? bytes : 0;
     }
+    return p;
   }
 };
 
 void radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
                        uint64_t* sorted_keys = nullptr) {
-  thread_local RadixArena arena;
-  arena.ensure(n);
-  auto& kbuf0 = arena.k0;
-  auto& kbuf1 = arena.k1;
-  auto& ibuf0 = arena.i0;
-  auto& ibuf1 = arena.i1;
+  thread_local RawArena a_k0, a_k1, a_i0, a_i1;
+  uint64_t* kbuf0 = static_cast<uint64_t*>(a_k0.ensure(n * 8));
+  uint64_t* kbuf1 = static_cast<uint64_t*>(a_k1.ensure(n * 8));
+  int64_t* ibuf0 = static_cast<int64_t*>(a_i0.ensure(n * 8));
+  int64_t* ibuf1 = static_cast<int64_t*>(a_i1.ensure(n * 8));
   uint64_t orall = 0, andall = ~0ull;
 #if defined(_OPENMP)
 #pragma omp parallel for reduction(|:orall) reduction(&:andall)
@@ -74,10 +78,10 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
 #endif
   const Py_ssize_t chunk = (n + nt - 1) / nt;
   std::vector<int64_t> hist(static_cast<size_t>(nt) * 256);
-  uint64_t* ksrc = kbuf0.data();
-  uint64_t* kdst = kbuf1.data();
-  int64_t* isrc = ibuf0.data();
-  int64_t* idst = ibuf1.data();
+  uint64_t* ksrc = kbuf0;
+  uint64_t* kdst = kbuf1;
+  int64_t* isrc = ibuf0;
+  int64_t* idst = ibuf1;
   for (int p = 0; p < 8; ++p) {
     const int shift = 8 * p;
     if (((orall >> shift) & 0xff) == ((andall >> shift) & 0xff)) continue;
@@ -202,12 +206,9 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
       // group-structure pass: per-block group counts -> block prefix ->
       // per-block emit (the sequential loop dominated unique time at
       // 30M+ keys).
-      thread_local std::vector<uint64_t> skeys_arena;
-      if (static_cast<Py_ssize_t>(skeys_arena.size()) < n) {
-        skeys_arena.resize(n);
-      }
-      std::vector<uint64_t>& skeys = skeys_arena;
-      radix_argsort_u64(keys, order, n, skeys.data());
+      thread_local RawArena skeys_arena;
+      uint64_t* skeys = static_cast<uint64_t*>(skeys_arena.ensure(n * 8));
+      radix_argsort_u64(keys, order, n, skeys);
       int nt = 1;
 #if defined(_OPENMP)
       nt = omp_get_max_threads();
@@ -309,23 +310,6 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
   }
   return PyLong_FromLongLong(static_cast<long long>(k));
 }
-
-// Non-zeroing grow-only buffer: malloc'd, so fresh pages are first
-// touched by the parallel fill loops (std::vector::resize would zero
-// them serially first — seconds of wasted memset at WGS scale).
-struct RawArena {
-  void* p = nullptr;
-  size_t cap = 0;
-  ~RawArena() { std::free(p); }
-  void* ensure(size_t bytes) {
-    if (cap < bytes) {
-      std::free(p);
-      p = std::malloc(bytes);
-      cap = p ? bytes : 0;
-    }
-    return p;
-  }
-};
 
 // Fully fused unique counting over packed word lanes: builds the uint64
 // sort key from the uint32 lanes in C (no numpy temporaries), stable
