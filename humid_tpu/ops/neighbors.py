@@ -520,9 +520,43 @@ def _segment_run_ids(packed: np.ndarray, word_length: int, n_seg: int):
 try:
     from .._hostops import run_pairs as _run_pairs_native
     from .._hostops import run_pairs_hamming as _run_pairs_hamming_native
+    from .._hostops import unique_u64 as _unique_u64_native
 except ImportError:  # pragma: no cover - extension not built
     _run_pairs_native = None
     _run_pairs_hamming_native = None
+    _unique_u64_native = None
+
+
+def _partition_runs(key: np.ndarray):
+    """Sorted order + equal-key run structure for one pigeonhole
+    partition.
+
+    Native path: one fused ``unique_u64`` call (parallel radix sort +
+    parallel group pass, csrc/hostops.cpp) — the numpy gather/compare/
+    flatnonzero run detection it replaces was ~2x the sort itself at
+    WGS scale.  Returns (order, run_start, run_len) with run_start
+    positions in sorted order.
+    """
+    n = len(key)
+    if _unique_u64_native is not None:
+        order = np.empty(n, np.int64)
+        group_start = np.empty(n, np.int64)
+        counts = np.empty(n, np.int64)
+        first_occ = np.empty(n, np.int64)
+        inv = np.empty(1, np.int64)
+        k = _unique_u64_native(np.ascontiguousarray(key), order,
+                               group_start, counts, first_occ, inv, 0)
+        return order, group_start[:k], counts[:k]
+    from .unique import _stable_argsort_u64
+
+    order = _stable_argsort_u64(key)
+    kperm = key[order]
+    new_run = np.empty(n, bool)
+    new_run[0] = True
+    np.not_equal(kperm[1:], kperm[:-1], out=new_run[1:])
+    run_start = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_start, n))
+    return order, run_start, run_len
 
 
 def _run_pairs_fallback(order, starts, lens):
@@ -613,20 +647,12 @@ def find_neighbor_pairs_runs(
     keys = _segment_run_ids(packed, word_length, n_seg)
     word64 = _combined_u64(packed) if w <= 2 else None
 
-    from .unique import _stable_argsort_u64
-
     parts_a: list[np.ndarray] = [None] * n_seg
     parts_b: list[np.ndarray] = [None] * n_seg
     big_parts: list[tuple] = []
 
     def _one_partition(p):
-        order = _stable_argsort_u64(keys[p])
-        kperm = keys[p][order]
-        new_run = np.empty(u, bool)
-        new_run[0] = True
-        np.not_equal(kperm[1:], kperm[:-1], out=new_run[1:])
-        run_start = np.flatnonzero(new_run)
-        run_len = np.diff(np.append(run_start, u))
+        order, run_start, run_len = _partition_runs(keys[p])
         small = (run_len >= 2) & (run_len <= run_cap)
         ss = np.ascontiguousarray(run_start[small])
         sl = np.ascontiguousarray(run_len[small])
@@ -657,13 +683,21 @@ def find_neighbor_pairs_runs(
             big_parts.append((p, order,
                               run_start[big].copy(), run_len[big].copy()))
 
-    from concurrent.futures import ThreadPoolExecutor
+    # Partitions run SEQUENTIALLY when the native extension is present:
+    # each _partition_runs call is already OpenMP-parallel across all
+    # cores, so an outer thread pool only oversubscribes the cores and
+    # forces every fresh pool thread to fault in its own thread_local
+    # sort arenas (measured 2-5x slower than serial at 30M reads).  The
+    # pure-numpy fallback is single-threaded per partition, so there the
+    # pool genuinely overlaps work.
+    if _unique_u64_native is None and n_seg > 1:
+        from concurrent.futures import ThreadPoolExecutor
 
-    if n_seg > 1:
         with ThreadPoolExecutor(max_workers=n_seg) as ex:
             list(ex.map(_one_partition, range(n_seg)))
     else:
-        _one_partition(0)
+        for p in range(n_seg):
+            _one_partition(p)
 
     if big_parts:
         ba, bb = _big_run_pairs(
