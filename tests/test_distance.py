@@ -273,6 +273,22 @@ def test_runs_fallback_enumeration_matches_native():
         nf[np.lexsort((nf[:, 1], nf[:, 0]))])
 
 
+def test_partition_runs_native_matches_fallback(monkeypatch):
+    """_partition_runs' fused native path (unique_u64) and the numpy
+    argsort fallback produce the same order + run structure."""
+    from humid_tpu.ops import neighbors as N
+    if N._unique_u64_native is None:
+        pytest.skip("native extension not built")
+    rng = np.random.default_rng(7)
+    key = rng.integers(0, 50, 3000).astype(np.uint64)  # many duplicates
+    o1, rs1, rl1 = N._partition_runs(key)
+    monkeypatch.setattr(N, "_unique_u64_native", None)
+    o2, rs2, rl2 = N._partition_runs(key)
+    np.testing.assert_array_equal(o1, o2)  # both stable sorts
+    np.testing.assert_array_equal(rs1, rs2)
+    np.testing.assert_array_equal(rl1, rl2)
+
+
 @pytest.mark.parametrize("strategy", ["dense", "bucketed"])
 def test_pallas_impl_matches_xor(strategy):
     """The Pallas kernel logic executes under interpret=True on CPU and
