@@ -96,6 +96,12 @@ struct FrameState {
   int64_t* st;
   int64_t* en;
   Py_ssize_t max_records;
+  // Optional fused prefix gather: first pref_k bytes of every sequence
+  // line (padded with 'N'), written while the record bytes are still
+  // cache-hot — replaces a separate scattered gather pass over the
+  // whole buffer (fastq.cc:131-142 cut/pad semantics).
+  uint8_t* pref = nullptr;
+  Py_ssize_t pref_k = 0;
   Py_ssize_t n = 0;
   int line = 0;
   int64_t ls[4], le[4];
@@ -106,6 +112,13 @@ struct FrameState {
     int64_t ee = (e > line_start && base[e - 1] == '\r') ? e - 1 : e;
     ls[line] = line_start;
     le[line] = ee;
+    if (pref && line == 1) {
+      uint8_t* row = pref + n * pref_k;
+      const int64_t len = ee - line_start;
+      const Py_ssize_t c = len < pref_k ? Py_ssize_t(len) : pref_k;
+      memcpy(row, base + line_start, size_t(c));
+      if (c < pref_k) memset(row + c, 'N', size_t(pref_k - c));
+    }
     line_start = e + 1;
     if (++line == 4) {
       line = 0;
@@ -143,8 +156,9 @@ Py_ssize_t scan_bulk_avx2(FrameState& fs, Py_ssize_t len) {
 
 Py_ssize_t scan_frames_core(const char* base, Py_ssize_t len, int64_t* st,
                             int64_t* en, Py_ssize_t max_records,
-                            int64_t* consumed_out) {
-  FrameState fs{base, st, en, max_records};
+                            int64_t* consumed_out, uint8_t* pref = nullptr,
+                            Py_ssize_t pref_k = 0) {
+  FrameState fs{base, st, en, max_records, pref, pref_k};
   Py_ssize_t i = 0;
 #if defined(__x86_64__) || defined(__i386__)
   if (__builtin_cpu_supports("avx2")) {
@@ -192,6 +206,42 @@ PyObject* scan_frames(PyObject* /*self*/, PyObject* args) {
   PyBuffer_Release(&data_b);
   PyBuffer_Release(&starts_b);
   PyBuffer_Release(&ends_b);
+  return Py_BuildValue("nn", n, Py_ssize_t(consumed));
+}
+
+// scan_frames with the fused sequence-prefix gather (see FrameState).
+PyObject* scan_frames_prefix(PyObject* /*self*/, PyObject* args) {
+  Py_buffer data_b, starts_b, ends_b, pref_b;
+  Py_ssize_t max_records, k;
+  if (!PyArg_ParseTuple(args, "y*w*w*nw*n", &data_b, &starts_b, &ends_b,
+                        &max_records, &pref_b, &k)) {
+    return nullptr;
+  }
+  if (starts_b.len < max_records * 4 * 8 ||
+      ends_b.len < max_records * 4 * 8 || pref_b.len < max_records * k ||
+      k <= 0) {
+    PyBuffer_Release(&data_b);
+    PyBuffer_Release(&starts_b);
+    PyBuffer_Release(&ends_b);
+    PyBuffer_Release(&pref_b);
+    PyErr_SetString(PyExc_ValueError,
+                    "scan_frames_prefix: bad buffer sizes");
+    return nullptr;
+  }
+  const char* base = static_cast<const char*>(data_b.buf);
+  int64_t* st = static_cast<int64_t*>(starts_b.buf);
+  int64_t* en = static_cast<int64_t*>(ends_b.buf);
+  uint8_t* pref = static_cast<uint8_t*>(pref_b.buf);
+  Py_ssize_t n = 0;
+  int64_t consumed = 0;
+  Py_BEGIN_ALLOW_THREADS;
+  n = scan_frames_core(base, data_b.len, st, en, max_records, &consumed,
+                       pref, k);
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&data_b);
+  PyBuffer_Release(&starts_b);
+  PyBuffer_Release(&ends_b);
+  PyBuffer_Release(&pref_b);
   return Py_BuildValue("nn", n, Py_ssize_t(consumed));
 }
 
@@ -432,6 +482,10 @@ PyMethodDef methods[] = {
     {"scan_frames", scan_frames, METH_VARARGS,
      "scan_frames(buf, starts, ends, max_records) -> (n, consumed). "
      "Single-pass framing of up to max_records complete records."},
+    {"scan_frames_prefix", scan_frames_prefix, METH_VARARGS,
+     "scan_frames_prefix(buf, starts, ends, max_records, pref, k) -> "
+     "(n, consumed).  scan_frames fused with a [n, k] 'N'-padded "
+     "sequence-prefix gather."},
     {"gather_prefix", gather_prefix, METH_VARARGS,
      "gather_prefix(buf, starts, ends, out, stride, col_off, k): copy the "
      "first k bytes of each span into a strided matrix, padding with 'N'."},

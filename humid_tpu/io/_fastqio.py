@@ -101,6 +101,20 @@ def scan_frames(buf: np.ndarray, max_records: int):
     return starts[:n], ends[:n], int(consumed)
 
 
+def scan_frames_prefix(buf: np.ndarray, max_records: int, k: int):
+    """scan_frames fused with the sequence-prefix gather: additionally
+    returns a [n, k] uint8 matrix of each record's first ``k`` sequence
+    bytes, cut/padded with 'N' (fastq.cc:131-142), copied while the
+    record is cache-hot."""
+    cap = max(int(max_records), 16)
+    starts = np.empty((cap, 4), dtype=np.int64)
+    ends = np.empty((cap, 4), dtype=np.int64)
+    pref = np.empty((cap, k), dtype=np.uint8)
+    n, consumed = _cfastqio.scan_frames_prefix(buf, starts, ends, cap,
+                                               pref, k)
+    return starts[:n], ends[:n], pref[:n], int(consumed)
+
+
 def frame(buf: np.ndarray):
     """Frame complete 4-line records in ``buf`` (uint8).
 

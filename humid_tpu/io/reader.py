@@ -28,10 +28,14 @@ try:  # native bulk framing (csrc/fastqio.cpp); numpy fallback below
     from ._fastqio import count_newlines as _count_newlines_native
     from ._fastqio import frame as _frame_native
     from ._fastqio import scan_frames as _scan_frames_native
+    from ._fastqio import scan_frames_prefix as _scan_frames_prefix_native
+    from ._fastqio import gather_prefix as _gather_prefix_native
 except ImportError:  # pragma: no cover - extension not built
     _frame_native = None
     _scan_frames_native = None
     _count_newlines_native = None
+    _scan_frames_prefix_native = None
+    _gather_prefix_native = None
 
 
 # Whole-buffer libdeflate decompression beats streaming zlib only while
@@ -80,6 +84,10 @@ class FastqBatch:
     buf: np.ndarray  # uint8 view of the underlying bytes
     starts: np.ndarray
     ends: np.ndarray
+    # Optional [n, k] 'N'-padded first-k sequence bytes, gathered during
+    # framing while the record bytes were cache-hot (csrc/fastqio.cpp
+    # scan_frames_prefix).  None when framing ran without the hint.
+    prefix: np.ndarray | None = None
 
     @property
     def n(self) -> int:
@@ -100,6 +108,8 @@ class FastqBatch:
     def seq_prefix(self, k: int) -> np.ndarray:
         """First ``k`` bases of every sequence, cut/padded with 'N'
         (fastq.cc:131-142)."""
+        if self.prefix is not None and self.prefix.shape[1] == k:
+            return self.prefix
         return self.line_matrix(1, k, fill=ord("N"))
 
     def max_line_len(self, line: int) -> int:
@@ -113,7 +123,8 @@ class FastqBatch:
 
     def slice_records(self, s: int, e: int) -> "FastqBatch":
         """Zero-copy view of records [s, e)."""
-        return FastqBatch(self.buf, self.starts[s:e], self.ends[s:e])
+        return FastqBatch(self.buf, self.starts[s:e], self.ends[s:e],
+                          None if self.prefix is None else self.prefix[s:e])
 
     def line_bytes(self, i: int, line: int) -> bytes:
         return self.buf[self.starts[i, line]:self.ends[i, line]].tobytes()
@@ -145,7 +156,20 @@ def _frame(buf: np.ndarray, base: int = 0) -> tuple[np.ndarray, np.ndarray, int]
     return line_starts, line_ends, consumed
 
 
-def _frame_chunk(buf: np.ndarray, skip_nl: int):
+def _prefix_for(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                k: int) -> np.ndarray | None:
+    """Post-hoc prefix gather for batches framed without the fused path
+    (straddling records, numpy fallback).  Native-only: the prefix hint
+    is only ever requested when the extension is loaded."""
+    if _gather_prefix_native is None or k <= 0:
+        return None
+    pref = np.empty((starts.shape[0], k), np.uint8)
+    if starts.shape[0]:
+        _gather_prefix_native(buf, starts[:, 1], ends[:, 1], pref, 0, k)
+    return pref
+
+
+def _frame_chunk(buf: np.ndarray, skip_nl: int, prefix_k: int = 0):
     """Frame one raw chunk independently of its neighbours.
 
     ``skip_nl`` newlines separate the chunk start from the first record
@@ -166,13 +190,19 @@ def _frame_chunk(buf: np.ndarray, skip_nl: int):
                 h = int(nl[skip_nl - 1]) + 1
                 break
             if win >= len(buf):
-                return -1, None, None, len(buf)
+                return -1, None, None, None, len(buf)
             win *= 8
-    parts_s, parts_e = [], []
+    fused = prefix_k > 0 and _scan_frames_prefix_native is not None
+    parts_s, parts_e, parts_p = [], [], []
     off = h
     while off < len(buf):
         cap = (len(buf) - off) // 64 + 64
-        s, e, c = _scan_frames_native(buf[off:], cap)
+        if fused:
+            s, e, p, c = _scan_frames_prefix_native(buf[off:], cap,
+                                                    prefix_k)
+            parts_p.append(p)
+        else:
+            s, e, c = _scan_frames_native(buf[off:], cap)
         if s.shape[0] == 0:
             break
         parts_s.append(s + off)
@@ -185,10 +215,14 @@ def _frame_chunk(buf: np.ndarray, skip_nl: int):
                   else np.concatenate(parts_s))
         ends = (parts_e[0] if len(parts_e) == 1
                 else np.concatenate(parts_e))
+        pref = (None if not fused else
+                (parts_p[0] if len(parts_p) == 1
+                 else np.concatenate(parts_p)))
     else:
         starts = np.zeros((0, 4), np.int64)
         ends = np.zeros((0, 4), np.int64)
-    return h, starts, ends, off
+        pref = np.zeros((0, prefix_k), np.uint8) if fused else None
+    return h, starts, ends, pref, off
 
 
 class _Readahead:
@@ -238,10 +272,15 @@ class FastqReader:
     """Chunked FastQ reader yielding :class:`FastqBatch` objects."""
 
     def __init__(self, path: str, chunk_bytes: int = 32 * 1024 * 1024,
-                 frame_workers: int = 4):
+                 frame_workers: int = 4, prefix_k: int = 0):
         self.path = path
         self.chunk_bytes = chunk_bytes
         self.frame_workers = frame_workers
+        # When > 0, frame with the fused sequence-prefix gather so every
+        # batch carries FastqBatch.prefix (the word packer's input) —
+        # saves a scattered re-walk of the buffer.
+        self.prefix_k = (prefix_k
+                         if _scan_frames_prefix_native is not None else 0)
 
     # Gzip files up to this COMPRESSED size are inflated in one
     # libdeflate call (2-3x faster than streaming zlib) and framed by
@@ -314,7 +353,7 @@ class FastqReader:
         def consume(item) -> Iterator[FastqBatch]:
             nonlocal tail_start
             lo, hi, fut = item
-            head_end, starts, ends, consumed = fut.result()
+            head_end, starts, ends, pref, consumed = fut.result()
             if head_end < 0:  # chunk interior to a straddling record
                 return
             straddle_end = lo + head_end
@@ -322,9 +361,11 @@ class FastqReader:
                 sbuf = full[tail_start:straddle_end]
                 ss, se, _ = _frame(sbuf)
                 if ss.shape[0]:
-                    yield FastqBatch(sbuf, ss, se)
+                    yield FastqBatch(sbuf, ss, se,
+                                     _prefix_for(sbuf, ss, se,
+                                                 self.prefix_k))
             if starts.shape[0]:
-                yield FastqBatch(full[lo:hi], starts, ends)
+                yield FastqBatch(full[lo:hi], starts, ends, pref)
             tail_start = lo + consumed
 
         with ThreadPoolExecutor(max_workers=self.frame_workers) as ex:
@@ -337,7 +378,8 @@ class FastqReader:
                 nl_total += _count_newlines_native(chunk)
                 prev_boundary = full[hi - 1] == _NEWLINE
                 inflight.append(
-                    (lo, hi, ex.submit(_frame_chunk, chunk, skip)))
+                    (lo, hi, ex.submit(_frame_chunk, chunk, skip,
+                                       self.prefix_k)))
                 while len(inflight) > self.frame_workers + 1:
                     yield from consume(inflight.popleft())
             while inflight:
@@ -352,7 +394,9 @@ class FastqReader:
                 buf = np.frombuffer(data, np.uint8)
                 starts, ends, _ = _frame(buf)
                 if starts.shape[0]:
-                    yield FastqBatch(buf, starts, ends)
+                    yield FastqBatch(buf, starts, ends,
+                                     _prefix_for(buf, starts, ends,
+                                                 self.prefix_k))
 
     def _batches_sequential(self) -> Iterator[FastqBatch]:
         stream = _open_stream(self.path)
@@ -367,21 +411,29 @@ class FastqReader:
                     break
                 data = leftover + chunk if leftover else chunk
                 buf = np.frombuffer(data, dtype=np.uint8)
+                pref = None
                 if _scan_frames_native is not None and avg_rec:
                     # Single-pass framing; a capacity underestimate just
                     # leaves complete records in the leftover for the
                     # next round.
                     cap = int(len(buf) / avg_rec * 1.25) + 16
-                    starts, ends, consumed = _scan_frames_native(buf, cap)
+                    if self.prefix_k > 0:
+                        starts, ends, pref, consumed = (
+                            _scan_frames_prefix_native(buf, cap,
+                                                       self.prefix_k))
+                    else:
+                        starts, ends, consumed = _scan_frames_native(
+                            buf, cap)
                 else:
                     starts, ends, consumed = _frame(buf)
+                    pref = _prefix_for(buf, starts, ends, self.prefix_k)
                 if starts.shape[0] == 0:
                     leftover = data
                     continue
                 avg_rec = consumed / starts.shape[0]
                 leftover = data[consumed:]
                 # Read-only view; `data` stays alive via the view. No copy.
-                yield FastqBatch(buf[:consumed], starts, ends)
+                yield FastqBatch(buf[:consumed], starts, ends, pref)
             if leftover.strip():
                 # Trailing data without final newline: frame what remains by
                 # appending a synthetic newline (fastp tolerates a missing
@@ -390,7 +442,9 @@ class FastqReader:
                 buf = np.frombuffer(data, dtype=np.uint8)
                 starts, ends, _ = _frame(buf)
                 if starts.shape[0]:
-                    yield FastqBatch(buf, starts, ends)
+                    yield FastqBatch(buf, starts, ends,
+                                     _prefix_for(buf, starts, ends,
+                                                 self.prefix_k))
         finally:
             stream.close()
 
@@ -453,13 +507,8 @@ class _BatchCursor:
                 self._pending.pop(0)
                 need -= b.n
             else:
-                off = b.starts[need - 1, 3]  # split point: end of record need
-                split = int(b.ends[need - 1, 3]) + 1  # include newline
-                head = FastqBatch(b.buf, b.starts[:need], b.ends[:need])
-                tail = FastqBatch(b.buf, b.starts[need:], b.ends[need:])
-                del off, split
-                taken.append(head)
-                self._pending[0] = tail
+                taken.append(b.slice_records(0, need))
+                self._pending[0] = b.slice_records(need, b.n)
                 need = 0
         self._avail -= k
         if len(taken) == 1:
@@ -473,17 +522,24 @@ def _concat_batches(batches: list[FastqBatch]) -> FastqBatch:
     buf = np.concatenate(bufs)
     starts = np.concatenate([b.starts + o for b, o in zip(batches, offsets)])
     ends = np.concatenate([b.ends + o for b, o in zip(batches, offsets)])
-    return FastqBatch(buf, starts, ends)
+    prefix = None
+    if all(b.prefix is not None for b in batches) and len(
+            {b.prefix.shape[1] for b in batches}) == 1:
+        prefix = np.concatenate([b.prefix for b in batches])
+    return FastqBatch(buf, starts, ends, prefix)
 
 
 def _read_tuples_sync(
-    files: Sequence[str], batch_records: int
+    files: Sequence[str], batch_records: int,
+    prefix_ks: Sequence[int] | None = None,
 ) -> Iterator[list[FastqBatch]]:
     # Split the framing pool across the lockstep files so n_files
     # concurrent readers don't oversubscribe the host.
     workers = max(2, 4 // max(1, len(files)))
-    cursors = [_BatchCursor(FastqReader(f, frame_workers=workers))
-               for f in files]
+    ks = list(prefix_ks) if prefix_ks is not None else [0] * len(files)
+    cursors = [_BatchCursor(FastqReader(f, frame_workers=workers,
+                                        prefix_k=k))
+               for f, k in zip(files, ks)]
     while True:
         # Natural (chunk-aligned) sizes make take() a zero-copy view split
         # for at least one cursor and avoid cross-chunk concatenation;
@@ -498,6 +554,7 @@ def _read_tuples_sync(
 def read_tuples(
     files: Sequence[str], batch_records: int = 1 << 19,
     prefetch: int = 2,
+    prefix_ks: Sequence[int] | None = None,
 ) -> Iterator[list[FastqBatch]]:
     """Lockstep iteration over multiple FastQ files in batches.
 
@@ -506,12 +563,15 @@ def read_tuples(
     ANY reader hits EOF and discarding the partial tuple (fastq.cc:41-43,
     104).
 
+    ``prefix_ks`` (one k per file) requests the fused sequence-prefix
+    gather: each yielded batch then carries ``FastqBatch.prefix``.
+
     Batches are produced by a background thread (``prefetch`` queue depth)
     so decompression + framing overlap the consumer's packing/writing —
     both sides spend their time in GIL-releasing C calls.
     """
     if prefetch <= 0:
-        yield from _read_tuples_sync(files, batch_records)
+        yield from _read_tuples_sync(files, batch_records, prefix_ks)
         return
 
     import queue as _queue
@@ -523,7 +583,7 @@ def read_tuples(
 
     def worker():
         try:
-            for item in _read_tuples_sync(files, batch_records):
+            for item in _read_tuples_sync(files, batch_records, prefix_ks):
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.1)

@@ -63,6 +63,13 @@ def _batch_words(batches, nt_to_take, header_umi_size):
     n = batches[0].n
     wl = header_umi_size + sum(nt_to_take)
     if _encode_pack is not None:
+        b0 = batches[0]
+        if (header_umi_size == 0 and len(batches) == 1
+                and b0.prefix is not None
+                and b0.prefix.shape[1] == nt_to_take[0]):
+            # Single-file, no-UMI fast path: the fused framing-time
+            # prefix IS the word chars matrix — encode it directly.
+            return _encode_pack(b0.prefix)
         chars = np.empty((n, wl), np.uint8)
         col = 0
         if header_umi_size > 0:
@@ -72,8 +79,12 @@ def _batch_words(batches, nt_to_take, header_umi_size):
             col = header_umi_size
         for b, k in zip(batches, nt_to_take):
             if k:
-                _gather_prefix(b.buf, b.starts[:, 1], b.ends[:, 1],
-                               chars, col, k)
+                if b.prefix is not None and b.prefix.shape[1] == k:
+                    # Row-contiguous copy of the framing-time gather.
+                    chars[:, col:col + k] = b.prefix
+                else:
+                    _gather_prefix(b.buf, b.starts[:, 1], b.ends[:, 1],
+                                   chars, col, k)
                 col += k
         return _encode_pack(chars)
     umi_chars = None
@@ -171,7 +182,8 @@ def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
                 acc_i.clear()
                 state["acc_n"] = 0
 
-        for batches in read_tuples(files, batch_records):
+        for batches in read_tuples(files, batch_records,
+                                   prefix_ks=nt_to_take):
             if cache is not None:
                 cache.append(batches)
             inflight.append(ex.submit(_pack, batches, state["total"]))
@@ -235,7 +247,8 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
 
     with ThreadPoolExecutor(max_workers=max(1, pack_workers)) as ex:
         inflight: deque = deque()
-        for batches in read_tuples(files, batch_records):
+        for batches in read_tuples(files, batch_records,
+                                   prefix_ks=nt_to_take):
             if cache is not None:
                 cache.append(batches)
             inflight.append(ex.submit(_batch_words, batches, nt_to_take,
