@@ -332,6 +332,117 @@ PyObject* gather_prefix(PyObject* /*self*/, PyObject* args) {
   Py_RETURN_NONE;
 }
 
+// Scalar ACGT -> 2-bit encode + pack for rows [r0, r1) (tail rows of the
+// SIMD path and the portable fallback).
+void encode_pack_scalar(const uint8_t* ch, Py_ssize_t r0, Py_ssize_t r1,
+                        Py_ssize_t L, uint32_t* lanes, Py_ssize_t W,
+                        uint8_t* filt) {
+  static uint8_t lut[256];
+  static uint8_t bad[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; ++i) {
+      lut[i] = 2;
+      bad[i] = 1;
+    }
+    lut['A'] = 0; lut['C'] = 1; lut['G'] = 2; lut['T'] = 3;
+    bad['A'] = bad['C'] = bad['G'] = bad['T'] = 0;
+    init = true;
+  }
+  for (Py_ssize_t i = r0; i < r1; ++i) {
+    const uint8_t* row = ch + i * L;
+    uint8_t f = 0;
+    uint32_t* out = lanes + i * W;
+    for (Py_ssize_t w = 0; w < W; ++w) {
+      uint32_t acc = 0;
+      const Py_ssize_t lo = w * 16;
+      for (Py_ssize_t b = 0; b < 16; ++b) {
+        const Py_ssize_t p = lo + b;
+        uint32_t code = 0;
+        if (p < L) {
+          const uint8_t c = row[p];
+          code = lut[c];
+          f |= bad[c];
+        }
+        acc = (acc << 2) | code;
+      }
+      out[w] = acc;
+    }
+    filt[i] = f;
+  }
+}
+
+#if defined(__x86_64__) || defined(__i386__)
+// SIMD encode: per 16-byte lane group, a pshufb low-nibble LUT maps
+// A/C/G/T to 0..3 (low nibbles 1/3/7/4 are distinct), a second LUT
+// reconstructs the canonical character for strict validity (anything
+// else -> code 2 + filtered, fastq.cc:146-161), and the 2-bit codes are
+// packed big-endian via byte reversal + two movemasks + pdep
+// interleave.  ~5x the scalar loop.
+__attribute__((target("avx2,bmi2")))
+void encode_pack_simd(const uint8_t* ch, Py_ssize_t n, Py_ssize_t L,
+                      uint32_t* lanes, Py_ssize_t W, uint8_t* filt) {
+  // Rows whose last 16-byte lane load would run past the buffer end are
+  // handled by the scalar tail.
+  const Py_ssize_t overrun = 16 * W - L;  // >= 0 since W = ceil(L/16)
+  const Py_ssize_t slack_rows = (overrun + L - 1) / L;
+  const Py_ssize_t n_fast = n > slack_rows ? n - slack_rows : 0;
+  enum { MAX_W = 16 };
+  if (W > MAX_W) {
+    encode_pack_scalar(ch, 0, n, L, lanes, W, filt);
+    return;
+  }
+  const __m128i lut_code = _mm_setr_epi8(2, 0, 2, 1, 3, 2, 2, 2,
+                                         2, 2, 2, 2, 2, 2, 2, 2);
+  // Canonical char per low nibble; non-ACGT nibbles hold 0x80, which no
+  // MSB-clear input equals (and MSB-set inputs make pshufb return 0,
+  // which never equals them either) — so e.g. NUL stays invalid.
+  const __m128i lut_char = _mm_setr_epi8(
+      -128, 'A', -128, 'C', 'T', -128, -128, 'G',
+      -128, -128, -128, -128, -128, -128, -128, -128);
+  const __m128i rev = _mm_setr_epi8(15, 14, 13, 12, 11, 10, 9, 8,
+                                    7, 6, 5, 4, 3, 2, 1, 0);
+  const __m128i all_a = _mm_set1_epi8('A');
+  const __m128i two = _mm_set1_epi8(2);
+  // Per-lane mask of columns past L (padded with 'A' -> code 0, valid),
+  // matching the scalar p >= L behaviour.
+  __m128i pad[MAX_W];
+  for (Py_ssize_t w = 0; w < W; ++w) {
+    alignas(16) int8_t m[16];
+    const Py_ssize_t valid = L - 16 * w < 16 ? L - 16 * w : 16;
+    for (int b = 0; b < 16; ++b) m[b] = b < valid ? 0 : -1;
+    pad[w] = _mm_load_si128(reinterpret_cast<const __m128i*>(m));
+  }
+  for (Py_ssize_t i = 0; i < n_fast; ++i) {
+    const uint8_t* row = ch + i * L;
+    uint32_t* out = lanes + i * W;
+    __m128i inv_acc = _mm_setzero_si128();
+    for (Py_ssize_t w = 0; w < W; ++w) {
+      __m128i v = _mm_loadu_si128(
+          reinterpret_cast<const __m128i*>(row + 16 * w));
+      v = _mm_blendv_epi8(v, all_a, pad[w]);
+      // pshufb: byte MSB set -> 0, else indexed by low nibble.
+      const __m128i expect = _mm_shuffle_epi8(lut_char, v);
+      const __m128i valid = _mm_cmpeq_epi8(v, expect);
+      inv_acc = _mm_or_si128(inv_acc,
+                             _mm_andnot_si128(valid, _mm_set1_epi8(-1)));
+      __m128i code = _mm_shuffle_epi8(lut_code, v);
+      code = _mm_blendv_epi8(two, code, valid);
+      const __m128i r = _mm_shuffle_epi8(code, rev);
+      const uint32_t hi = static_cast<uint32_t>(
+          _mm_movemask_epi8(_mm_slli_epi16(r, 6)));
+      const uint32_t lo = static_cast<uint32_t>(
+          _mm_movemask_epi8(_mm_slli_epi16(r, 7)));
+      out[w] = _pdep_u32(hi, 0xAAAAAAAAu) | _pdep_u32(lo, 0x55555555u);
+    }
+    filt[i] = _mm_movemask_epi8(inv_acc) != 0;
+  }
+  if (n_fast < n) {
+    encode_pack_scalar(ch, n_fast, n, L, lanes, W, filt);
+  }
+}
+#endif
+
 // ACGT -> 2-bit encode (other chars -> G=2 + filtered flag,
 // fastq.cc:146-161) and big-endian packing into uint32 lanes
 // (humid_tpu.words.pack_words layout: base 0 in the two most significant
@@ -346,43 +457,20 @@ PyObject* encode_pack(PyObject* /*self*/, PyObject* args) {
   bool ok = chars_b.len >= n * L && lanes_b.len >= n * W * 4 &&
             filt_b.len >= n;
   if (ok) {
-    static uint8_t lut[256];
-    static uint8_t bad[256];
-    static bool init = false;
-    if (!init) {
-      for (int i = 0; i < 256; ++i) {
-        lut[i] = 2;
-        bad[i] = 1;
-      }
-      lut['A'] = 0; lut['C'] = 1; lut['G'] = 2; lut['T'] = 3;
-      bad['A'] = bad['C'] = bad['G'] = bad['T'] = 0;
-      init = true;
-    }
     const uint8_t* ch = static_cast<const uint8_t*>(chars_b.buf);
     uint32_t* lanes = static_cast<uint32_t*>(lanes_b.buf);
     uint8_t* filt = static_cast<uint8_t*>(filt_b.buf);
     Py_BEGIN_ALLOW_THREADS;
-    for (Py_ssize_t i = 0; i < n; ++i) {
-      const uint8_t* row = ch + i * L;
-      uint8_t f = 0;
-      uint32_t* out = lanes + i * W;
-      for (Py_ssize_t w = 0; w < W; ++w) {
-        uint32_t acc = 0;
-        const Py_ssize_t lo = w * 16;
-        for (Py_ssize_t b = 0; b < 16; ++b) {
-          const Py_ssize_t p = lo + b;
-          uint32_t code = 0;
-          if (p < L) {
-            const uint8_t c = row[p];
-            code = lut[c];
-            f |= bad[c];
-          }
-          acc = (acc << 2) | code;
-        }
-        out[w] = acc;
-      }
-      filt[i] = f;
+#if defined(__x86_64__) || defined(__i386__)
+    if (__builtin_cpu_supports("avx2") &&
+        __builtin_cpu_supports("bmi2")) {
+      encode_pack_simd(ch, n, L, lanes, W, filt);
+    } else {
+      encode_pack_scalar(ch, 0, n, L, lanes, W, filt);
     }
+#else
+    encode_pack_scalar(ch, 0, n, L, lanes, W, filt);
+#endif
     Py_END_ALLOW_THREADS;
   }
   PyBuffer_Release(&chars_b);
