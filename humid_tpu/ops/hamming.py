@@ -44,6 +44,11 @@ def _mismatch_counts(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def hamming_block_xor(rows, cols, row_off, col_off, max_dist, cap: int):
     """Upper-triangle neighbour pairs between a row block and a column block.
 
+    Reference building block / test oracle: the production pipeline uses
+    the fused tile scan in ops/neighbors.py; this standalone block API
+    is kept as the simplest correct statement of the semantics the fused
+    paths are tested against (and as the __graft_entry__ compile probe).
+
     Args:
       rows: [R, W] uint32 packed fingerprints (global rows row_off..row_off+R).
       cols: [C, W] uint32 packed fingerprints (global cols col_off..).
