@@ -67,3 +67,50 @@ def test_record_larger_than_chunk(tmp_path):
     p.write_bytes(small + rec + small)
     par = _records(str(p), 3, 256)
     assert par == [small, rec, small]
+
+
+@pytest.mark.parametrize("chunk_bytes", [97, 1 << 15])
+def test_fused_prefix_matches_line_matrix(tmp_path, chunk_bytes):
+    """FastqBatch.prefix from the fused framing-time gather equals the
+    span-based seq_prefix fallback, across chunk straddles, CRLF, and
+    short (padded) reads."""
+    pytest.importorskip("humid_tpu.io._fastqio")
+    rng = np.random.default_rng(chunk_bytes + 1)
+    recs = []
+    for i in range(300):
+        nl = b"\r\n" if i % 7 == 0 else b"\n"
+        seq = bytes(rng.choice(list(b"ACGTN"), int(rng.integers(1, 80))))
+        recs.append(nl.join([b"@p%d" % i, seq, b"+",
+                             b"J" * len(seq)]) + nl)
+    p = tmp_path / "pref.fastq"
+    p.write_bytes(b"".join(recs))
+    k = 24
+    for workers in (1, 3):
+        r = FastqReader(str(p), chunk_bytes=chunk_bytes,
+                        frame_workers=workers, prefix_k=k)
+        total = 0
+        for b in r.batches():
+            assert b.prefix is not None and b.prefix.shape == (b.n, k)
+            np.testing.assert_array_equal(
+                b.prefix, b.line_matrix(1, k, fill=ord("N")))
+            total += b.n
+        assert total == 300
+
+
+def test_simd_encode_pack_parity_hostile_bytes():
+    """The SIMD encode_pack path equals the pure-python packer across
+    widths (tail lanes, multi-lane) and hostile bytes (NUL, 0xFF,
+    lowercase, '@')."""
+    fastqio = pytest.importorskip("humid_tpu.io._fastqio")
+    from humid_tpu import words as W
+
+    rng = np.random.default_rng(11)
+    alphabet = np.frombuffer(b"ACGTNacgtX\0\xff@", np.uint8)
+    for L in [1, 8, 15, 16, 17, 24, 33, 48]:
+        n = int(rng.integers(1, 700))
+        chars = np.ascontiguousarray(
+            rng.choice(alphabet, size=(n, L)))
+        lanes, filt = fastqio.encode_pack(chars)
+        codes, filt2 = W.build_words(None, [chars])
+        np.testing.assert_array_equal(filt, filt2)
+        np.testing.assert_array_equal(lanes, W.pack_words(codes))
