@@ -108,6 +108,17 @@ def unique_words(packed: np.ndarray, want_inverse: bool = True):
         key = (packed[:, 0].astype(np.uint64) << np.uint64(32)) | \
             packed[:, 1].astype(np.uint64)
         order = _stable_argsort_u64(key)
+    elif w <= 4 and _argsort_u64 is not None:
+        # 3-4 lanes (word length 33-64): LSD two-pass over u64 halves
+        # through the native radix sort — sort by the low half, then
+        # stable-sort that order by the high half.
+        def _half(lo_lane: int) -> np.ndarray:
+            k = packed[:, lo_lane].astype(np.uint64) << np.uint64(32)
+            if lo_lane + 1 < w:
+                k |= packed[:, lo_lane + 1].astype(np.uint64)
+            return k
+        order = _stable_argsort_u64(_half(2))
+        order = order[_stable_argsort_u64(_half(0)[order])]
     else:
         # Least-significant key last in np.lexsort's tuple.
         order = np.lexsort(tuple(packed[:, w - 1 - i] for i in range(w)))

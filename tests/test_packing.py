@@ -110,3 +110,30 @@ def test_unique_words_without_inverse():
     np.testing.assert_array_equal(u1, u2)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(f1, f2)
+
+
+def test_unique_words_wide_lanes_match_lexsort():
+    """The 3-4 lane (word length 33-64) two-pass radix path equals the
+    np.lexsort fallback exactly."""
+    from humid_tpu.ops import unique as U
+
+    rng = np.random.default_rng(21)
+    for w in (3, 4):
+        n = 5000
+        # Few distinct values per lane -> plenty of ties across lanes,
+        # exercising stability.
+        packed = rng.integers(0, 7, size=(n, w)).astype(np.uint32)
+        got = U.unique_words(packed)
+        order = np.lexsort(tuple(packed[:, w - 1 - i] for i in range(w)))
+        s = packed[order]
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (s[1:] != s[:-1]).any(axis=1)
+        gs = np.flatnonzero(new)
+        np.testing.assert_array_equal(got[0], s[gs])
+        np.testing.assert_array_equal(
+            got[1], np.diff(np.append(gs, n)).astype(np.int64))
+        np.testing.assert_array_equal(got[2], order[gs].astype(np.int64))
+        inv = np.empty(n, np.int64)
+        inv[order] = np.cumsum(new) - 1
+        np.testing.assert_array_equal(got[3], inv)
