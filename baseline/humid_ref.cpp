@@ -25,6 +25,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <filesystem>
 #include <cstdio>
 #include <cstring>
 #include <ctime>
@@ -582,6 +583,12 @@ int main(int argc, char** argv) {
   });
 
   end_message(logf, t_cl);
+
+  // The reference creates the output directory before any writer opens
+  // (create_directories(dirName), humid.cc:390); without this, fopen
+  // returns nullptr and the first fwrite crashes.
+  std::error_code dir_ec;
+  std::filesystem::create_directories(a.dir, dir_ec);
 
   // Pass 2: outputs — two separate input passes exactly like the
   // reference (writeFiltered humid.cc:203-241, then writeAnnotated
