@@ -55,13 +55,15 @@ struct RawArena {
   }
 };
 
-void radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
+// Returns false if scratch allocation failed (caller raises MemoryError).
+bool radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
                        uint64_t* sorted_keys = nullptr) {
   thread_local RawArena a_k0, a_k1, a_i0, a_i1;
   uint64_t* kbuf0 = static_cast<uint64_t*>(a_k0.ensure(n * 8));
   uint64_t* kbuf1 = static_cast<uint64_t*>(a_k1.ensure(n * 8));
   int64_t* ibuf0 = static_cast<int64_t*>(a_i0.ensure(n * 8));
   int64_t* ibuf1 = static_cast<int64_t*>(a_i1.ensure(n * 8));
+  if (n > 0 && (!kbuf0 || !kbuf1 || !ibuf0 || !ibuf1)) return false;
   uint64_t orall = 0, andall = ~0ull;
 #if defined(_OPENMP)
 #pragma omp parallel for reduction(|:orall) reduction(&:andall)
@@ -85,14 +87,12 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
   for (int p = 0; p < 8; ++p) {
     const int shift = 8 * p;
     if (((orall >> shift) & 0xff) == ((andall >> shift) & 0xff)) continue;
+    // Chunk index loops (not omp_get_thread_num chunking): correct even
+    // if the runtime delivers a team smaller than nt.
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-    {
-      int t = 0;
-#if defined(_OPENMP)
-      t = omp_get_thread_num();
-#endif
+    for (int t = 0; t < nt; ++t) {
       const Py_ssize_t lo = t * chunk;
       const Py_ssize_t hi = std::min(n, lo + chunk);
       int64_t* h = &hist[static_cast<size_t>(t) * 256];
@@ -114,13 +114,9 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
       }
     }
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-    {
-      int t = 0;
-#if defined(_OPENMP)
-      t = omp_get_thread_num();
-#endif
+    for (int t = 0; t < nt; ++t) {
       const Py_ssize_t lo = t * chunk;
       const Py_ssize_t hi = std::min(n, lo + chunk);
       int64_t* h = &hist[static_cast<size_t>(t) * 256];
@@ -138,6 +134,7 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
     std::memcpy(sorted_keys, ksrc,
                 static_cast<size_t>(n) * sizeof(uint64_t));
   }
+  return true;
 }
 
 constexpr Py_ssize_t kRadixMin = 1 << 15;
@@ -147,12 +144,13 @@ PyObject* argsort_u64(PyObject* /*self*/, PyObject* args) {
   if (!PyArg_ParseTuple(args, "y*w*", &keys_b, &order_b)) return nullptr;
   const Py_ssize_t n = keys_b.len / 8;
   bool ok = order_b.len / 8 >= n;
+  bool oom = false;
   if (ok) {
     const uint64_t* keys = static_cast<const uint64_t*>(keys_b.buf);
     int64_t* order = static_cast<int64_t*>(order_b.buf);
     Py_BEGIN_ALLOW_THREADS;
     if (n >= kRadixMin) {
-      radix_argsort_u64(keys, order, n);
+      oom = !radix_argsort_u64(keys, order, n);
     } else {
       for (Py_ssize_t i = 0; i < n; ++i) order[i] = i;
       SORT(order, order + n, [keys](int64_t a, int64_t b) {
@@ -167,6 +165,7 @@ PyObject* argsort_u64(PyObject* /*self*/, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "argsort_u64: bad buffer sizes");
     return nullptr;
   }
+  if (oom) return PyErr_NoMemory();
   Py_RETURN_NONE;
 }
 
@@ -193,6 +192,7 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
             cnt_b.len / 8 >= n && fo_b.len / 8 >= n &&
             (!want_inv || inv_b.len / 8 >= n);
   Py_ssize_t k = 0;
+  bool oom = false;
   if (ok && n > 0) {
     const uint64_t* keys = static_cast<const uint64_t*>(keys_b.buf);
     int64_t* order = static_cast<int64_t*>(order_b.buf);
@@ -208,21 +208,18 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
       // 30M+ keys).
       thread_local RawArena skeys_arena;
       uint64_t* skeys = static_cast<uint64_t*>(skeys_arena.ensure(n * 8));
-      radix_argsort_u64(keys, order, n, skeys);
+      oom = !skeys || !radix_argsort_u64(keys, order, n, skeys);
       int nt = 1;
 #if defined(_OPENMP)
       nt = omp_get_max_threads();
 #endif
-      const Py_ssize_t chunk = (n + nt - 1) / nt;
-      std::vector<int64_t> block_groups(nt, 0);
+      if (oom) nt = 0;  // skip the group passes below
+      const Py_ssize_t chunk = (n + std::max(nt, 1) - 1) / std::max(nt, 1);
+      std::vector<int64_t> block_groups(std::max(nt, 1), 0);
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-      {
-        int t = 0;
-#if defined(_OPENMP)
-        t = omp_get_thread_num();
-#endif
+      for (int t = 0; t < nt; ++t) {
         const Py_ssize_t lo = t * chunk;
         const Py_ssize_t hi = std::min(n, lo + chunk);
         int64_t local = 0;
@@ -231,19 +228,15 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
         }
         block_groups[t] = local;
       }
-      std::vector<int64_t> block_off(nt + 1, 0);
+      std::vector<int64_t> block_off(std::max(nt, 1) + 1, 0);
       for (int t = 0; t < nt; ++t) {
         block_off[t + 1] = block_off[t] + block_groups[t];
       }
-      k = block_off[nt];
+      k = block_off[std::max(nt, 0)];
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-      {
-        int t = 0;
-#if defined(_OPENMP)
-        t = omp_get_thread_num();
-#endif
+      for (int t = 0; t < nt; ++t) {
         const Py_ssize_t lo = t * chunk;
         const Py_ssize_t hi = std::min(n, lo + chunk);
         int64_t g = block_off[t];
@@ -308,6 +301,7 @@ PyObject* unique_u64(PyObject* /*self*/, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "unique_u64: bad buffer sizes");
     return nullptr;
   }
+  if (oom) return PyErr_NoMemory();
   return PyLong_FromLongLong(static_cast<long long>(k));
 }
 
@@ -337,6 +331,7 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
             uniq_b.len >= packed_b.len && cnt_b.len / 8 >= n &&
             fo_b.len / 8 >= n && (!want_inv || inv_b.len / 8 >= n);
   Py_ssize_t k = 0;
+  bool oom = false;
   if (ok && n > 0) {
     const uint32_t* packed = static_cast<const uint32_t*>(packed_b.buf);
     uint32_t* uniq = static_cast<uint32_t*>(uniq_b.buf);
@@ -349,11 +344,13 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
     uint64_t* k1 = static_cast<uint64_t*>(a_k1.ensure(n * 8));
     uint32_t* i0 = static_cast<uint32_t*>(a_i0.ensure(n * 4));
     uint32_t* i1 = static_cast<uint32_t*>(a_i1.ensure(n * 4));
+    oom = !k0 || !k1 || !i0 || !i1;
     int nt = 1;
 #if defined(_OPENMP)
     nt = omp_get_max_threads();
 #endif
     const Py_ssize_t chunk = (n + nt - 1) / nt;
+    if (!oom) {
     // Fused key build + parallel first touch of the arenas.
     uint64_t orall = 0, andall = ~0ull;
 #if defined(_OPENMP)
@@ -382,13 +379,9 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
           continue;
         }
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-        {
-          int t = 0;
-#if defined(_OPENMP)
-          t = omp_get_thread_num();
-#endif
+        for (int t = 0; t < nt; ++t) {
           const Py_ssize_t lo = t * chunk;
           const Py_ssize_t hi = std::min(n, lo + chunk);
           int64_t* h = &hist[static_cast<size_t>(t) * 256];
@@ -407,13 +400,9 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
           }
         }
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-        {
-          int t = 0;
-#if defined(_OPENMP)
-          t = omp_get_thread_num();
-#endif
+        for (int t = 0; t < nt; ++t) {
           const Py_ssize_t lo = t * chunk;
           const Py_ssize_t hi = std::min(n, lo + chunk);
           int64_t* h = &hist[static_cast<size_t>(t) * 256];
@@ -438,13 +427,9 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
     // per-block compact emit.
     std::vector<int64_t> block_off(nt + 1, 0);
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-    {
-      int t = 0;
-#if defined(_OPENMP)
-      t = omp_get_thread_num();
-#endif
+    for (int t = 0; t < nt; ++t) {
       const Py_ssize_t lo = t * chunk;
       const Py_ssize_t hi = std::min(n, lo + chunk);
       int64_t local = 0;
@@ -457,14 +442,15 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
     k = block_off[nt];
     thread_local RawArena a_gs;
     int64_t* gs = static_cast<int64_t*>(a_gs.ensure(k * 8));
+    if (!gs) {
+      oom = true;
+      k = 0;
+    }
+    const int nte = oom ? 0 : nt;  // skip emit passes on alloc failure
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-    {
-      int t = 0;
-#if defined(_OPENMP)
-      t = omp_get_thread_num();
-#endif
+    for (int t = 0; t < nte; ++t) {
       const Py_ssize_t lo = t * chunk;
       const Py_ssize_t hi = std::min(n, lo + chunk);
       int64_t g = block_off[t];
@@ -500,6 +486,7 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
         uniq[g] = static_cast<uint32_t>(key);
       }
     }
+    }  // if (!oom)
     Py_END_ALLOW_THREADS;
   }
   PyBuffer_Release(&packed_b);
@@ -511,6 +498,7 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "unique_packed: bad arguments");
     return nullptr;
   }
+  if (oom) return PyErr_NoMemory();
   return PyLong_FromLongLong(static_cast<long long>(k));
 }
 
@@ -546,8 +534,29 @@ PyObject* merge_unique_runs(PyObject* /*self*/, PyObject* args) {
   int64_t* inv = static_cast<int64_t*>(inv_b.buf);
   const Py_ssize_t nruns = off_b.len / 8 - 1;
   const Py_ssize_t n = keys_b.len / 8;
+  // Validate like the sibling entry points: k <= n unique outputs, runs
+  // within [0, n] and nondecreasing, idx in range of the inv scatter.
+  bool ok = idx_b.len / 8 >= n && uk_b.len / 8 >= n &&
+            cnt_b.len / 8 >= n && fo_b.len / 8 >= n;
+  if (ok && nruns > 0) {
+    ok = off[0] >= 0 && off[nruns] <= n;
+    for (Py_ssize_t r = 0; ok && r < nruns; ++r) {
+      ok = off[r] <= off[r + 1];
+    }
+  }
+  if (ok && want_inv && n > 0) {
+    const Py_ssize_t inv_cap = inv_b.len / 8;
+    bool in_range = true;
+#if defined(_OPENMP)
+#pragma omp parallel for reduction(&&:in_range) schedule(static)
+#endif
+    for (Py_ssize_t j = 0; j < n; ++j) {
+      in_range = in_range && idx[j] >= 0 && idx[j] < inv_cap;
+    }
+    ok = in_range;
+  }
   Py_ssize_t k_total = 0;
-  if (n > 0 && nruns > 0) {
+  if (ok && n > 0 && nruns > 0) {
     Py_BEGIN_ALLOW_THREADS;
     int nt = 1;
 #if defined(_OPENMP)
@@ -584,13 +593,9 @@ PyObject* merge_unique_runs(PyObject* /*self*/, PyObject* args) {
     };
     std::vector<ThreadOut> touts(nt);
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-    {
-      int t = 0;
-#if defined(_OPENMP)
-      t = omp_get_thread_num();
-#endif
+    for (int t = 0; t < nt; ++t) {
       ThreadOut& out = touts[t];
       // Heap of (key, run) over this thread's subranges.
       std::vector<Py_ssize_t> pos(nruns), end(nruns);
@@ -657,13 +662,9 @@ PyObject* merge_unique_runs(PyObject* /*self*/, PyObject* args) {
     }
     k_total = base[nt];
 #if defined(_OPENMP)
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel for schedule(static, 1)
 #endif
-    {
-      int t = 0;
-#if defined(_OPENMP)
-      t = omp_get_thread_num();
-#endif
+    for (int t = 0; t < nt; ++t) {
       const ThreadOut& out = touts[t];
       std::memcpy(ukeys + base[t], out.uk.data(),
                   out.uk.size() * sizeof(uint64_t));
@@ -692,6 +693,10 @@ PyObject* merge_unique_runs(PyObject* /*self*/, PyObject* args) {
   PyBuffer_Release(&cnt_b);
   PyBuffer_Release(&fo_b);
   PyBuffer_Release(&inv_b);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError, "merge_unique_runs: bad arguments");
+    return nullptr;
+  }
   return PyLong_FromLongLong(static_cast<long long>(k_total));
 }
 

@@ -175,11 +175,14 @@ def _frame_chunk(buf: np.ndarray, skip_nl: int, prefix_k: int = 0):
     ``skip_nl`` newlines separate the chunk start from the first record
     boundary (derived from the cumulative newline count mod 4 — valid
     FastQ is strictly 4 lines per record, which is also what the
-    sequential framer assumes).  Returns (head_end, starts, ends,
+    sequential framer assumes).  Returns (head_end, starts, ends, pref,
     consumed) where buf[:head_end] belongs to the record straddling the
-    previous chunk and buf[consumed:] to the one straddling the next.
-    Returns head_end = -1 when the chunk contains fewer than ``skip_nl``
-    newlines (the whole chunk is interior to the straddling record).
+    previous chunk, buf[consumed:] to the one straddling the next, and
+    pref is the fused [n, prefix_k] sequence-prefix gather (None when
+    prefix_k == 0 or the fused native path is unavailable).  Returns
+    head_end = -1 (with starts/ends/pref None and consumed = len(buf))
+    when the chunk contains fewer than ``skip_nl`` newlines (the whole
+    chunk is interior to the straddling record).
     """
     h = 0
     if skip_nl:

@@ -231,8 +231,8 @@ def sharded_neighbor_pairs_bucketed(
     Replaces findHammingNeighbours (humid.cc:113-130) at mesh scale.
     """
     from ..ops.neighbors import (_dedupe_pairs, _pad_pairs,
-                                 _resolve_metric, _segment_run_ids)
-    from ..ops.unique import _stable_argsort_u64
+                                 _partition_runs, _resolve_metric,
+                                 _segment_run_ids)
 
     mesh = mesh or data_mesh()
     d = mesh.devices.size
@@ -247,32 +247,39 @@ def sharded_neighbor_pairs_bucketed(
         metric = "hamming_mxu"
 
     # --- host prep: partitions -> runs -> shard assignment ---
+    # Vectorized throughout: at WGS scale there are millions of runs, so
+    # per-run Python tuples / np.argmin calls would dominate the search.
     n_seg = max_dist + 1
     keys = _segment_run_ids(packed, word_length, n_seg)
-    work = []  # (weight, order_array, start, len)
+    orders: list[np.ndarray] = []
+    part_l, start_l, len_l = [], [], []
     for p in range(n_seg):
-        order = _stable_argsort_u64(keys[p])
-        kperm = keys[p][order]
-        new_run = np.empty(u, bool)
-        new_run[0] = True
-        np.not_equal(kperm[1:], kperm[:-1], out=new_run[1:])
-        run_start = np.flatnonzero(new_run)
-        run_len = np.diff(np.append(run_start, u))
+        order, run_start, run_len = _partition_runs(keys[p])
+        orders.append(order)
         sel = run_len >= 2
-        for s, l in zip(run_start[sel].tolist(), run_len[sel].tolist()):
-            work.append((l * (l - 1) // 2, order, s, l))
-    if not work:
+        part_l.append(np.full(int(sel.sum()), p, np.int32))
+        start_l.append(run_start[sel].astype(np.int64))
+        len_l.append(run_len[sel].astype(np.int64))
+    part_id = np.concatenate(part_l)
+    r_start = np.concatenate(start_l)
+    r_len = np.concatenate(len_l)
+    n_runs = len(r_len)
+    if n_runs == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    work.sort(key=lambda t: -t[0])
 
-    loads = np.zeros(d, np.int64)
-    shard_runs: list[list] = [[] for _ in range(d)]
-    for wgt, order, s, l in work:
-        si = int(np.argmin(loads))
-        loads[si] += max(wgt, 1)
-        shard_runs[si].append((order, s, l))
+    # Heaviest-first snake assignment: rank runs by descending pair count
+    # and deal them boustrophedon over the shards — approximates the
+    # least-loaded greedy without a per-run heap (assignment affects
+    # balance only; the scan result is shard-independent).
+    weights = r_len * (r_len - 1) // 2
+    rank = np.argsort(-weights, kind="stable")
+    posn = np.empty(n_runs, np.int64)
+    posn[rank] = np.arange(n_runs)
+    lane = posn % d
+    shard = np.where((posn // d) % 2 == 0, lane, d - 1 - lane)
 
-    max_rows = max(sum(l for _, _, l in rs) for rs in shard_runs)
+    shard_tot = np.bincount(shard, weights=r_len, minlength=d)
+    max_rows = int(shard_tot.max())
     b = min(tile, _round_up(max_rows, 256))
     # Power-of-two tile count per shard: dataset-size changes reuse the
     # compiled program (XLA bakes every array length into the signature).
@@ -280,31 +287,53 @@ def sharded_neighbor_pairs_bucketed(
     nt = 1 << (nt - 1).bit_length()
     r_pad = nt * b
 
+    def _expand(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Concatenate [start, start+len) ranges into one index vector."""
+        tot = int(lens.sum())
+        cum = np.cumsum(lens)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(cum - lens, lens)
+        return np.repeat(starts, lens) + within
+
     gmaps = np.full((d, r_pad), -1, np.int64)
     rows_all = np.zeros((d * r_pad, w), packed.dtype)
     # Padding rows carry distinct negative ids so they never match.
     rid_all = -np.arange(1, d * r_pad + 1, dtype=np.int32)
     urows = np.zeros(d, np.int32)
     tile_lists: list[np.ndarray] = []
-    rid_next = 0
-    for si, rs in enumerate(shard_runs):
-        off = 0
-        tp = set()
-        for order, s, l in rs:
-            idx = order[s:s + l]
-            gmaps[si, off:off + l] = idx
-            rows_all[si * r_pad + off:si * r_pad + off + l] = packed[idx]
-            rid_all[si * r_pad + off:si * r_pad + off + l] = rid_next
-            t0, t1 = off // b, (off + l - 1) // b
-            for i in range(t0, t1 + 1):
-                for j in range(i, t1 + 1):
+    for si in range(d):
+        mine = rank[shard[rank] == si]  # this shard's runs, heaviest first
+        l_si = r_len[mine]
+        tot = int(l_si.sum())
+        urows[si] = tot
+        if tot == 0:
+            tile_lists.append(np.zeros((0, 2), np.int32))
+            continue
+        # Row gather: expand each run's sorted-order range; destinations
+        # are contiguous because offsets are the cumsum of run lengths.
+        src_pos = _expand(r_start[mine], l_si)
+        src_part = np.repeat(part_id[mine], l_si)
+        idx = np.empty(tot, np.int64)
+        for p in range(n_seg):
+            m = src_part == p
+            if m.any():
+                idx[m] = orders[p][src_pos[m]]
+        gmaps[si, :tot] = idx
+        rows_all[si * r_pad:si * r_pad + tot] = packed[idx]
+        rid_all[si * r_pad:si * r_pad + tot] = np.repeat(
+            np.arange(len(mine), dtype=np.int32), l_si)
+        # Tile pairs: single-tile runs contribute their diagonal tile
+        # (the common case, vectorized); runs spanning tiles add their
+        # block squares in a loop over that rare subset.
+        offs = np.cumsum(l_si) - l_si
+        t0 = offs // b
+        t1 = (offs + l_si - 1) // b
+        tp = {(int(t), int(t)) for t in np.unique(t0[t0 == t1])}
+        spans = t0 != t1
+        for s0, s1 in zip(t0[spans].tolist(), t1[spans].tolist()):
+            for i in range(s0, s1 + 1):
+                for j in range(i, s1 + 1):
                     tp.add((i, j))
-            rid_next += 1
-            off += l
-        urows[si] = off
-        tl = (np.array(sorted(tp), np.int32).reshape(-1, 2)
-              if tp else np.zeros((0, 2), np.int32))
-        tile_lists.append(tl)
+        tile_lists.append(np.array(sorted(tp), np.int32).reshape(-1, 2))
 
     t_max = max(len(t) for t in tile_lists)
     t_pad = 1 << max(t_max - 1, 0).bit_length()

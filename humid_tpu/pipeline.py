@@ -38,7 +38,9 @@ class PipelineResult:
     labels: np.ndarray | None = None        # [U] cluster id per unique word
     counts: np.ndarray | None = None        # [U] duplicate count
     rep_reads: np.ndarray | None = None     # representative read indices
-    cluster_of_read: np.ndarray | None = None  # [N] id per read (0=filtered)
+    # [N] id per read (0=filtered); only populated when the run computes
+    # per-read ids, i.e. write_annotated=True — None otherwise.
+    cluster_of_read: np.ndarray | None = None
     degree: np.ndarray | None = None        # [U] neighbour count
     sizes: np.ndarray | None = None         # [K] cluster sizes
     extra: dict = field(default_factory=dict)
