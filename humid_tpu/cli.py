@@ -17,8 +17,13 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import zlib
 
 from .pipeline import run
+
+# Input errors (missing file, empty/corrupt/truncated FastQ or gzip)
+# that get a clean CLI diagnostic instead of a traceback.
+_INPUT_ERRORS = (OSError, ValueError, EOFError, zlib.error)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -81,7 +86,27 @@ def main(argv: list[str] | None = None) -> int:
                 "--num-processes > 1 requires --coordinator")
         init_distributed(args.coordinator, args.num_processes,
                          args.process_id)
-        run_distributed(
+        try:
+            run_distributed(
+                args.files,
+                word_length=args.n,
+                distance=args.m,
+                log_name=args.l,
+                dir_name=args.d,
+                run_stats=args.s,
+                write_dedup=args.q,
+                write_annotated=args.a,
+                edit=args.e,
+                maximum=args.x,
+                process_id=args.process_id,
+                num_processes=args.num_processes,
+            )
+        except _INPUT_ERRORS as exc:
+            print(f"humid-tpu: error: {exc}", file=sys.stderr)
+            return 1
+        return 0
+    try:
+        run(
             args.files,
             word_length=args.n,
             distance=args.m,
@@ -92,22 +117,10 @@ def main(argv: list[str] | None = None) -> int:
             write_annotated=args.a,
             edit=args.e,
             maximum=args.x,
-            process_id=args.process_id,
-            num_processes=args.num_processes,
         )
-        return 0
-    run(
-        args.files,
-        word_length=args.n,
-        distance=args.m,
-        log_name=args.l,
-        dir_name=args.d,
-        run_stats=args.s,
-        write_dedup=args.q,
-        write_annotated=args.a,
-        edit=args.e,
-        maximum=args.x,
-    )
+    except _INPUT_ERRORS as exc:
+        print(f"humid-tpu: error: {exc}", file=sys.stderr)
+        return 1
     return 0
 
 

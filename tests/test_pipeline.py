@@ -175,6 +175,45 @@ def test_cli_smoke(tmp_path):
     assert os.path.exists(tmp_path / "o" / "stats.dat")
 
 
+def _missing_input(d):
+    return str(d / "missing.fastq")
+
+
+def _empty_input(d):
+    p = d / "empty.fastq"
+    p.write_bytes(b"")
+    return str(p)
+
+
+def _corrupt_gz_input(d):
+    p = d / "corrupt.fastq.gz"
+    p.write_bytes(b"\x1f\x8b\x08\x00garbage")
+    return str(p)
+
+
+@pytest.mark.parametrize(
+    "make_input", [_missing_input, _empty_input, _corrupt_gz_input])
+def test_cli_input_errors_exit_cleanly(tmp_path, capsys, make_input):
+    """Bad inputs produce `humid-tpu: error: ...` + exit 1, no traceback."""
+    from humid_tpu.cli import main
+    path = make_input(tmp_path)
+    rc = main(["-d", str(tmp_path / "o"), "-l", os.devnull, path])
+    assert rc == 1
+    assert "humid-tpu: error:" in capsys.readouterr().err
+
+
+def test_cli_truncated_gzip_exits_cleanly(tmp_path, capsys):
+    import gzip
+    from humid_tpu.cli import main
+    rec = b"@r1\nACGTACGTACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIIIIIIIIIII\n"
+    data = gzip.compress(rec * 50)
+    p = tmp_path / "trunc.fastq.gz"
+    p.write_bytes(data[:len(data) // 2])
+    rc = main(["-d", str(tmp_path / "o"), "-l", os.devnull, str(p)])
+    assert rc == 1
+    assert "humid-tpu: error:" in capsys.readouterr().err
+
+
 def test_pipeline_reports_phase_timings(tmp_path):
     import numpy as np
     from genfastq import gen_dataset
