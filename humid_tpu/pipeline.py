@@ -323,7 +323,11 @@ def run(
     # --- pass 1: read + pack (readData, humid.cc:70-103) ---
     # Inputs up to 16GB parsed keep their record batches in memory so the
     # output pass skips the second read entirely (the reference always
-    # re-reads, humid.cc:203-292).
+    # re-reads, humid.cc:203-292).  The cap is deliberate even on
+    # large-memory hosts: materializing tens of GB of fresh record
+    # arrays costs first-touch page faults and page-cache eviction that
+    # measure SLOWER than re-reading a page-cached input at WGS scale
+    # (100M: pass-1 5s re-read mode vs 25-54s cached on the dev host).
     cache: list | None = None
     if cache_records is None:
         try:

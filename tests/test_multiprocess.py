@@ -12,6 +12,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 from genfastq import gen_dataset  # noqa: E402
@@ -25,7 +26,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_cli(tmp_path):
+@pytest.mark.parametrize("n_proc", [2, 3])
+def test_distributed_cli_matches_single_host(tmp_path, n_proc):
+    # 500 reads over 3 processes exercises uneven host record ranges.
     gen_dataset(np.random.default_rng(21), str(tmp_path), n_reads=500,
                 n_files=2, umi_style="underscore")
     files = [str(tmp_path / f"file{i}.fastq") for i in range(2)]
@@ -45,11 +48,11 @@ def test_two_process_distributed_cli(tmp_path):
     # The coordination service must not inherit any TPU plugin state.
     env.pop("XLA_FLAGS", None)
     procs = []
-    for pid in range(2):
+    for pid in range(n_proc):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "humid_tpu",
              "--coordinator", f"127.0.0.1:{port}",
-             "--num-processes", "2", "--process-id", str(pid),
+             "--num-processes", str(n_proc), "--process-id", str(pid),
              "-d", out_dir, "-s", "-a", "-l", os.devnull] + files,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         ))
@@ -68,4 +71,5 @@ def test_two_process_distributed_cli(tmp_path):
     for f in sorted(os.listdir(ref_dir)):
         a = (ref_dir / f).read_bytes()
         b = open(os.path.join(out_dir, f), "rb").read()
-        assert a == b, f"{f} differs between single-host and 2-process"
+        assert a == b, (
+            f"{f} differs between single-host and {n_proc}-process")
