@@ -162,6 +162,30 @@ def test_umi_longer_than_word(tmp_path):
                 word_length=3, n_reads=100)
 
 
+@pytest.mark.parametrize(
+    "seed", [101, 202, 303, 404, 505, 606, 707, 808, 909, 1010])
+def test_fuzz_random_config_matches_oracle(tmp_path, seed):
+    """Deterministic config fuzz: random flag/dataset combinations the
+    hand-written cases don't enumerate, checked against the string
+    oracle end to end (outputs + stats)."""
+    rng = np.random.default_rng(seed)
+    n_files = int(rng.integers(1, 4))
+    cfg = dict(
+        n_files=n_files,
+        umi_style=["none", "underscore", "colon"][int(rng.integers(0, 3))],
+        gz=bool(rng.integers(0, 2)),
+        distance=int(rng.integers(0, 3)),
+        word_length=int(rng.integers(12, 33)),
+        edit=bool(rng.integers(0, 4) == 0),
+        maximum=bool(rng.integers(0, 2)),
+        ragged=bool(rng.integers(0, 2)),
+        unequal=bool(rng.integers(0, 2)) and n_files > 1,
+        n_reads=int(rng.integers(100, 400)),
+        batch_records=int(rng.choice([64, 1 << 10, 1 << 19])),
+    )
+    _check_case(tmp_path, rng, **cfg)
+
+
 def test_cli_smoke(tmp_path):
     from humid_tpu.cli import main
     src = tmp_path / "in"
