@@ -211,3 +211,26 @@ def test_node_sharded_components_edge_cases():
     b = np.arange(1, n)
     got = distributed_components_node_sharded(a, b, n, mesh=mesh)
     np.testing.assert_array_equal(got, np.zeros(n, np.int32))
+
+
+@pytest.mark.parametrize("n_dev", [16, 32])
+def test_dryrun_full_step_wide_mesh(n_dev):
+    """The full sharded dedup step (ring search + pmin merge +
+    node-sharded labelprop + bucketed mesh search) at mesh widths beyond
+    the in-process 8-device cap, via a fresh subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_dev}"
+    env["DRYRUN_DEVICES"] = str(n_dev)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py")],
+        env=env, capture_output=True, timeout=280,
+    )
+    assert out.returncode == 0, out.stderr.decode()[-2000:]
+    assert f"mesh={n_dev}x1".encode() in out.stdout
