@@ -914,6 +914,9 @@ PyObject* merge_join_pairs(PyObject* /*self*/, PyObject* args) {
 // the full-word edit distance of codes[a] vs codes[b] (uint8 base codes,
 // row-major [n, L]) is <= max_dist.  Band half-width = max_dist; cells
 // outside the band cannot lie on a <=max_dist path.  Returns pairs kept.
+// Parallel over pair chunks (per-chunk keep flags, then a prefix +
+// compact emit preserving input order — callers rely on the output
+// being a subsequence of the input pair list).
 PyObject* edit_filter_pairs(PyObject* /*self*/, PyObject* args) {
   Py_buffer codes_b, a_b, b_b, outa_b, outb_b;
   long L_long, max_dist;
@@ -931,36 +934,72 @@ PyObject* edit_filter_pairs(PyObject* /*self*/, PyObject* args) {
   const int m = static_cast<int>(max_dist);
   const int INF = 1 << 20;
   int64_t written = 0;
+  bool oom = false;
   Py_BEGIN_ALLOW_THREADS;
-  std::vector<int> row(static_cast<size_t>(L) + 1);
-  std::vector<int> nrow(static_cast<size_t>(L) + 1);
-  for (Py_ssize_t p = 0; p < np; ++p) {
-    const uint8_t* x = codes + pa[p] * L;
-    const uint8_t* y = codes + pb[p] * L;
-    for (int j = 0; j <= L; ++j) row[j] = j <= m ? j : INF;
-    bool alive = true;
-    for (int i = 1; i <= L && alive; ++i) {
-      const int jlo = i - m > 1 ? i - m : 1;
-      const int jhi = i + m < L ? i + m : L;
-      nrow[jlo - 1] = (jlo - 1 == 0) ? i : INF;
-      int best = nrow[jlo - 1];
-      for (int j = jlo; j <= jhi; ++j) {
-        const int sub = row[j - 1] + (x[i - 1] == y[j - 1] ? 0 : 1);
-        const int del = (j <= i + m - 1) ? row[j] + 1 : INF;
-        const int ins = nrow[j - 1] + 1;
-        int v = sub < del ? sub : del;
-        if (ins < v) v = ins;
-        nrow[j] = v;
-        if (v < best) best = v;
+  int nt = 1;
+#if defined(_OPENMP)
+  nt = omp_get_max_threads();
+#endif
+  const Py_ssize_t chunk = (np + nt - 1) / nt;
+  thread_local RawArena a_keep;
+  uint8_t* keep =
+      np ? static_cast<uint8_t*>(a_keep.ensure(np)) : nullptr;
+  oom = np && !keep;
+  std::vector<int64_t> chunk_counts(nt + 1, 0);
+  const int nte = oom ? 0 : nt;  // alloc failure -> emit none
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static, 1)
+#endif
+  for (int t = 0; t < nte; ++t) {
+    const Py_ssize_t lo = t * chunk;
+    const Py_ssize_t hi = std::min(np, lo + chunk);
+    std::vector<int> row(static_cast<size_t>(L) + 1);
+    std::vector<int> nrow(static_cast<size_t>(L) + 1);
+    int64_t cnt = 0;
+    for (Py_ssize_t p = lo; p < hi; ++p) {
+      const uint8_t* x = codes + pa[p] * L;
+      const uint8_t* y = codes + pb[p] * L;
+      for (int j = 0; j <= L; ++j) row[j] = j <= m ? j : INF;
+      bool alive = true;
+      for (int i = 1; i <= L && alive; ++i) {
+        const int jlo = i - m > 1 ? i - m : 1;
+        const int jhi = i + m < L ? i + m : L;
+        nrow[jlo - 1] = (jlo - 1 == 0) ? i : INF;
+        int best = nrow[jlo - 1];
+        for (int j = jlo; j <= jhi; ++j) {
+          const int sub = row[j - 1] + (x[i - 1] == y[j - 1] ? 0 : 1);
+          const int del = (j <= i + m - 1) ? row[j] + 1 : INF;
+          const int ins = nrow[j - 1] + 1;
+          int v = sub < del ? sub : del;
+          if (ins < v) v = ins;
+          nrow[j] = v;
+          if (v < best) best = v;
+        }
+        if (jhi < L) nrow[jhi + 1] = INF;
+        if (best > m) alive = false;
+        std::swap(row, nrow);
       }
-      if (jhi < L) nrow[jhi + 1] = INF;
-      if (best > m) alive = false;
-      std::swap(row, nrow);
+      const bool k = alive && row[L] <= m;
+      keep[p] = k;
+      cnt += k;
     }
-    if (alive && row[L] <= m) {
-      outa[written] = pa[p];
-      outb[written] = pb[p];
-      ++written;
+    chunk_counts[t + 1] = cnt;
+  }
+  for (int t = 0; t < nt; ++t) chunk_counts[t + 1] += chunk_counts[t];
+  written = chunk_counts[nt];
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static, 1)
+#endif
+  for (int t = 0; t < nte; ++t) {
+    const Py_ssize_t lo = t * chunk;
+    const Py_ssize_t hi = std::min(np, lo + chunk);
+    int64_t w = chunk_counts[t];
+    for (Py_ssize_t p = lo; p < hi; ++p) {
+      if (keep[p]) {
+        outa[w] = pa[p];
+        outb[w] = pb[p];
+        ++w;
+      }
     }
   }
   Py_END_ALLOW_THREADS;
@@ -969,6 +1008,7 @@ PyObject* edit_filter_pairs(PyObject* /*self*/, PyObject* args) {
   PyBuffer_Release(&b_b);
   PyBuffer_Release(&outa_b);
   PyBuffer_Release(&outb_b);
+  if (oom) return PyErr_NoMemory();
   return PyLong_FromLongLong(static_cast<long long>(written));
 }
 

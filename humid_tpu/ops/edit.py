@@ -84,6 +84,93 @@ def _banded_levenshtein(a_codes, b_codes, max_dist: int, word_length: int):
     return final[m]  # D[L][L]
 
 
+def _banded_levenshtein_pairs(a_codes, b_codes, max_dist: int,
+                              word_length: int):
+    """[N, L] x [N, L] -> [N] int32 edit distance, clamped at
+    max_dist + 1 — the pairwise (diagonal) variant of
+    :func:`_banded_levenshtein`, vectorized over candidate pairs
+    instead of a block cross product."""
+    n = a_codes.shape[0]
+    L = word_length
+    m = max_dist
+    band = 2 * m + 1
+    inf = jnp.int32(m + 1)
+
+    init = jnp.stack(
+        [jnp.full((n,), k - m if 0 <= k - m <= m else m + 1,
+                  dtype=jnp.int32)
+         for k in range(band)]
+    )                                           # [band, N]
+    bpad = jnp.pad(b_codes, ((0, 0), (m + 1, m)),
+                   constant_values=-1)          # [N, L + band]
+
+    def row_step(prev, xs):
+        ai, bwin, i = xs                        # [N], [N, band], scalar
+        cur = []
+        for k in range(band):
+            j = i + k - m
+            bj = bwin[:, k]                     # [N]
+            sub = (ai != bj).astype(jnp.int32)
+            best = prev[k] + sub                # diagonal: D[i-1][j-1]
+            if k + 1 < band:
+                best = jnp.minimum(best, prev[k + 1] + 1)  # up
+            if k - 1 >= 0:
+                best = jnp.minimum(best, cur[k - 1] + 1)   # left
+            best = jnp.minimum(best, inf)
+            best = jnp.where((j < 1) | (j > L), inf, best)
+            best = jnp.where(j == 0, jnp.minimum(i, inf), best)
+            cur.append(best)
+        return jnp.stack(cur), None
+
+    a_rows = a_codes.T                          # [L, N]
+    iidx = jnp.arange(1, L + 1, dtype=jnp.int32)
+    bwins = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(bpad, i, band, axis=1)
+         for i in range(1, L + 1)]
+    )                                           # [L, N, band]
+    final, _ = jax.lax.scan(row_step, init, (a_rows, bwins, iidx))
+    return final[m]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("word_length", "max_dist_static"))
+def _edit_pairs_impl(packed, a_idx, b_idx, word_length: int,
+                     max_dist_static: int):
+    codes = _unpack(packed, word_length)
+    dist = _banded_levenshtein_pairs(
+        codes[a_idx], codes[b_idx], max_dist_static, word_length)
+    return dist <= jnp.int32(max_dist_static)
+
+
+def edit_pairs_verify(packed, a, b, max_dist, word_length,
+                      batch: int = 1 << 20):
+    """Device-side banded Levenshtein verification of candidate pairs:
+    keep (a[i], b[i]) iff edit distance <= max_dist.  Order-preserving,
+    same contract as the native host filter
+    (csrc/hostops.cpp::edit_filter_pairs); batches are padded to powers
+    of two so the jitted program is reused across candidate counts."""
+    n = len(a)
+    if n == 0:
+        return a, b
+    dev_packed = jnp.asarray(packed)
+    keep = np.empty(n, bool)
+    lo = 0
+    while lo < n:
+        hi = min(n, lo + batch)
+        k = hi - lo
+        kp = 1 << max(k - 1, 0).bit_length()
+        ai = np.zeros(kp, np.int32)
+        bi = np.zeros(kp, np.int32)
+        ai[:k] = a[lo:hi]
+        bi[:k] = b[lo:hi]
+        mask = _edit_pairs_impl(dev_packed, jnp.asarray(ai),
+                                jnp.asarray(bi), word_length,
+                                int(max_dist))
+        keep[lo:hi] = np.asarray(mask)[:k]
+        lo = hi
+    return a[keep], b[keep]
+
+
 @functools.partial(jax.jit, static_argnames=("cap", "word_length", "max_dist_static"))
 def _edit_block_impl(rows, cols, row_off, col_off, cap: int,
                      word_length: int, max_dist_static: int):

@@ -936,6 +936,23 @@ def find_edit_pairs_shifted(
     if not len(a):
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     a, b = _dedupe_pairs(a, b)
+    return _edit_verify(packed, codes, a, b, max_dist, word_length)
+
+
+def _edit_verify(packed, codes, a, b, max_dist, word_length):
+    """Banded-Levenshtein candidate verification: the parallel native
+    filter by default (measured fastest when the TPU sits behind a
+    tunnel), the device kernel when the extension is absent or forced
+    via ``HUMID_TPU_EDIT_VERIFY=device`` (co-located TPU hosts)."""
+    import os as _os
+
+    mode = _os.environ.get("HUMID_TPU_EDIT_VERIFY", "auto")
+    if mode == "device" or (
+        mode != "host" and _edit_filter_native is None
+    ):
+        from .edit import edit_pairs_verify
+
+        return edit_pairs_verify(packed, a, b, max_dist, word_length)
     return _edit_verify_host(codes, a, b, max_dist)
 
 

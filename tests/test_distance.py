@@ -358,3 +358,58 @@ def test_edit_auto_uses_shifted_above_threshold():
                                  word_length=length, strategy="dense")
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
+
+
+@pytest.mark.parametrize("m", [1, 2])
+def test_edit_device_verify_matches_native(m, monkeypatch):
+    """The device pairwise banded-Levenshtein verify
+    (HUMID_TPU_EDIT_VERIFY=device) keeps exactly the pairs the native
+    host filter keeps, in the same order."""
+    from humid_tpu.ops.neighbors import find_edit_pairs_shifted
+    length = 24
+    rng = np.random.default_rng(4000 + m)
+    pool, _ = _rand_words(rng, 20, length)
+    codes = pool[rng.integers(0, 20, 700)].copy()
+    for r in range(700):
+        op = int(rng.integers(0, 3))
+        if op == 1:
+            codes[r, int(rng.integers(0, length))] = rng.integers(0, 4)
+        elif op == 2:
+            d = int(rng.integers(1, m + 1))
+            codes[r, d:] = codes[r, :length - d]
+            codes[r, :d] = rng.integers(0, 4, d)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    a1, b1 = find_edit_pairs_shifted(uniq, m, word_length=length)
+    monkeypatch.setenv("HUMID_TPU_EDIT_VERIFY", "device")
+    a2, b2 = find_edit_pairs_shifted(uniq, m, word_length=length)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_edit_pairs_verify_direct():
+    """edit_pairs_verify agrees with a brute-force Levenshtein on random
+    candidate pairs, including non-matching ones."""
+    from humid_tpu.ops.edit import edit_pairs_verify
+
+    length = 18
+    rng = np.random.default_rng(77)
+    codes = rng.integers(0, 4, (120, length)).astype(np.uint8)
+    packed = W.pack_words(codes)
+    a = rng.integers(0, 120, 300).astype(np.int64)
+    b = rng.integers(0, 120, 300).astype(np.int64)
+    ka, kb = edit_pairs_verify(packed, a, b, 2, length, batch=128)
+
+    def lev(x, y):
+        row = list(range(length + 1))
+        for i in range(1, length + 1):
+            nrow = [i]
+            for j in range(1, length + 1):
+                nrow.append(min(row[j - 1] + (x[i - 1] != y[j - 1]),
+                                row[j] + 1, nrow[-1] + 1))
+            row = nrow
+        return row[length]
+
+    exp = [(int(x), int(y)) for x, y in zip(a, b)
+           if lev(codes[x], codes[y]) <= 2]
+    assert list(zip(ka.tolist(), kb.tolist())) == exp

@@ -141,9 +141,13 @@ def test_golden_midscale_production_paths(strategy, humid_ref, tmp_path,
         assert _read(out_ref / name) == _read(out_tpu / name), name
 
 
-def test_golden_midscale_edit_shifted(humid_ref, tmp_path):
+@pytest.mark.parametrize("verify", ["host", "device"])
+def test_golden_midscale_edit_shifted(verify, humid_ref, tmp_path,
+                                      monkeypatch):
     """20k-read -e case: the auto strategy is the shifted-segment edit
-    path (u > runs_threshold), byte-compared against the C++ baseline."""
+    path (u > runs_threshold), byte-compared against the C++ baseline —
+    with both candidate verifiers (parallel native banded DP and the
+    device pairwise banded-Levenshtein kernel)."""
     sys.path.insert(0, REPO)
     import bench
 
@@ -155,6 +159,7 @@ def test_golden_midscale_edit_shifted(humid_ref, tmp_path):
     out_tpu.mkdir()
     subprocess.run([humid_ref, "-d", str(out_ref), "-s", "-e", fq],
                    check=True, capture_output=True)
+    monkeypatch.setenv("HUMID_TPU_EDIT_VERIFY", verify)
     from humid_tpu.cli import main
     main(["-d", str(out_tpu), "-s", "-e", "-l", os.devnull, fq])
     names = sorted(os.listdir(out_ref))
