@@ -361,12 +361,12 @@ def test_edit_auto_uses_shifted_above_threshold():
 
 
 @pytest.mark.parametrize("m", [1, 2])
-def test_edit_device_verify_matches_native(m, monkeypatch):
+@pytest.mark.parametrize("length", [24, 33])
+def test_edit_device_verify_matches_native(m, length, monkeypatch):
     """The device pairwise banded-Levenshtein verify
     (HUMID_TPU_EDIT_VERIFY=device) keeps exactly the pairs the native
-    host filter keeps, in the same order."""
+    host filter keeps, in the same order — incl. 3-lane words."""
     from humid_tpu.ops.neighbors import find_edit_pairs_shifted
-    length = 24
     rng = np.random.default_rng(4000 + m)
     pool, _ = _rand_words(rng, 20, length)
     codes = pool[rng.integers(0, 20, 700)].copy()
