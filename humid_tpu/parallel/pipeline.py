@@ -33,7 +33,7 @@ from ..io import make_file_names, read_tuples
 from ..ops import find_neighbor_pairs, pairs_to_csr
 from ..ops.unique import unique_words
 from ..pipeline import _batch_words, peek_umi_size
-from .multihost import combine_unique_tables, host_record_range
+from .multihost import host_record_range
 
 
 def count_records(files) -> int:

@@ -3,7 +3,6 @@
 import numpy as np
 import pytest
 
-import jax
 
 from humid_tpu import words as W
 from humid_tpu.ops import find_neighbor_pairs, unique_words
