@@ -36,18 +36,47 @@ from ..pipeline import _batch_words, peek_umi_size
 from .multihost import host_record_range
 
 
+def _count_records_one(path: str) -> int:
+    """Record count of one FastQ: line count // 4 (the framer's own
+    rule — newline phase mod 4, with an unterminated final line still
+    closing its record)."""
+    from ..io.reader import _count_newlines_native, _open_stream
+
+    stream = _open_stream(path)
+    nl = 0
+    last = b"\n"
+    try:
+        while True:
+            data = stream.read(32 * 1024 * 1024)
+            if not data:
+                break
+            if _count_newlines_native is not None:
+                nl += _count_newlines_native(np.frombuffer(data, np.uint8))
+            else:
+                nl += data.count(b"\n")
+            last = data[-1:]
+    finally:
+        stream.close()
+    lines = nl + (last != b"\n")
+    return lines // 4
+
+
 def count_records(files) -> int:
-    """Number of lockstep record-tuples across ``files`` (framing pass
-    only).  The lockstep reader stops at the shortest file
-    (fastq.cc:41-43), so with unequal-length inputs the tuple count is
-    the MIN over files — counting only the first file would overstate
-    the total and starve the trailing hosts' ranges."""
+    """Number of lockstep record-tuples across ``files``.  The lockstep
+    reader stops at the shortest file (fastq.cc:41-43), so with
+    unequal-length inputs the tuple count is the MIN over files —
+    counting only the first file would overstate the total and starve
+    the trailing hosts' ranges.  Counting is a raw newline scan per file
+    (files in parallel), not a framing pass."""
     if isinstance(files, str):
         files = [files]
-    n = 0
-    for batch in read_tuples(list(files)):
-        n += batch[0].n
-    return n
+    files = list(files)
+    if len(files) == 1:
+        return _count_records_one(files[0])
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(files)) as pool:
+        return min(pool.map(_count_records_one, files))
 
 
 def pack_host_range(files, lo: int, hi: int, *, word_length: int = 24):

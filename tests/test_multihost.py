@@ -59,3 +59,26 @@ def test_combined_tables_wide_words():
     np.testing.assert_array_equal(uniq_g, ref_u)
     np.testing.assert_array_equal(counts_g, ref_c)
     np.testing.assert_array_equal(first_g, ref_f)
+
+
+def test_count_records_matches_framer(tmp_path):
+    """The fast newline-scan count_records equals the framing pass,
+    incl. gz, unequal lengths, and a missing trailing newline."""
+    import gzip as _gzip
+
+    from humid_tpu.io import read_tuples
+    from humid_tpu.parallel.pipeline import count_records
+
+    rec = b"@r%d\nACGTACGT\n+\nIIIIIIII\n"
+    f1 = tmp_path / "a.fastq"
+    f1.write_bytes(b"".join(rec % i for i in range(23)))
+    # no trailing newline on the last record
+    f2 = tmp_path / "b.fastq"
+    f2.write_bytes(b"".join(rec % i for i in range(31))[:-1])
+    f3 = tmp_path / "c.fastq.gz"
+    f3.write_bytes(_gzip.compress(b"".join(rec % i for i in range(17))))
+
+    for files in ([str(f1)], [str(f2)], [str(f3)],
+                  [str(f1), str(f2)], [str(f1), str(f2), str(f3)]):
+        expect = sum(b[0].n for b in read_tuples(files))
+        assert count_records(files) == expect, files
