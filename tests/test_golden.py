@@ -223,3 +223,45 @@ def test_golden_overlapped_unique_path(humid_ref, tmp_path, monkeypatch):
     main(["-d", str(out_tpu), "-s", "-a", "-l", os.devnull, *files])
     for name in sorted(os.listdir(out_ref)):
         assert _read(out_ref / name) == _read(out_tpu / name), name
+
+
+def test_golden_degenerate_giant_run(humid_ref, tmp_path):
+    """Low-entropy degenerate input: one template with substitutions
+    confined to word positions 12-23, so every unique word shares the
+    first pigeonhole segment — one run of ~4k words > run_cap (2048),
+    driving the big-run device tile fallback (_big_run_pairs) end to
+    end, byte-compared against the C++ baseline."""
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    tpl = bases[rng.integers(0, 4, 60)]
+    n = 80_000
+    seqs = np.tile(tpl, (n, 1))
+    for i in range(n):
+        for _ in range(int(rng.integers(1, 4))):
+            seqs[i, 12 + rng.integers(0, 12)] = bases[rng.integers(0, 4)]
+    fq = str(tmp_path / "degen.fastq")
+    with open(fq, "wb") as f:
+        for i in range(n):
+            f.write(b"@r%d\n" % i + seqs[i].tobytes() + b"\n+\n"
+                    + b"I" * 60 + b"\n")
+
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+    subprocess.run([humid_ref, "-d", str(out_ref), "-s", fq],
+                   check=True, capture_output=True)
+    from humid_tpu.cli import main
+    main(["-d", str(out_tpu), "-s", "-l", os.devnull, fq])
+
+    # The construction must actually exceed run_cap (one giant
+    # equal-segment run), or this test silently stops covering the
+    # big-run path.
+    with open(out_tpu / "stats.dat") as fh:
+        stats = dict(l.strip().split(": ") for l in fh)
+    assert int(stats["unique"]) > 2048
+
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_tpu))
+    for name in names:
+        assert _read(out_ref / name) == _read(out_tpu / name), name
