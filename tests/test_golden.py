@@ -46,6 +46,7 @@ CASES = [
     (400, 1, "none", False, ["-m", "2"], {}),
     (400, 2, "underscore", False, ["-x"], {}),
     (300, 2, "underscore", False, ["-m", "0"], {}),
+    (300, 1, "none", False, ["-m", "3"], {}),  # configs[3]: sweep to 3
     (300, 1, "none", False, ["-n", "16"], {}),
     # Edge cases: short/ragged reads filtered by N padding, unequal file
     # lengths (stop at shortest), heavy N contamination, word longer than
@@ -67,7 +68,7 @@ CASES = [
 
 @pytest.mark.parametrize("case", CASES, ids=[
     "single", "paired_umi", "colon_gz", "threefile", "m2", "max", "m0",
-    "n16", "ragged_n", "unequal", "word_gt_read", "max_m2_ragged",
+    "m3", "n16", "ragged_n", "unequal", "word_gt_read", "max_m2_ragged",
     "edit", "edit_max_ragged", "edit_m2",
 ])
 def test_golden_outputs_match(case, humid_ref, tmp_path):
