@@ -19,11 +19,13 @@ import os
 import sys
 import zlib
 
+from .errors import InputError
 from .pipeline import run
 
 # Input errors (missing file, empty/corrupt/truncated FastQ or gzip)
-# that get a clean CLI diagnostic instead of a traceback.
-_INPUT_ERRORS = (OSError, ValueError, EOFError, zlib.error)
+# that get a clean CLI diagnostic instead of a traceback.  Internal
+# errors (including generic ValueError) keep their tracebacks.
+_INPUT_ERRORS = (OSError, EOFError, zlib.error, InputError)
 
 
 def build_parser() -> argparse.ArgumentParser:

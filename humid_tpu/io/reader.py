@@ -464,7 +464,9 @@ def peek_first_record(path: str) -> tuple[bytes, bytes]:
     finally:
         stream.close()
     if not name:
-        raise ValueError(f"{path}: empty FastQ file")
+        from ..errors import InputError
+
+        raise InputError(f"{path}: empty FastQ file")
     return name, seq
 
 

@@ -134,11 +134,11 @@ def _banded_levenshtein_pairs(a_codes, b_codes, max_dist: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("word_length", "max_dist_static"))
-def _edit_pairs_impl(packed, a_idx, b_idx, word_length: int,
+def _edit_pairs_impl(packed_a, packed_b, word_length: int,
                      max_dist_static: int):
-    codes = _unpack(packed, word_length)
     dist = _banded_levenshtein_pairs(
-        codes[a_idx], codes[b_idx], max_dist_static, word_length)
+        _unpack(packed_a, word_length), _unpack(packed_b, word_length),
+        max_dist_static, word_length)
     return dist <= jnp.int32(max_dist_static)
 
 
@@ -148,24 +148,25 @@ def edit_pairs_verify(packed, a, b, max_dist, word_length,
     keep (a[i], b[i]) iff edit distance <= max_dist.  Order-preserving,
     same contract as the native host filter
     (csrc/hostops.cpp::edit_filter_pairs); batches are padded to powers
-    of two so the jitted program is reused across candidate counts."""
+    of two so the jitted program is reused across candidate counts.
+    The pair rows are gathered on the host per batch — only [batch, W]
+    lanes ship to the device, never the whole unique table's unpacked
+    codes (which would be ~GBs at WGS scale)."""
     n = len(a)
     if n == 0:
         return a, b
-    dev_packed = jnp.asarray(packed)
     keep = np.empty(n, bool)
     lo = 0
     while lo < n:
         hi = min(n, lo + batch)
         k = hi - lo
         kp = 1 << max(k - 1, 0).bit_length()
-        ai = np.zeros(kp, np.int32)
-        bi = np.zeros(kp, np.int32)
-        ai[:k] = a[lo:hi]
-        bi[:k] = b[lo:hi]
-        mask = _edit_pairs_impl(dev_packed, jnp.asarray(ai),
-                                jnp.asarray(bi), word_length,
-                                int(max_dist))
+        pa = np.zeros((kp, packed.shape[1]), packed.dtype)
+        pb = np.zeros((kp, packed.shape[1]), packed.dtype)
+        pa[:k] = packed[a[lo:hi]]
+        pb[:k] = packed[b[lo:hi]]
+        mask = _edit_pairs_impl(jnp.asarray(pa), jnp.asarray(pb),
+                                word_length, int(max_dist))
         keep[lo:hi] = np.asarray(mask)[:k]
         lo = hi
     return a[keep], b[keep]

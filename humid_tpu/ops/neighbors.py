@@ -926,7 +926,8 @@ def find_edit_pairs_shifted(
                         f"shifted-segment join for (segment {s}, shift "
                         f"{d}) needs {-n} candidate pairs (> join_cap="
                         f"{join_cap}); the key space is degenerate — "
-                        "use strategy='dense'")
+                        "use strategy='dense' (CLI: "
+                        "HUMID_TPU_STRATEGY=dense)")
                 cap = 1 << int(-n - 1).bit_length()
             parts_a.append(outa[:n].copy())
             parts_b.append(outb[:n].copy())
@@ -942,14 +943,13 @@ def find_edit_pairs_shifted(
 def _edit_verify(packed, codes, a, b, max_dist, word_length):
     """Banded-Levenshtein candidate verification: the parallel native
     filter by default (measured fastest when the TPU sits behind a
-    tunnel), the device kernel when the extension is absent or forced
-    via ``HUMID_TPU_EDIT_VERIFY=device`` (co-located TPU hosts)."""
+    tunnel), the device kernel when forced via
+    ``HUMID_TPU_EDIT_VERIFY=device`` (co-located TPU hosts).  The sole
+    caller already requires the native extension, so no absent-extension
+    fallback is needed here."""
     import os as _os
 
-    mode = _os.environ.get("HUMID_TPU_EDIT_VERIFY", "auto")
-    if mode == "device" or (
-        mode != "host" and _edit_filter_native is None
-    ):
+    if _os.environ.get("HUMID_TPU_EDIT_VERIFY", "auto") == "device":
         from .edit import edit_pairs_verify
 
         return edit_pairs_verify(packed, a, b, max_dist, word_length)

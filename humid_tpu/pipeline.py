@@ -290,7 +290,9 @@ def run(
     trace of the whole run, with kernels attributed to pipeline phases.
     """
     if not files:
-        raise ValueError("at least one FastQ file required")
+        from .errors import InputError
+
+        raise InputError("at least one FastQ file required")
     if profile_dir is None:
         profile_dir = os.environ.get("HUMID_TPU_PROFILE")
     if profile_dir:
