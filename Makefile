@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: ext test memcheck bench check docs
+.PHONY: ext test memcheck bench check check-tpu docs
 
 ext:
 	$(PY) setup.py build_ext --inplace
@@ -21,6 +21,11 @@ bench: ext
 
 check: test memcheck
 	@echo "check OK"
+
+# On-silicon gate: full CLI through the Pallas kernel on the real
+# backend, byte-compared vs the C++ baseline (run on a TPU host).
+check-tpu: ext
+	./scripts/check_tpu.sh
 
 # The reference regenerates docs/cli.rst by running `./humid -h`
 # (src/Makefile:49-50); same idea here.

@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# Hardware gate: the full CLI forced through the Pallas sweep kernel on
+# the real backend (whatever `jax.devices()` exposes — a TPU chip under
+# the production setup), byte-compared against the C++ baseline.  The
+# CPU-mesh test suite exercises the same kernel under interpret=True;
+# this script is the on-silicon counterpart (run it on a TPU host after
+# kernel or packing changes).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+REPO=$(pwd)
+READS=${READS:-300000}
+
+if [ ! -x baseline/humid_ref ] || [ baseline/humid_ref.cpp -nt baseline/humid_ref ]; then
+  g++ -O2 -std=c++17 -o baseline/humid_ref baseline/humid_ref.cpp -lz
+fi
+
+D=$(mktemp -d)
+trap 'rm -rf "$D"' EXIT
+
+python - "$D" "$READS" <<'EOF'
+import sys
+sys.path.insert(0, ".")
+import bench
+bench.gen_dataset(f"{sys.argv[1]}/hw.fastq", int(sys.argv[2]),
+                  read_len=60, seed=1234)
+EOF
+
+baseline/humid_ref -d "$D/ref" -s -a "$D/hw.fastq"
+
+PYTHONPATH="$REPO:${PYTHONPATH:-}" \
+HUMID_TPU_STRATEGY=bucketed HUMID_TPU_IMPL=pallas \
+python -m humid_tpu -d "$D/tpu" -s -a -l /dev/null "$D/hw.fastq"
+
+PYTHONPATH="$REPO:${PYTHONPATH:-}" python - <<'EOF'
+import jax
+print(f"backend: {jax.default_backend()} ({jax.devices()})")
+EOF
+
+status=0
+for f in "$D"/ref/*; do
+  b=$(basename "$f")
+  if cmp -s "$f" "$D/tpu/$b"; then
+    echo "OK $b"
+  else
+    echo "DIFF $b"
+    status=1
+  fi
+done
+[ $status -eq 0 ] && echo "hardware Pallas gate OK"
+exit $status
