@@ -226,11 +226,59 @@ def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
             inv if want_inverse else None)
 
 
+def _span_acc_new(budget_entries: int) -> dict:
+    """Accumulator for one file's absolute record-span table (see
+    ``_span_accumulate``)."""
+    return {"ok": True, "base": 0, "parts": [], "entries": 0,
+            "budget": budget_entries}
+
+
+def _span_accumulate(b, acc: dict) -> None:
+    """Accumulate absolute record START offsets for one batch.
+
+    Records tile the (decompressed) file, so record i's raw byte length
+    is its line contents + 4 newlines — buffer layout (chunk views,
+    lockstep re-batching concatenations) never matters.  That identity
+    only holds for LF-only files; any ``\\r`` at a line end invalidates
+    the table (pass 2 falls back to the re-reading writer).  Offsets let
+    the dedup pass copy the SELECTED records' raw bytes straight out of
+    an mmap of the input, skipping the second framing scan entirely
+    (the raw bytes equal the canonical 4-line record exactly when
+    LF-only — same output as build_records)."""
+    if not acc["ok"] or b.n == 0:
+        return
+    acc["entries"] += b.n
+    if acc["entries"] > acc["budget"]:
+        acc["ok"] = False
+        acc["parts"] = []
+        return
+    idx = np.minimum(b.ends.reshape(-1), len(b.buf) - 1)
+    if bool((b.buf[idx] == 13).any()):
+        acc["ok"] = False
+        acc["parts"] = []
+        return
+    content = (b.ends - b.starts).sum(axis=1, dtype=np.int64) + 4
+    cum = np.cumsum(content)
+    acc["parts"].append(acc["base"] + cum - content)
+    acc["base"] += int(cum[-1])
+
+
+def _is_gzip_file(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            return f.read(2) == b"\x1f\x8b"
+    except OSError:
+        return False
+
+
 def _pass1(files, nt_to_take, header_umi_size, batch_records,
-           cache: list | None = None, pack_workers: int = 3):
+           cache: list | None = None, pack_workers: int = 3,
+           span_accs: list | None = None):
     """Stream all files in lockstep; return (packed [N,W], filtered [N]).
     When ``cache`` is a list, parsed batch tuples are appended to it for
-    reuse by the output pass.
+    reuse by the output pass.  When ``span_accs`` is given (one
+    accumulator per file), absolute record spans are collected for the
+    span-based dedup writer.
 
     Packing (UMI gather + base encode, all GIL-releasing C calls) runs on
     a small thread pool so it overlaps the reader thread's
@@ -253,6 +301,9 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
                                    prefix_ks=nt_to_take):
             if cache is not None:
                 cache.append(batches)
+            if span_accs is not None:
+                for b, acc in zip(batches, span_accs):
+                    _span_accumulate(b, acc)
             inflight.append(ex.submit(_batch_words, batches, nt_to_take,
                                       header_umi_size))
             while len(inflight) > pack_workers + 1:
@@ -343,6 +394,27 @@ def run(
     if cache_records and (write_dedup or write_annotated):
         cache = []
 
+    # Span cache: when the record cache does NOT fit (WGS scale) but the
+    # inputs are plain (mmap-able) files, collect absolute record spans
+    # during pass 1 (8 bytes/record/file) so the dedup pass copies only
+    # the SELECTED records' raw bytes from the mmap instead of re-framing
+    # the whole input.  HUMID_TPU_SPAN_CACHE=1 forces it (testing),
+    # =0 disables.
+    span_env = os.environ.get("HUMID_TPU_SPAN_CACHE")
+    span_accs = None
+    if (write_dedup and span_env != "0"
+            and (cache is None or span_env == "1")
+            and not any(_is_gzip_file(f) for f in files)):
+        if span_env == "1":
+            cache = None  # force the span path end to end
+        try:
+            avail_s = (os.sysconf("SC_AVPHYS_PAGES")
+                       * os.sysconf("SC_PAGE_SIZE"))
+        except (ValueError, OSError):
+            avail_s = 1 << 33
+        budget = max(1 << 20, avail_s // (32 * max(len(files), 1)) // 8)
+        span_accs = [_span_acc_new(budget) for _ in files]
+
     import time as _time
 
     wl = header_umi_size + sum(nt_to_take)
@@ -369,7 +441,8 @@ def run(
             ("unique counting (overlapped)", _time.time() - _t_uni))
     else:
         packed, filtered = _pass1(files, nt_to_take, header_umi_size,
-                                  batch_records, cache)
+                                  batch_records, cache,
+                                  span_accs=span_accs)
         res.total = int(len(packed))
         res.usable = int((~filtered).sum())
         log.end(t)
@@ -454,8 +527,20 @@ def run(
     # --- pass 2: outputs ---
     if write_dedup:
         t = log.start("Writing filtered results")
-        _write_selected(files, dir_name, "dedup", rep_reads, batch_records,
-                        cache)
+        span_tables = None
+        if span_accs is not None and all(a["ok"] for a in span_accs) and \
+                all(a["entries"] == res.total for a in span_accs):
+            span_tables = [
+                (np.concatenate(a["parts"]) if a["parts"]
+                 else np.zeros(0, np.int64), a["base"])
+                for a in span_accs
+            ]
+        if span_tables is not None:
+            _write_selected_spans(files, dir_name, "dedup", rep_reads,
+                                  span_tables)
+        else:
+            _write_selected(files, dir_name, "dedup", rep_reads,
+                            batch_records, cache)
         log.end(t)
     if write_annotated:
         t = log.start("Writing annotated results")
@@ -561,6 +646,61 @@ def _write_selected(files, dir_name, suffix, selected, batch_records,
         return [build_records(b, local) for b in batches]
 
     _pipelined_write(_planned_source(), names, _build_planned)
+
+
+def _write_selected_spans(files, dir_name, suffix, selected, span_tables,
+                          chunk: int = 1 << 19):
+    """Second pass via cached record spans: mmap each (plain) input and
+    concatenate only the SELECTED records' raw bytes — no re-framing
+    scan of the full input.  Raw spans equal the canonical 4-line
+    records because span collection verified LF-only line endings
+    (``_span_accumulate``); a final record missing its trailing newline
+    gets one appended, matching build_records."""
+    import mmap as _mmap
+
+    from .io.writer import _build_output
+
+    names = make_file_names(list(files), dir_name, suffix)
+    fulls = []
+    handles = []
+    try:
+        for f in files:
+            fh = open(f, "rb")
+            mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+            handles.append((fh, mm))
+            fulls.append(np.frombuffer(mm, np.uint8))
+
+        def source():
+            for lo in range(0, len(selected), chunk):
+                yield selected[lo:lo + chunk]
+
+        def build_one(sel):
+            outs = []
+            for full, (starts, total) in zip(fulls, span_tables):
+                s = starts[sel]
+                e = np.empty(len(sel), np.int64)
+                nxt = sel + 1
+                inside = nxt < len(starts)
+                e[inside] = starts[nxt[inside]]
+                e[~inside] = total
+                # A final record without a trailing newline spans one
+                # byte past EOF (its raw length was counted with the
+                # synthetic newline); clamp and emit the newline.
+                nl_after = e > len(full)
+                if nl_after.any():
+                    np.minimum(e, len(full), out=e)
+                outs.append(_build_output(full, s, e - s, nl_after))
+            return outs
+
+        _pipelined_write(source(), names, build_one)
+    finally:
+        fulls.clear()  # drop the numpy views of the maps first
+        for fh, mm in handles:
+            try:
+                mm.close()
+            except BufferError:  # a view outlived us; GC will close it
+                pass
+            fh.close()
 
 
 def _write_annotated(files, dir_name, cluster_of_read, batch_records,

@@ -266,3 +266,30 @@ def test_golden_degenerate_giant_run(humid_ref, tmp_path):
     assert names == sorted(os.listdir(out_tpu))
     for name in names:
         assert _read(out_ref / name) == _read(out_tpu / name), name
+
+
+def test_golden_span_cache_writer(humid_ref, tmp_path, monkeypatch):
+    """HUMID_TPU_SPAN_CACHE=1 forces the span-based dedup writer (the
+    WGS-scale default above the record-cache cap): outputs must stay
+    byte-identical, including a file whose final record lacks the
+    trailing newline."""
+    gen_dataset(np.random.default_rng(66), str(tmp_path), n_reads=400,
+                n_files=2, umi_style="underscore", ragged=True)
+    files = [str(tmp_path / f"file{i}.fastq") for i in range(2)]
+    # strip the trailing newline of file1
+    raw = open(files[1], "rb").read()
+    open(files[1], "wb").write(raw[:-1])
+
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+    subprocess.run([humid_ref, "-d", str(out_ref), "-s", "-a", *files],
+                   check=True, capture_output=True)
+    monkeypatch.setenv("HUMID_TPU_SPAN_CACHE", "1")
+    from humid_tpu.cli import main
+    main(["-d", str(out_tpu), "-s", "-a", "-l", os.devnull, *files])
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_tpu))
+    for name in names:
+        assert _read(out_ref / name) == _read(out_tpu / name), name
