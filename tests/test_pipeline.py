@@ -164,10 +164,17 @@ def test_umi_longer_than_word(tmp_path):
 
 @pytest.mark.parametrize(
     "seed", [101, 202, 303, 404, 505, 606, 707, 808, 909, 1010])
-def test_fuzz_random_config_matches_oracle(tmp_path, seed):
+@pytest.mark.parametrize("span_cache", [False, True],
+                         ids=["default", "spans"])
+def test_fuzz_random_config_matches_oracle(tmp_path, seed, span_cache,
+                                           monkeypatch):
     """Deterministic config fuzz: random flag/dataset combinations the
     hand-written cases don't enumerate, checked against the string
-    oracle end to end (outputs + stats)."""
+    oracle end to end (outputs + stats) — with both the default writer
+    and the forced span-cache writer (gz configs exercise its
+    fallback)."""
+    if span_cache:
+        monkeypatch.setenv("HUMID_TPU_SPAN_CACHE", "1")
     rng = np.random.default_rng(seed)
     n_files = int(rng.integers(1, 4))
     cfg = dict(
