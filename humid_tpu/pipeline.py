@@ -233,34 +233,47 @@ def _span_acc_new(budget_entries: int) -> dict:
             "budget": budget_entries}
 
 
-def _span_accumulate(b, acc: dict) -> None:
-    """Accumulate absolute record START offsets for one batch.
+def _span_batch_part(b):
+    """Per-batch span math (pool-side, GIL-friendly numpy): relative
+    record start offsets within the batch's raw byte run, the run's
+    total raw length, and the LF-only validity flag.
 
     Records tile the (decompressed) file, so record i's raw byte length
     is its line contents + 4 newlines — buffer layout (chunk views,
     lockstep re-batching concatenations) never matters.  That identity
     only holds for LF-only files; any ``\\r`` at a line end invalidates
-    the table (pass 2 falls back to the re-reading writer).  Offsets let
-    the dedup pass copy the SELECTED records' raw bytes straight out of
-    an mmap of the input, skipping the second framing scan entirely
-    (the raw bytes equal the canonical 4-line record exactly when
-    LF-only — same output as build_records)."""
-    if not acc["ok"] or b.n == 0:
+    the table (pass 2 falls back to the re-reading writer)."""
+    if b.n == 0:
+        return np.zeros(0, np.int64), 0, True
+    idx = np.minimum(b.ends.reshape(-1), len(b.buf) - 1)
+    if bool((b.buf[idx] == 13).any()):
+        return None, 0, False
+    content = (b.ends - b.starts).sum(axis=1, dtype=np.int64) + 4
+    cum = np.cumsum(content)
+    return cum - content, int(cum[-1]), True
+
+
+def _span_stitch(part, acc: dict) -> None:
+    """Append one batch's relative span table to the file accumulator
+    (main thread, in batch order).  Offsets let the dedup pass copy the
+    SELECTED records' raw bytes straight out of an mmap of the input,
+    skipping the second framing scan entirely (the raw bytes equal the
+    canonical 4-line record exactly when LF-only — same output as
+    build_records)."""
+    if not acc["ok"]:
         return
-    acc["entries"] += b.n
+    rel, total, ok = part
+    if not ok:
+        acc["ok"] = False
+        acc["parts"] = []
+        return
+    acc["entries"] += len(rel)
     if acc["entries"] > acc["budget"]:
         acc["ok"] = False
         acc["parts"] = []
         return
-    idx = np.minimum(b.ends.reshape(-1), len(b.buf) - 1)
-    if bool((b.buf[idx] == 13).any()):
-        acc["ok"] = False
-        acc["parts"] = []
-        return
-    content = (b.ends - b.starts).sum(axis=1, dtype=np.int64) + 4
-    cum = np.cumsum(content)
-    acc["parts"].append(acc["base"] + cum - content)
-    acc["base"] += int(cum[-1])
+    acc["parts"].append(acc["base"] + rel)
+    acc["base"] += total
 
 
 def _is_gzip_file(path: str) -> bool:
@@ -290,10 +303,23 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
     packed_parts: list[np.ndarray] = []
     filt_parts: list[np.ndarray] = []
 
+    def _work(batches):
+        packed, filtered = _batch_words(batches, nt_to_take,
+                                        header_umi_size)
+        spans = None
+        if span_accs is not None:
+            spans = [_span_batch_part(b) for b in batches]
+        return packed, filtered, spans
+
     def _drain(fut):
-        packed, filtered = fut.result()
+        # FIFO drain == submission order, so span stitching sees batches
+        # in stream order.
+        packed, filtered, spans = fut.result()
         packed_parts.append(packed)
         filt_parts.append(filtered)
+        if spans is not None:
+            for part, acc in zip(spans, span_accs):
+                _span_stitch(part, acc)
 
     with ThreadPoolExecutor(max_workers=max(1, pack_workers)) as ex:
         inflight: deque = deque()
@@ -301,11 +327,7 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
                                    prefix_ks=nt_to_take):
             if cache is not None:
                 cache.append(batches)
-            if span_accs is not None:
-                for b, acc in zip(batches, span_accs):
-                    _span_accumulate(b, acc)
-            inflight.append(ex.submit(_batch_words, batches, nt_to_take,
-                                      header_umi_size))
+            inflight.append(ex.submit(_work, batches))
             while len(inflight) > pack_workers + 1:
                 _drain(inflight.popleft())
         while inflight:
