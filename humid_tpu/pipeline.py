@@ -126,7 +126,7 @@ def _combine_key64(packed: np.ndarray) -> np.ndarray:
 
 def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
                       cache: list | None, want_inverse: bool,
-                      run_rows: int = 8 << 20):
+                      run_rows: int = 8 << 20, span_accs: list | None = None):
     """Pass 1 fused with unique counting (words <= 2 lanes).
 
     Packing jobs also emit (usable key, global read index) pairs; bounded
@@ -161,7 +161,9 @@ def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
         else:
             keys = _combine_key64(packed)
             gidx = np.arange(base, base + len(packed), dtype=np.int64)
-        return keys, gidx
+        spans = ([_span_batch_part(b) for b in batches]
+                 if span_accs is not None else None)
+        return keys, gidx, spans
 
     def _sort_run(parts_k, parts_i):
         k = parts_k[0] if len(parts_k) == 1 else np.concatenate(parts_k)
@@ -173,7 +175,11 @@ def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
         inflight: deque = deque()
 
         def _drain_one():
-            keys, gidx = inflight.popleft().result()
+            # FIFO drain == stream order (span stitching relies on it).
+            keys, gidx, spans = inflight.popleft().result()
+            if spans is not None:
+                for part, acc in zip(spans, span_accs):
+                    _span_stitch(part, acc)
             acc_k.append(keys)
             acc_i.append(gidx)
             state["acc_n"] += len(keys)
@@ -227,8 +233,8 @@ def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
 
 
 def _span_acc_new(budget_entries: int) -> dict:
-    """Accumulator for one file's absolute record-span table (see
-    ``_span_accumulate``)."""
+    """Accumulator for one file's absolute record-span table (filled by
+    ``_span_batch_part`` + ``_span_stitch``)."""
     return {"ok": True, "base": 0, "parts": [], "entries": 0,
             "budget": budget_entries}
 
@@ -457,7 +463,7 @@ def run(
         (res.total, res.usable, uniq, counts, first_occ,
          inv_by_read) = _pass1_overlapped(
             files, nt_to_take, header_umi_size, batch_records, cache,
-            want_inverse=write_annotated)
+            want_inverse=write_annotated, span_accs=span_accs)
         log.end(t)
         log.timings.append(
             ("unique counting (overlapped)", _time.time() - _t_uni))
