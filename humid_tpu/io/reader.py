@@ -275,7 +275,8 @@ class FastqReader:
     """Chunked FastQ reader yielding :class:`FastqBatch` objects."""
 
     def __init__(self, path: str, chunk_bytes: int = 32 * 1024 * 1024,
-                 frame_workers: int = 4, prefix_k: int = 0):
+                 frame_workers: int = 4, prefix_k: int = 0,
+                 start_offset: int = 0):
         self.path = path
         self.chunk_bytes = chunk_bytes
         self.frame_workers = frame_workers
@@ -284,6 +285,11 @@ class FastqReader:
         # saves a scattered re-walk of the buffer.
         self.prefix_k = (prefix_k
                          if _scan_frames_prefix_native is not None else 0)
+        # Byte offset (in DECOMPRESSED stream coordinates) to start
+        # framing from — must point at a record boundary (see
+        # skip_to_record).  Lets host-range consumers skip the records
+        # before their range without framing them.
+        self.start_offset = start_offset
 
     # Gzip files up to this COMPRESSED size are inflated in one
     # libdeflate call (2-3x faster than streaming zlib) and framed by
@@ -306,7 +312,8 @@ class FastqReader:
                     mm = _mmap.mmap(f.fileno(), 0, prot=_mmap.PROT_READ)
                 except (ValueError, OSError):
                     return None  # empty file or unmappable stream
-                return np.frombuffer(mm, np.uint8)
+                full = np.frombuffer(mm, np.uint8)
+                return full[self.start_offset:] if self.start_offset else full
             import os as _os
 
             if _os.fstat(f.fileno()).st_size <= self._GZ_ONESHOT_MAX:
@@ -317,7 +324,9 @@ class FastqReader:
                 f.seek(0)
                 raw = gzip_decompress(f.read())
                 if raw is not None:
-                    return np.frombuffer(raw, np.uint8)
+                    full = np.frombuffer(raw, np.uint8)
+                    return (full[self.start_offset:]
+                            if self.start_offset else full)
             return None
         finally:
             f.close()
@@ -403,6 +412,10 @@ class FastqReader:
 
     def _batches_sequential(self) -> Iterator[FastqBatch]:
         stream = _open_stream(self.path)
+        if self.start_offset:
+            # Decompressed-coordinate seek (gzip.GzipFile decompresses
+            # up to the target; plain files/BytesIO seek directly).
+            stream.seek(self.start_offset)
         if isinstance(stream, gzip.GzipFile) and self.frame_workers > 1:
             stream = _Readahead(stream, self.chunk_bytes)
         leftover = b""
@@ -453,6 +466,40 @@ class FastqReader:
 
     def records(self) -> Iterator[FastqBatch]:
         return self.batches()
+
+
+def skip_to_record(path: str, k: int) -> int | None:
+    """Byte offset of record ``k`` in a plain (non-gzip) FastQ file: the
+    position just after the ``4*k``-th newline (valid FastQ is strictly
+    4 lines per record — the framer's own rule).  A raw newline-count
+    scan, ~3x cheaper than framing; None for gzip inputs or files with
+    fewer than ``k`` records (callers fall back to framing from the
+    start)."""
+    if k <= 0:
+        return 0
+    need = 4 * k
+    seen = 0
+    base = 0
+    try:
+        with open(path, "rb") as f:
+            if f.read(2) == b"\x1f\x8b":
+                return None
+            f.seek(0)
+            while True:
+                chunk = f.read(32 * 1024 * 1024)
+                if not chunk:
+                    return None  # fewer than k records
+                buf = np.frombuffer(chunk, np.uint8)
+                n = (_count_newlines_native(buf)
+                     if _count_newlines_native is not None
+                     else int((buf == _NEWLINE).sum()))
+                if seen + n >= need:
+                    pos = np.flatnonzero(buf == _NEWLINE)[need - seen - 1]
+                    return base + int(pos) + 1
+                seen += n
+                base += len(chunk)
+    except OSError:
+        return None
 
 
 def peek_first_record(path: str) -> tuple[bytes, bytes]:
@@ -537,14 +584,17 @@ def _concat_batches(batches: list[FastqBatch]) -> FastqBatch:
 def _read_tuples_sync(
     files: Sequence[str], batch_records: int,
     prefix_ks: Sequence[int] | None = None,
+    start_offsets: Sequence[int] | None = None,
 ) -> Iterator[list[FastqBatch]]:
     # Split the framing pool across the lockstep files so n_files
     # concurrent readers don't oversubscribe the host.
     workers = max(2, 4 // max(1, len(files)))
     ks = list(prefix_ks) if prefix_ks is not None else [0] * len(files)
+    offs = (list(start_offsets) if start_offsets is not None
+            else [0] * len(files))
     cursors = [_BatchCursor(FastqReader(f, frame_workers=workers,
-                                        prefix_k=k))
-               for f, k in zip(files, ks)]
+                                        prefix_k=k, start_offset=o))
+               for f, k, o in zip(files, ks, offs)]
     while True:
         # Natural (chunk-aligned) sizes make take() a zero-copy view split
         # for at least one cursor and avoid cross-chunk concatenation;
@@ -560,6 +610,7 @@ def read_tuples(
     files: Sequence[str], batch_records: int = 1 << 19,
     prefetch: int = 2,
     prefix_ks: Sequence[int] | None = None,
+    start_offsets: Sequence[int] | None = None,
 ) -> Iterator[list[FastqBatch]]:
     """Lockstep iteration over multiple FastQ files in batches.
 
@@ -571,12 +622,17 @@ def read_tuples(
     ``prefix_ks`` (one k per file) requests the fused sequence-prefix
     gather: each yielded batch then carries ``FastqBatch.prefix``.
 
+    ``start_offsets`` (one byte offset per file, from
+    :func:`skip_to_record`) starts framing mid-file so host-range
+    consumers skip the records before their range.
+
     Batches are produced by a background thread (``prefetch`` queue depth)
     so decompression + framing overlap the consumer's packing/writing —
     both sides spend their time in GIL-releasing C calls.
     """
     if prefetch <= 0:
-        yield from _read_tuples_sync(files, batch_records, prefix_ks)
+        yield from _read_tuples_sync(files, batch_records, prefix_ks,
+                                     start_offsets)
         return
 
     import queue as _queue
@@ -588,7 +644,8 @@ def read_tuples(
 
     def worker():
         try:
-            for item in _read_tuples_sync(files, batch_records, prefix_ks):
+            for item in _read_tuples_sync(files, batch_records, prefix_ks,
+                                          start_offsets):
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.1)

@@ -32,6 +32,7 @@ from ..cluster import cluster_exact
 from ..io import make_file_names, read_tuples
 from ..ops import find_neighbor_pairs, pairs_to_csr
 from ..ops.unique import unique_words
+from ..io import skip_to_record
 from ..pipeline import _batch_words, peek_umi_size
 from .multihost import host_record_range
 
@@ -79,32 +80,50 @@ def count_records(files) -> int:
         return min(pool.map(_count_records_one, files))
 
 
-def pack_host_range(files, lo: int, hi: int, *, word_length: int = 24):
+def range_start_offsets(files, lo: int):
+    """Byte offsets of record ``lo`` in every file (None when any file is
+    gzip or shorter than ``lo`` — callers then frame from the start).
+    Lets each host skip the records before its range with a raw
+    newline-count scan instead of framing them (~3x cheaper), and skip
+    the framing of the range entirely on the second (output) pass."""
+    if lo <= 0:
+        return None
+    offs = [skip_to_record(f, lo) for f in files]
+    if any(o is None for o in offs):
+        return None
+    return offs
+
+
+def pack_host_range(files, lo: int, hi: int, *, word_length: int = 24,
+                    start_offsets=None):
     """Pack fingerprints for record-tuples [lo, hi) of every file.
 
     Returns (packed [n, W], filtered [n]); indices are LOCAL (add ``lo``
-    for global read indices).
+    for global read indices).  ``start_offsets`` (from
+    :func:`range_start_offsets`) starts framing at record ``lo``
+    directly.
     """
     umi_len = peek_umi_size(files[0])
     header_umi_size, nt_to_take = W.pre_compute(
         umi_len, len(files), word_length
     )
+    shift = lo if start_offsets is not None else 0
     packed_parts, filt_parts = [], []
     base = 0
-    for batches in read_tuples(files):
+    for batches in read_tuples(files, start_offsets=start_offsets):
         n = batches[0].n
-        s = max(lo - base, 0)
-        e = min(hi - base, n)
+        s = max((lo - shift) - base, 0)
+        e = min((hi - shift) - base, n)
         base += n
         if e <= s:
-            if base >= hi:
+            if base >= hi - shift:
                 break
             continue
         sub = [b.slice_records(s, e) for b in batches]
         packed, filtered = _batch_words(sub, nt_to_take, header_umi_size)
         packed_parts.append(packed)
         filt_parts.append(filtered)
-        if base >= hi:
+        if base >= hi - shift:
             break
     if not packed_parts:
         wl = header_umi_size + sum(nt_to_take)
@@ -134,8 +153,10 @@ def _compute_sharded(
     if total_records is None:
         total_records = count_records(files)
     lo, hi = host_record_range(total_records, process_id, n_proc)
+    start_offsets = range_start_offsets(files, lo)
     packed, filtered = pack_host_range(
-        files, lo, hi, word_length=word_length
+        files, lo, hi, word_length=word_length,
+        start_offsets=start_offsets,
     )
     usable = packed[~filtered]
     local_to_read = np.flatnonzero(~filtered) + lo
@@ -170,6 +191,7 @@ def _compute_sharded(
         cl=cl, counts=counts, first_occ=first_occ, uniq=uniq,
         indptr=indptr, lo=lo, hi=hi, filtered=filtered,
         usable=usable, total_records=total_records, n_proc=n_proc,
+        start_offsets=start_offsets,
     )
 
 
@@ -219,20 +241,22 @@ def _part_writers(names):
 
 
 def _write_range_selected(files, names, selected_local, lo, hi,
-                          batch_records):
+                          batch_records, start_offsets=None):
     """Write the records of [lo, hi) whose LOCAL index is in
     ``selected_local`` (sorted) to ``names`` (one writer per file)."""
     writers = _part_writers(names)
+    shift = lo if start_offsets is not None else 0
     base = 0
     ptr = 0
     try:
-        for batches in read_tuples(files, batch_records):
+        for batches in read_tuples(files, batch_records,
+                                   start_offsets=start_offsets):
             n = batches[0].n
-            s = max(lo - base, 0)
-            e = min(hi - base, n)
+            s = max((lo - shift) - base, 0)
+            e = min((hi - shift) - base, n)
             if e > s:
                 sub = [b.slice_records(s, e) for b in batches]
-                local_off = base + s - lo
+                local_off = base + s - (lo - shift)
                 end = int(np.searchsorted(selected_local,
                                           local_off + (e - s), "left"))
                 loc = (selected_local[ptr:end] - local_off).astype(
@@ -241,7 +265,7 @@ def _write_range_selected(files, names, selected_local, lo, hi,
                     w.write_records(b, loc)
                 ptr = end
             base += n
-            if base >= hi:
+            if base >= hi - shift:
                 break
     finally:
         for w in writers:
@@ -249,22 +273,25 @@ def _write_range_selected(files, names, selected_local, lo, hi,
 
 
 def _write_range_annotated(files, names, cluster_of_local, lo, hi,
-                           batch_records):
+                           batch_records, start_offsets=None):
     """Write ALL records of [lo, hi) with ``:<cluster_id>`` appended."""
     writers = _part_writers(names)
+    shift = lo if start_offsets is not None else 0
     base = 0
     try:
-        for batches in read_tuples(files, batch_records):
+        for batches in read_tuples(files, batch_records,
+                                   start_offsets=start_offsets):
             n = batches[0].n
-            s = max(lo - base, 0)
-            e = min(hi - base, n)
+            s = max((lo - shift) - base, 0)
+            e = min((hi - shift) - base, n)
             if e > s:
                 sub = [b.slice_records(s, e) for b in batches]
-                ids = cluster_of_local[base + s - lo:base + e - lo]
+                lo_l = base + s - (lo - shift)
+                ids = cluster_of_local[lo_l:lo_l + (e - s)]
                 for b, w in zip(sub, writers):
                     w.write_records_annotated(b, ids)
             base += n
-            if base >= hi:
+            if base >= hi - shift:
                 break
     finally:
         for w in writers:
@@ -359,12 +386,14 @@ def run_distributed(
         t = log.start("Writing filtered results")
         sel = rep_reads[(rep_reads >= lo) & (rep_reads < hi)] - lo
         _write_range_selected(files, _part_names(dedup_names, p), sel,
-                              lo, hi, batch_records)
+                              lo, hi, batch_records,
+                              start_offsets=st["start_offsets"])
         log.end(t)
     if write_annotated:
         t = log.start("Writing annotated results")
         _write_range_annotated(files, _part_names(ann_names, p),
-                               cluster_of_local, lo, hi, batch_records)
+                               cluster_of_local, lo, hi, batch_records,
+                               start_offsets=st["start_offsets"])
         log.end(t)
     if run_stats and p == 0:
         write_statistics(

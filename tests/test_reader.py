@@ -114,3 +114,28 @@ def test_simd_encode_pack_parity_hostile_bytes():
         codes, filt2 = W.build_words(None, [chars])
         np.testing.assert_array_equal(filt, filt2)
         np.testing.assert_array_equal(lanes, W.pack_words(codes))
+
+
+def test_skip_to_record_offsets(tmp_path):
+    """skip_to_record(k) points at record k's first byte; gz and
+    too-short files return None."""
+    import gzip as _gzip
+
+    from humid_tpu.io import read_tuples, skip_to_record
+
+    recs = [f"@r{i}\nACGTAC\n+\nIIIIII\n".encode() for i in range(37)]
+    p = tmp_path / "x.fastq"
+    p.write_bytes(b"".join(recs))
+    raw = p.read_bytes()
+    for k in (0, 1, 5, 36):
+        off = skip_to_record(str(p), k)
+        assert off == sum(len(r) for r in recs[:k])
+        # Reading from the offset yields exactly records k..36.
+        names = []
+        for (b,) in read_tuples([str(p)], start_offsets=[off]):
+            names += [b.line_bytes(i, 0) for i in range(b.n)]
+        assert names == [f"@r{i}".encode() for i in range(k, 37)]
+    assert skip_to_record(str(p), 38) is None
+    g = tmp_path / "x.fastq.gz"
+    g.write_bytes(_gzip.compress(raw))
+    assert skip_to_record(str(g), 3) is None
