@@ -62,22 +62,88 @@ def _count_records_one(path: str) -> int:
     return lines // 4
 
 
-def count_records(files) -> int:
-    """Number of lockstep record-tuples across ``files``.  The lockstep
-    reader stops at the shortest file (fastq.cc:41-43), so with
-    unequal-length inputs the tuple count is the MIN over files —
-    counting only the first file would overstate the total and starve
-    the trailing hosts' ranges.  Counting is a raw newline scan per file
-    (files in parallel), not a framing pass."""
-    if isinstance(files, str):
-        files = [files]
-    files = list(files)
-    if len(files) == 1:
-        return _count_records_one(files[0])
-    from concurrent.futures import ThreadPoolExecutor
+_COUNT_CHUNK = 32 * 1024 * 1024
 
-    with ThreadPoolExecutor(max_workers=len(files)) as pool:
-        return min(pool.map(_count_records_one, files))
+
+def _scan_plain_counts(path: str):
+    """Plain (non-gzip) file: (record count, per-chunk newline counts).
+    None for gzip inputs.  The chunk table lets ``_offset_from_table``
+    find any record's byte offset later by reading ONE chunk."""
+    from ..io.reader import _count_newlines_native
+
+    with open(path, "rb") as f:
+        if f.read(2) == b"\x1f\x8b":
+            return None
+        f.seek(0)
+        counts = []
+        last = b"\n"
+        while True:
+            data = f.read(_COUNT_CHUNK)
+            if not data:
+                break
+            if _count_newlines_native is not None:
+                counts.append(
+                    _count_newlines_native(np.frombuffer(data, np.uint8)))
+            else:
+                counts.append(data.count(b"\n"))
+            last = data[-1:]
+    table = np.asarray(counts, np.int64)
+    lines = int(table.sum()) + (last != b"\n")
+    return lines // 4, table
+
+
+def _offset_from_table(path: str, k: int, chunk_counts: np.ndarray):
+    """Byte offset of record ``k`` using the count scan's chunk table:
+    locate the chunk holding the 4k-th newline, re-read just that chunk
+    (page-cached from the count scan), flatnonzero within it."""
+    if k <= 0:
+        return 0
+    need = 4 * k
+    cum = np.cumsum(chunk_counts)
+    if len(cum) == 0 or need > int(cum[-1]):
+        return None
+    ci = int(np.searchsorted(cum, need))
+    prev = int(cum[ci - 1]) if ci else 0
+    with open(path, "rb") as f:
+        f.seek(ci * _COUNT_CHUNK)
+        buf = np.frombuffer(f.read(_COUNT_CHUNK), np.uint8)
+    pos = int(np.flatnonzero(buf == ord("\n"))[need - prev - 1])
+    return ci * _COUNT_CHUNK + pos + 1
+
+
+def count_records_with_tables(files):
+    """(lockstep tuple count, per-file chunk newline tables or None).
+
+    The tuple count is the MIN over files (the lockstep reader stops at
+    the shortest file, fastq.cc:41-43).  For plain files the same scan
+    also yields the chunk tables that make record->offset lookups O(one
+    chunk) instead of a second partial scan."""
+    files = [files] if isinstance(files, str) else list(files)
+
+    def one(f):
+        d = _scan_plain_counts(f)
+        if d is None:
+            return _count_records_one(f), None
+        return d
+
+    if len(files) == 1:
+        results = [one(files[0])]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(files)) as pool:
+            results = list(pool.map(one, files))
+    total = min(n for n, _ in results)
+    tables = [t for _, t in results]
+    if any(t is None for t in tables):
+        tables = None
+    return total, tables
+
+
+def count_records(files) -> int:
+    """Number of lockstep record-tuples across ``files`` — a raw newline
+    scan per file (files in parallel), not a framing pass."""
+    return count_records_with_tables(files)[0]
 
 
 def range_start_offsets(files, lo: int):
@@ -150,10 +216,17 @@ def _compute_sharded(
     stage)."""
     n_proc = (num_processes if num_processes is not None
               else jax.process_count())
+    tables = None
     if total_records is None:
-        total_records = count_records(files)
+        total_records, tables = count_records_with_tables(files)
     lo, hi = host_record_range(total_records, process_id, n_proc)
-    start_offsets = range_start_offsets(files, lo)
+    if tables is not None and lo > 0:
+        offs = [_offset_from_table(f, lo, t)
+                for f, t in zip(files, tables)]
+        start_offsets = (offs if all(o is not None for o in offs)
+                         else range_start_offsets(files, lo))
+    else:
+        start_offsets = range_start_offsets(files, lo)
     packed, filtered = pack_host_range(
         files, lo, hi, word_length=word_length,
         start_offsets=start_offsets,

@@ -82,3 +82,26 @@ def test_count_records_matches_framer(tmp_path):
                   [str(f1), str(f2)], [str(f1), str(f2), str(f3)]):
         expect = sum(b[0].n for b in read_tuples(files))
         assert count_records(files) == expect, files
+
+
+def test_offset_from_table_matches_skip_to_record(tmp_path):
+    """The count-scan chunk-table offset lookup equals skip_to_record,
+    including records straddling the count-chunk size."""
+    import humid_tpu.parallel.pipeline as pp
+    from humid_tpu.io import skip_to_record
+
+    rec = b"@read%05d\nACGTACGTAC\n+\nIIIIIIIIII\n"
+    p = tmp_path / "t.fastq"
+    p.write_bytes(b"".join(rec % i for i in range(5000)))
+
+    old = pp._COUNT_CHUNK
+    pp._COUNT_CHUNK = 4096  # force many chunks + straddling records
+    try:
+        n, table = pp._scan_plain_counts(str(p))
+        assert n == 5000
+        for k in (0, 1, 100, 117, 4999):
+            assert pp._offset_from_table(str(p), k, table) == \
+                skip_to_record(str(p), k), k
+        assert pp._offset_from_table(str(p), 5001, table) is None
+    finally:
+        pp._COUNT_CHUNK = old
