@@ -161,14 +161,18 @@ def range_start_offsets(files, lo: int):
 
 
 def pack_host_range(files, lo: int, hi: int, *, word_length: int = 24,
-                    start_offsets=None):
+                    start_offsets=None, span_accs=None):
     """Pack fingerprints for record-tuples [lo, hi) of every file.
 
     Returns (packed [n, W], filtered [n]); indices are LOCAL (add ``lo``
     for global read indices).  ``start_offsets`` (from
     :func:`range_start_offsets`) starts framing at record ``lo``
-    directly.
+    directly.  ``span_accs`` (one per file, bases preset to record lo's
+    byte offset) collect the range's absolute record spans for the
+    span-based dedup part writer.
     """
+    from ..pipeline import _span_batch_part, _span_stitch
+
     umi_len = peek_umi_size(files[0])
     header_umi_size, nt_to_take = W.pre_compute(
         umi_len, len(files), word_length
@@ -186,6 +190,9 @@ def pack_host_range(files, lo: int, hi: int, *, word_length: int = 24,
                 break
             continue
         sub = [b.slice_records(s, e) for b in batches]
+        if span_accs is not None:
+            for b, acc in zip(sub, span_accs):
+                _span_stitch(_span_batch_part(b), acc)
         packed, filtered = _batch_words(sub, nt_to_take, header_umi_size)
         packed_parts.append(packed)
         filt_parts.append(filtered)
@@ -210,10 +217,13 @@ def _compute_sharded(
     num_processes: int | None = None,
     all_gather=None,
     neighbor_opts: dict | None = None,
+    collect_spans: bool = False,
 ):
     """Shared compute stage of the sharded pipeline.  Returns a dict with
     the global clustering plus this host's local arrays (for the output
     stage)."""
+    from ..pipeline import _is_gzip_file, _span_acc_new
+
     n_proc = (num_processes if num_processes is not None
               else jax.process_count())
     tables = None
@@ -227,9 +237,17 @@ def _compute_sharded(
                          else range_start_offsets(files, lo))
     else:
         start_offsets = range_start_offsets(files, lo)
+    span_accs = None
+    if (collect_spans
+            and (start_offsets is not None or lo == 0)
+            and not any(_is_gzip_file(f) for f in files)):
+        span_accs = [_span_acc_new(budget_entries=1 << 34) for _ in files]
+        if start_offsets is not None:
+            for acc, off in zip(span_accs, start_offsets):
+                acc["base"] = off
     packed, filtered = pack_host_range(
         files, lo, hi, word_length=word_length,
-        start_offsets=start_offsets,
+        start_offsets=start_offsets, span_accs=span_accs,
     )
     usable = packed[~filtered]
     local_to_read = np.flatnonzero(~filtered) + lo
@@ -260,11 +278,19 @@ def _compute_sharded(
     )
     indptr, indices = pairs_to_csr(pa, pb, len(uniq))
     cl = cluster_exact(counts, indptr, indices, maximum=maximum)
+    span_tables = None
+    if span_accs is not None and all(
+            a["ok"] and a["entries"] == hi - lo for a in span_accs):
+        span_tables = [
+            (np.concatenate(a["parts"]) if a["parts"]
+             else np.zeros(0, np.int64), a["base"])
+            for a in span_accs
+        ]
     return dict(
         cl=cl, counts=counts, first_occ=first_occ, uniq=uniq,
         indptr=indptr, lo=lo, hi=hi, filtered=filtered,
         usable=usable, total_records=total_records, n_proc=n_proc,
-        start_offsets=start_offsets,
+        start_offsets=start_offsets, span_tables=span_tables,
     )
 
 
@@ -432,7 +458,7 @@ def run_distributed(
         files, word_length=word_length, distance=distance, edit=edit,
         maximum=maximum, total_records=total_records, process_id=p,
         num_processes=num_processes, all_gather=all_gather,
-        neighbor_opts=neighbor_opts,
+        neighbor_opts=neighbor_opts, collect_spans=write_dedup,
     )
     log.end(t)
     cl, counts, first_occ = st["cl"], st["counts"], st["first_occ"]
@@ -458,9 +484,15 @@ def run_distributed(
     if write_dedup:
         t = log.start("Writing filtered results")
         sel = rep_reads[(rep_reads >= lo) & (rep_reads < hi)] - lo
-        _write_range_selected(files, _part_names(dedup_names, p), sel,
-                              lo, hi, batch_records,
-                              start_offsets=st["start_offsets"])
+        if st["span_tables"] is not None:
+            from ..pipeline import _write_selected_spans_to
+
+            _write_selected_spans_to(files, _part_names(dedup_names, p),
+                                     sel, st["span_tables"])
+        else:
+            _write_range_selected(files, _part_names(dedup_names, p), sel,
+                                  lo, hi, batch_records,
+                                  start_offsets=st["start_offsets"])
         log.end(t)
     if write_annotated:
         t = log.start("Writing annotated results")

@@ -678,17 +678,23 @@ def _write_selected(files, dir_name, suffix, selected, batch_records,
 
 def _write_selected_spans(files, dir_name, suffix, selected, span_tables,
                           chunk: int = 1 << 19):
-    """Second pass via cached record spans: mmap each (plain) input and
-    concatenate only the SELECTED records' raw bytes — no re-framing
-    scan of the full input.  Raw spans equal the canonical 4-line
-    records because span collection verified LF-only line endings
-    (``_span_accumulate``); a final record missing its trailing newline
-    gets one appended, matching build_records."""
+    """Second pass via cached record spans (reference-named outputs)."""
+    names = make_file_names(list(files), dir_name, suffix)
+    _write_selected_spans_to(files, names, selected, span_tables,
+                             chunk=chunk)
+
+
+def _write_selected_spans_to(files, names, selected, span_tables,
+                             chunk: int = 1 << 19):
+    """Write the SELECTED records to ``names`` via cached record spans:
+    mmap each (plain) input and concatenate only the selected records'
+    raw bytes — no re-framing scan of the input.  Raw spans equal the
+    canonical 4-line records because span collection verified LF-only
+    line endings (``_span_batch_part``); a final record missing its
+    trailing newline gets one appended, matching build_records."""
     import mmap as _mmap
 
     from .io.writer import _build_output
-
-    names = make_file_names(list(files), dir_name, suffix)
     fulls = []
     handles = []
     try:
