@@ -117,12 +117,41 @@ def measure_baseline(fq: str, n_reads: int) -> float:
         return BASELINE_READS_PER_SEC
 
 
+def _probe_backend(timeout_s: float = 120.0) -> None:
+    """Initialize the default backend in a SUBPROCESS first: a wedged
+    TPU tunnel hangs backend init un-interruptibly, so probe out of
+    process and fall back to the CPU backend when it times out (a CPU
+    bench number beats a hung driver)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    print("# backend init failed/hung; falling back to CPU",
+          file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--reads", type=int, default=1_000_000)
     p.add_argument("--distance", type=int, default=1)
     p.add_argument("--no-warmup", action="store_true")
     args = p.parse_args()
+
+    _probe_backend()
 
     os.makedirs(BENCH_DIR, exist_ok=True)
     fq = os.path.join(BENCH_DIR, f"bench_{args.reads}.fastq")
