@@ -468,6 +468,31 @@ class FastqReader:
         return self.batches()
 
 
+def is_gzip_file(path: str) -> bool:
+    """True when the file CONTENT is gzip (magic bytes — the name is not
+    trusted)."""
+    try:
+        with open(path, "rb") as f:
+            return f.read(2) == b"\x1f\x8b"
+    except OSError:
+        return False
+
+
+def iter_chunk_newline_counts(stream, chunk_bytes: int = 32 * 1024 * 1024):
+    """Yield (chunk_bytes_data, newline_count) over a byte stream — the
+    shared inner loop of record counting and offset scans (native AVX2
+    counter when available)."""
+    while True:
+        data = stream.read(chunk_bytes)
+        if not data:
+            return
+        if _count_newlines_native is not None:
+            yield data, int(_count_newlines_native(
+                np.frombuffer(data, np.uint8)))
+        else:
+            yield data, data.count(b"\n")
+
+
 def skip_to_record(path: str, k: int) -> int | None:
     """Byte offset of record ``k`` in a plain (non-gzip) FastQ file: the
     position just after the ``4*k``-th newline (valid FastQ is strictly
@@ -477,29 +502,23 @@ def skip_to_record(path: str, k: int) -> int | None:
     start)."""
     if k <= 0:
         return 0
+    if is_gzip_file(path):
+        return None
     need = 4 * k
     seen = 0
     base = 0
     try:
         with open(path, "rb") as f:
-            if f.read(2) == b"\x1f\x8b":
-                return None
-            f.seek(0)
-            while True:
-                chunk = f.read(32 * 1024 * 1024)
-                if not chunk:
-                    return None  # fewer than k records
-                buf = np.frombuffer(chunk, np.uint8)
-                n = (_count_newlines_native(buf)
-                     if _count_newlines_native is not None
-                     else int((buf == _NEWLINE).sum()))
+            for chunk, n in iter_chunk_newline_counts(f):
                 if seen + n >= need:
+                    buf = np.frombuffer(chunk, np.uint8)
                     pos = np.flatnonzero(buf == _NEWLINE)[need - seen - 1]
                     return base + int(pos) + 1
                 seen += n
                 base += len(chunk)
     except OSError:
         return None
+    return None  # fewer than k records
 
 
 def peek_first_record(path: str) -> tuple[bytes, bytes]:

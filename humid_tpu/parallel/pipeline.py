@@ -38,23 +38,17 @@ from .multihost import host_record_range
 
 
 def _count_records_one(path: str) -> int:
-    """Record count of one FastQ: line count // 4 (the framer's own
-    rule — newline phase mod 4, with an unterminated final line still
-    closing its record)."""
-    from ..io.reader import _count_newlines_native, _open_stream
+    """Record count of one FastQ (any compression): line count // 4 (the
+    framer's own rule — newline phase mod 4, with an unterminated final
+    line still closing its record)."""
+    from ..io.reader import _open_stream, iter_chunk_newline_counts
 
     stream = _open_stream(path)
     nl = 0
     last = b"\n"
     try:
-        while True:
-            data = stream.read(32 * 1024 * 1024)
-            if not data:
-                break
-            if _count_newlines_native is not None:
-                nl += _count_newlines_native(np.frombuffer(data, np.uint8))
-            else:
-                nl += data.count(b"\n")
+        for data, n in iter_chunk_newline_counts(stream):
+            nl += n
             last = data[-1:]
     finally:
         stream.close()
@@ -69,23 +63,15 @@ def _scan_plain_counts(path: str):
     """Plain (non-gzip) file: (record count, per-chunk newline counts).
     None for gzip inputs.  The chunk table lets ``_offset_from_table``
     find any record's byte offset later by reading ONE chunk."""
-    from ..io.reader import _count_newlines_native
+    from ..io.reader import is_gzip_file, iter_chunk_newline_counts
 
+    if is_gzip_file(path):
+        return None
+    counts = []
+    last = b"\n"
     with open(path, "rb") as f:
-        if f.read(2) == b"\x1f\x8b":
-            return None
-        f.seek(0)
-        counts = []
-        last = b"\n"
-        while True:
-            data = f.read(_COUNT_CHUNK)
-            if not data:
-                break
-            if _count_newlines_native is not None:
-                counts.append(
-                    _count_newlines_native(np.frombuffer(data, np.uint8)))
-            else:
-                counts.append(data.count(b"\n"))
+        for data, n in iter_chunk_newline_counts(f, _COUNT_CHUNK):
+            counts.append(n)
             last = data[-1:]
     table = np.asarray(counts, np.int64)
     lines = int(table.sum()) + (last != b"\n")
@@ -239,9 +225,16 @@ def _compute_sharded(
         start_offsets = range_start_offsets(files, lo)
     span_accs = None
     if (collect_spans
+            and os.environ.get("HUMID_TPU_SPAN_CACHE") != "0"
             and (start_offsets is not None or lo == 0)
             and not any(_is_gzip_file(f) for f in files)):
-        span_accs = [_span_acc_new(budget_entries=1 << 34) for _ in files]
+        try:
+            avail_s = (os.sysconf("SC_AVPHYS_PAGES")
+                       * os.sysconf("SC_PAGE_SIZE"))
+        except (ValueError, OSError):
+            avail_s = 1 << 33
+        budget = max(1 << 20, avail_s // (32 * max(len(files), 1)) // 8)
+        span_accs = [_span_acc_new(budget) for _ in files]
         if start_offsets is not None:
             for acc, off in zip(span_accs, start_offsets):
                 acc["base"] = off
@@ -278,14 +271,9 @@ def _compute_sharded(
     )
     indptr, indices = pairs_to_csr(pa, pb, len(uniq))
     cl = cluster_exact(counts, indptr, indices, maximum=maximum)
-    span_tables = None
-    if span_accs is not None and all(
-            a["ok"] and a["entries"] == hi - lo for a in span_accs):
-        span_tables = [
-            (np.concatenate(a["parts"]) if a["parts"]
-             else np.zeros(0, np.int64), a["base"])
-            for a in span_accs
-        ]
+    from ..pipeline import _span_tables_from_accs
+
+    span_tables = _span_tables_from_accs(span_accs, hi - lo)
     return dict(
         cl=cl, counts=counts, first_occ=first_occ, uniq=uniq,
         indptr=indptr, lo=lo, hi=hi, filtered=filtered,

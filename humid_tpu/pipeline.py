@@ -282,12 +282,7 @@ def _span_stitch(part, acc: dict) -> None:
     acc["base"] += total
 
 
-def _is_gzip_file(path: str) -> bool:
-    try:
-        with open(path, "rb") as f:
-            return f.read(2) == b"\x1f\x8b"
-    except OSError:
-        return False
+from .io.reader import is_gzip_file as _is_gzip_file  # noqa: E402
 
 
 def _pass1(files, nt_to_take, header_umi_size, batch_records,
@@ -555,14 +550,7 @@ def run(
     # --- pass 2: outputs ---
     if write_dedup:
         t = log.start("Writing filtered results")
-        span_tables = None
-        if span_accs is not None and all(a["ok"] for a in span_accs) and \
-                all(a["entries"] == res.total for a in span_accs):
-            span_tables = [
-                (np.concatenate(a["parts"]) if a["parts"]
-                 else np.zeros(0, np.int64), a["base"])
-                for a in span_accs
-            ]
+        span_tables = _span_tables_from_accs(span_accs, res.total)
         if span_tables is not None:
             _write_selected_spans(files, dir_name, "dedup", rep_reads,
                                   span_tables)
@@ -609,10 +597,17 @@ def _pipelined_write(source, names, build_one,
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
+    import re
 
     from .io.writer import compress_member
 
-    writers = [FastqWriter(n) for n in names]
+    # Compression is decided by the FINAL name: a multi-host part file
+    # ("<final>.partNNNNN") hides the .gz suffix from plain inference.
+    writers = [
+        FastqWriter(n, compress=re.sub(r"\.part\d{5}$", "", n)
+                    .endswith(".gz"))
+        for n in names
+    ]
     if build_workers is None:
         # Gzip outputs spend their time in member compression — give
         # them the whole pool; plain outputs are gather-bound.
@@ -684,6 +679,21 @@ def _write_selected_spans(files, dir_name, suffix, selected, span_tables,
                              chunk=chunk)
 
 
+def _span_tables_from_accs(span_accs, expected_entries: int):
+    """[(starts_abs, end_sentinel)] per file when every accumulator is
+    valid and covers exactly ``expected_entries`` records — None
+    otherwise (the caller falls back to the re-reading writer)."""
+    if span_accs is None or not all(
+        a["ok"] and a["entries"] == expected_entries for a in span_accs
+    ):
+        return None
+    return [
+        (np.concatenate(a["parts"]) if a["parts"]
+         else np.zeros(0, np.int64), a["base"])
+        for a in span_accs
+    ]
+
+
 def _write_selected_spans_to(files, names, selected, span_tables,
                              chunk: int = 1 << 19):
     """Write the SELECTED records to ``names`` via cached record spans:
@@ -700,7 +710,12 @@ def _write_selected_spans_to(files, names, selected, span_tables,
     try:
         for f in files:
             fh = open(f, "rb")
-            mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+            try:
+                mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+            except ValueError:  # zero-byte file: nothing to select
+                fh.close()
+                fulls.append(np.zeros(0, np.uint8))
+                continue
             handles.append((fh, mm))
             fulls.append(np.frombuffer(mm, np.uint8))
 

@@ -275,3 +275,40 @@ def test_pipeline_pallas_path_outputs(tmp_path):
         neighbor_opts={"impl": "pallas", "strategy": "dense"})
     for f in sorted(os.listdir(d1)):
         assert (d1 / f).read_bytes() == (d2 / f).read_bytes(), f
+
+
+def test_span_writer_empty_mate_no_crash(tmp_path, monkeypatch):
+    """A zero-byte lockstep mate (total=0 tuples) must produce empty
+    outputs, not an mmap crash, under the forced span writer."""
+    from humid_tpu.pipeline import run
+
+    p0 = tmp_path / "a.fastq"
+    p0.write_bytes(b"@r1\nACGTACGTACGTACGTACGTACGT\n+\n"
+                   b"IIIIIIIIIIIIIIIIIIIIIIII\n")
+    p1 = tmp_path / "b.fastq"
+    p1.write_bytes(b"")
+    monkeypatch.setenv("HUMID_TPU_SPAN_CACHE", "1")
+    res = run([str(p0), str(p1)], dir_name=str(tmp_path / "o"),
+              log_name=os.devnull)
+    assert res.total == 0
+    assert (tmp_path / "o" / "a_dedup.fastq").read_bytes() == b""
+    assert (tmp_path / "o" / "b_dedup.fastq").read_bytes() == b""
+
+
+def test_part_writer_compresses_by_final_name(tmp_path):
+    """.partNNNNN output names hide the .gz suffix; _pipelined_write
+    must still gzip-compress them (decided by the FINAL name)."""
+    import gzip
+
+    import numpy as np
+    from humid_tpu.pipeline import _write_selected_spans_to
+
+    rec = b"@r0\nACGT\n+\nIIII\n"
+    src = tmp_path / "x.fastq"   # plain content
+    src.write_bytes(rec * 3)
+    starts = np.arange(3, dtype=np.int64) * len(rec)
+    out = str(tmp_path / "x_dedup.fastq.gz.part00000")
+    _write_selected_spans_to(
+        [str(src)], [out], np.array([1], np.int64),
+        [(starts, 3 * len(rec))])
+    assert gzip.decompress(open(out, "rb").read()) == rec
