@@ -312,3 +312,25 @@ def test_part_writer_compresses_by_final_name(tmp_path):
         [str(src)], [out], np.array([1], np.int64),
         [(starts, 3 * len(rec))])
     assert gzip.decompress(open(out, "rb").read()) == rec
+
+
+def test_span_writer_mixed_crlf_falls_back(tmp_path, monkeypatch):
+    """A single CRLF record mid-file invalidates the span table (raw
+    spans would differ from canonical records); the forced span mode
+    must fall back to the framing writer and still match the default
+    writer byte for byte."""
+    from humid_tpu.pipeline import run
+
+    rec = b"@r%d\nACGTACGTACGTACGTACGTACGT\n+\nIIIIIIIIIIIIIIIIIIIIIIII\n"
+    crlf = (b"@rx\r\nACGTACGTACGTACGTACGTACGT\r\n+\r\n"
+            b"IIIIIIIIIIIIIIIIIIIIIIII\r\n")
+    p = tmp_path / "m.fastq"
+    p.write_bytes(b"".join(rec % i for i in range(40)) + crlf
+                  + b"".join(rec % i for i in range(40, 80)))
+
+    run([str(p)], dir_name=str(tmp_path / "d0"), log_name=os.devnull)
+    monkeypatch.setenv("HUMID_TPU_SPAN_CACHE", "1")
+    run([str(p)], dir_name=str(tmp_path / "d1"), log_name=os.devnull)
+    a = (tmp_path / "d0" / "m_dedup.fastq").read_bytes()
+    b = (tmp_path / "d1" / "m_dedup.fastq").read_bytes()
+    assert a == b and len(a) > 0
