@@ -90,6 +90,10 @@ def unique_words(packed: np.ndarray, want_inverse: bool = True):
             np.zeros(0, np.int64),
             np.zeros(0, np.int64),
         )
+    import os as _os
+
+    if _os.environ.get("HUMID_TPU_UNIQUE") == "device":
+        return unique_words_device(packed, want_inverse)
     # Stable sort in lane-lexicographic order.  For <= 2 lanes a single
     # uint64 key suffices, and the fused native path does sort + group
     # structure + inverse in one call.
@@ -139,3 +143,69 @@ def unique_words(packed: np.ndarray, want_inverse: bool = True):
     else:
         inverse = None
     return uniq, counts, first_occ, inverse
+
+
+def unique_words_device(packed: np.ndarray, want_inverse: bool = True):
+    """Device-side unique counting: ``jax.lax.sort`` over the uint32
+    lanes + segment scatters, same contract as :func:`unique_words`.
+
+    For co-located TPU hosts (``HUMID_TPU_UNIQUE=device``), where HBM
+    sort bandwidth dwarfs the host radix sort; behind a tunneled chip
+    the host path stays the measured default.  Input is padded to the
+    next power of two (few distinct compiled programs); padding rows
+    carry all-1 lanes, sort last, and are fenced off by a forced group
+    boundary at the true row count, so a real all-T word never merges
+    with them.
+    """
+    n, w = packed.shape
+    if n == 0:
+        return (np.zeros((0, w), np.uint32), np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int64) if want_inverse else None)
+    import jax.numpy as jnp
+
+    n_pad = 1 << max(n - 1, 0).bit_length()
+    data = np.full((n_pad, w), np.uint32(0xFFFFFFFF))
+    data[:n] = packed
+    uniq, counts, first, inv, k = _unique_device_jit(
+        jnp.asarray(data), jnp.int32(n), w=w, want_inverse=want_inverse)
+    k = int(k)
+    return (
+        np.asarray(uniq[:k]).astype(np.uint32, copy=False),
+        np.asarray(counts[:k]).astype(np.int64),
+        np.asarray(first[:k]).astype(np.int64),
+        (np.asarray(inv[:n]).astype(np.int64) if want_inverse else None),
+    )
+
+
+try:
+    import functools as _functools
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    @_functools.partial(_jax.jit, static_argnames=("w", "want_inverse"))
+    def _unique_device_jit(data, n_true, *, w: int, want_inverse: bool):
+        n_pad = data.shape[0]
+        idx = _jnp.arange(n_pad, dtype=_jnp.int32)
+        ops = [data[:, i] for i in range(w)] + [idx]
+        *skeys, sidx = _jax.lax.sort(ops, num_keys=w, is_stable=True)
+        sk = _jnp.stack(skeys, axis=1)                     # [n_pad, w]
+        new = _jnp.ones(n_pad, bool)
+        if n_pad > 1:
+            new = new.at[1:].set(_jnp.any(sk[1:] != sk[:-1], axis=1))
+        # Fence the padding off from a possible real all-1 word: padding
+        # sorts last (max key, stable), so it occupies rows >= n_true.
+        new = new | (idx == n_true)
+        gid = _jnp.cumsum(new.astype(_jnp.int32)) - 1      # [n_pad]
+        k = gid[_jnp.maximum(n_true - 1, 0)] + 1
+        counts = _jnp.zeros(n_pad, _jnp.int32).at[gid].add(1)
+        # Stable sort: each group's first sorted element has the
+        # smallest original index == first occurrence in input order.
+        first = _jnp.full(n_pad, n_pad, _jnp.int32).at[gid].min(sidx)
+        uniq = _jnp.zeros((n_pad, w), data.dtype).at[gid].set(sk)
+        inv = (_jnp.zeros(n_pad, _jnp.int32).at[sidx].set(gid)
+               if want_inverse else _jnp.zeros((), _jnp.int32))
+        return uniq, counts, first, inv, k
+except ImportError:  # pragma: no cover - jax always present in practice
+    _unique_device_jit = None

@@ -137,3 +137,42 @@ def test_unique_words_wide_lanes_match_lexsort():
         inv = np.empty(n, np.int64)
         inv[order] = np.cumsum(new) - 1
         np.testing.assert_array_equal(got[3], inv)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("w", [1, 2, 3])
+@pytest.mark.parametrize("want_inverse", [True, False])
+def test_unique_words_device_matches_host(w, want_inverse):
+    """Device unique counting (lax.sort + segment scatters) equals the
+    host path exactly — incl. power-of-two padding boundaries and the
+    all-ones fencepost word."""
+    from humid_tpu.ops import unique_words, unique_words_device
+
+    rng = np.random.default_rng(123 + w)
+    for n in (1, 7, 100, 1000, 4097):
+        packed = rng.integers(0, 5, size=(n, w)).astype(np.uint32)
+        host = unique_words(packed, want_inverse=want_inverse)
+        dev = unique_words_device(packed, want_inverse=want_inverse)
+        for x, y in zip(host, dev):
+            if x is None:
+                assert y is None
+            else:
+                np.testing.assert_array_equal(x, y)
+    # A real all-ones word must not merge with the all-ones padding.
+    packed = np.full((8, w), 0xFFFFFFFF, np.uint32)
+    dev = unique_words_device(packed)
+    assert len(dev[1]) == 1 and dev[1][0] == 8
+
+
+def test_unique_env_device_switch(monkeypatch):
+    from humid_tpu.ops import unique_words
+
+    rng = np.random.default_rng(9)
+    packed = rng.integers(0, 4, size=(300, 2)).astype(np.uint32)
+    host = unique_words(packed)
+    monkeypatch.setenv("HUMID_TPU_UNIQUE", "device")
+    dev = unique_words(packed)
+    for x, y in zip(host, dev):
+        np.testing.assert_array_equal(x, y)
