@@ -334,3 +334,29 @@ def test_span_writer_mixed_crlf_falls_back(tmp_path, monkeypatch):
     a = (tmp_path / "d0" / "m_dedup.fastq").read_bytes()
     b = (tmp_path / "d1" / "m_dedup.fastq").read_bytes()
     assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("edit", [False, True], ids=["hamming", "edit"])
+def test_all_device_paths_match_all_host(tmp_path, edit, monkeypatch):
+    """Every stage's device variant composed at once (device unique +
+    device tile/bucketed search + device edit verify) produces outputs
+    byte-identical to the all-host default."""
+    from humid_tpu.cli import main
+
+    gen_dataset(np.random.default_rng(778), str(tmp_path), n_reads=500,
+                n_files=2, umi_style="colon", ragged=True)
+    files = [str(tmp_path / f"file{i}.fastq") for i in range(2)]
+    flags = (["-e"] if edit else [])
+    main(["-d", str(tmp_path / "host"), "-s", "-a", "-l", os.devnull,
+          *flags, *files])
+    monkeypatch.setenv("HUMID_TPU_UNIQUE", "device")
+    if edit:
+        monkeypatch.setenv("HUMID_TPU_EDIT_VERIFY", "device")
+    else:
+        monkeypatch.setenv("HUMID_TPU_STRATEGY", "bucketed")
+        monkeypatch.setenv("HUMID_TPU_IMPL", "mxu")
+    main(["-d", str(tmp_path / "dev"), "-s", "-a", "-l", os.devnull,
+          *flags, *files])
+    for f in sorted(os.listdir(tmp_path / "host")):
+        assert (tmp_path / "host" / f).read_bytes() == \
+            (tmp_path / "dev" / f).read_bytes(), f
