@@ -259,6 +259,52 @@ def _quantize_rows(packed: np.ndarray) -> np.ndarray:
     return np.concatenate([packed, pad], axis=0)
 
 
+def _xla_chunked_run(data, pairs_raw, n_rows, max_dist, *, tile,
+                     metric, word_length, ids=None, chunk_nb: int = 64):
+    """Chunked launcher for the XLA tile scan; same (out_a, out_b,
+    total, counts) contract as _all_pairs so _extract_with_retry wraps
+    it.  Chunking bounds per-launch device memory AND keeps every int32
+    quantity (scan offsets, cap_total) far from overflow on degenerate
+    inputs whose TRUE pair count exceeds 2^31 — a single chunk's total
+    is at most chunk_nb * tile^2 < 2^29, and the host accumulates the
+    chunks in int64."""
+    rid_dev = jnp.asarray(ids) if ids is not None else None
+
+    def run(cr, ct):
+        outs_a, outs_b, counts = [], [], []
+        for lo in range(0, len(pairs_raw), chunk_nb):
+            chunk = _pad_pairs(pairs_raw[lo:lo + chunk_nb])
+            oa, ob, t, c = _all_pairs(
+                data, jnp.asarray(chunk), jnp.int32(n_rows),
+                jnp.int32(max_dist),
+                tile=tile, cap_row=cr, cap_total=ct,
+                metric=metric, max_dist_static=int(max_dist),
+                word_length=word_length, ids=rid_dev,
+                with_ids=ids is not None,
+            )
+            t, c = jax.device_get((t, c))
+            t = int(t)
+            counts.append(c)
+            if t > ct:
+                # Chunk overflowed the output buffer: report its true
+                # total so the retry loop grows cap_total and reruns.
+                return (np.zeros(0, np.int32), np.zeros(0, np.int32), t,
+                        np.concatenate(counts))
+            if int(c[:, 1].max(initial=0)) > cr:
+                # cap_row overflow: let the retry loop grow it before
+                # paying for the remaining chunks.
+                return (np.zeros(0, np.int32), np.zeros(0, np.int32), 0,
+                        np.concatenate(counts))
+            pa, pb = jax.device_get((oa[:t], ob[:t]))
+            outs_a.append(pa)
+            outs_b.append(pb)
+        out_a = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int32)
+        out_b = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int32)
+        return out_a, out_b, len(out_a), np.concatenate(counts)
+
+    return run
+
+
 def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
                         max_dist, *, tile, interpret,
                         chunk_nb: int = 1024):
@@ -470,16 +516,8 @@ def find_neighbor_pairs(
         )
     else:
         data = _device_rep(data_host, metric, word_length)
-        pairs_ij = _pad_pairs(pairs_raw)
-
-        def run(cr, ct):
-            return _all_pairs(
-                data, jnp.asarray(pairs_ij), jnp.int32(u),
-                jnp.int32(max_dist),
-                tile=b, cap_row=cr, cap_total=ct,
-                metric=metric, max_dist_static=int(max_dist),
-                word_length=word_length,
-            )
+        run = _xla_chunked_run(data, pairs_raw, u, max_dist, tile=b,
+                               metric=metric, word_length=word_length)
 
     return _extract_with_retry(run, u, b, cap_row, cap_total)
 
@@ -700,6 +738,18 @@ def find_neighbor_pairs_runs(
             _one_partition(p)
 
     if big_parts:
+        big_rows = sum(int(rl.sum()) for _, _, _, rl in big_parts)
+        if big_rows > 2 * u:
+            # Degenerate data (e.g. one template with scattered
+            # substitutions): the giant runs cover most of the table in
+            # SEVERAL partitions, so the stacked per-partition scan
+            # would evaluate every candidate once per partition.  One
+            # dense upper-triangle scan finds each pair exactly once
+            # and subsumes the small-run pairs too.
+            return find_neighbor_pairs(
+                packed, max_dist, metric="hamming",
+                word_length=word_length, strategy="dense", impl=impl,
+                tile=tile, cap_row=cap_row, cap_total=cap_total)
         ba, bb = _big_run_pairs(
             packed, big_parts, max_dist, word_length=word_length,
             tile=tile, cap_row=cap_row, cap_total=cap_total, impl=impl)
@@ -760,21 +810,18 @@ def _big_run_pairs(packed, big_parts, max_dist, *, word_length, tile,
     pairs_all = np.concatenate(pair_lists, axis=0)
     n_all = len(big_parts) * u_pad
     if cap_total is None:
-        cap_total = 1 << max(20, (2 * total_big - 1).bit_length())
+        # Bounded start even when the candidate count is astronomical
+        # (degenerate low-entropy data): the chunked launcher reports
+        # per-chunk totals and the retry loop grows the cap as needed,
+        # never past one chunk's <2^29 worst case.
+        cap_total = min(1 << 26,
+                        1 << max(20, (2 * total_big - 1).bit_length()))
     cap_row = min(cap_row, b)
 
     data = _device_rep(data_host, metric, word_length)
-    pairs_ij = _pad_pairs(pairs_all)
-    rid_dev = jnp.asarray(rid_all)
-
-    def run(cr, ct):
-        return _all_pairs(
-            data, jnp.asarray(pairs_ij), jnp.int32(n_all),
-            jnp.int32(max_dist),
-            tile=b, cap_row=cr, cap_total=ct,
-            metric=metric, max_dist_static=int(max_dist),
-            word_length=word_length, ids=rid_dev, with_ids=True,
-        )
+    run = _xla_chunked_run(data, pairs_all, n_all, max_dist, tile=b,
+                           metric=metric, word_length=word_length,
+                           ids=rid_all)
 
     pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
     # Stacked permuted positions -> original unique-word indices,
@@ -1081,17 +1128,9 @@ def find_neighbor_pairs_bucketed(
         )
     else:
         data = _device_rep(data_host, metric, word_length)
-        pairs_ij = _pad_pairs(pairs_all)
-        rid_dev = jnp.asarray(rid_all)
-
-        def run(cr, ct):
-            return _all_pairs(
-                data, jnp.asarray(pairs_ij), jnp.int32(n_all),
-                jnp.int32(max_dist),
-                tile=b, cap_row=cr, cap_total=ct,
-                metric=metric, max_dist_static=int(max_dist),
-                word_length=word_length, ids=rid_dev, with_ids=True,
-            )
+        run = _xla_chunked_run(data, pairs_all, n_all, max_dist, tile=b,
+                               metric=metric, word_length=word_length,
+                               ids=rid_all)
 
     pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
     # Stacked permuted positions -> original unique-word indices.

@@ -413,3 +413,25 @@ def test_edit_pairs_verify_direct():
     exp = [(int(x), int(y)) for x, y in zip(a, b)
            if lev(codes[x], codes[y]) <= 2]
     assert list(zip(ka.tolist(), kb.tolist())) == exp
+
+
+def test_degenerate_runs_collapse_to_dense():
+    """Low-entropy input where every pigeonhole partition holds a giant
+    run: the runs strategy collapses to one dense scan (no stacked
+    per-partition copies, no int32 overflow) and matches dense exactly."""
+    length = 24
+    rng = np.random.default_rng(99)
+    tpl = rng.integers(0, 4, length).astype(np.uint8)
+    codes = np.tile(tpl, (30_000, 1))
+    for r in range(len(codes)):
+        for _ in range(int(rng.integers(0, 3))):
+            codes[r, int(rng.integers(0, length))] = rng.integers(0, 4)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    assert len(uniq) > 2048  # above runs_threshold -> auto picks runs
+    a1, b1 = find_neighbor_pairs(uniq, 2, word_length=length,
+                                 strategy="runs", impl="xor")
+    a2, b2 = find_neighbor_pairs(uniq, 2, word_length=length,
+                                 strategy="dense", impl="xor")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
