@@ -402,6 +402,7 @@ def find_neighbor_pairs(
     strategy: str = "auto",
     runs_threshold: int = 1 << 11,
     dense_threshold: int = 1 << 17,
+    join_cap: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered pairs (a, b), a < b, of unique words within
     ``max_dist``.
@@ -440,6 +441,7 @@ def find_neighbor_pairs(
     if env_impl and impl is None:
         impl = env_impl
 
+    auto_chosen = strategy == "auto"
     if strategy == "auto":
         strategy = (
             "runs"
@@ -448,10 +450,19 @@ def find_neighbor_pairs(
             and (metric == "hamming" or _merge_join_native is not None)
             else "dense"
         )
-    if strategy == "runs":
-        if metric == "edit":
+    if strategy == "runs" and metric == "edit":
+        try:
             return find_edit_pairs_shifted(
-                packed, max_dist, word_length=word_length)
+                packed, max_dist, word_length=word_length,
+                join_cap=join_cap)
+        except ValueError:
+            if not auto_chosen:
+                raise
+            # Degenerate key space (shifted-segment joins exceed the
+            # memory-scaled cap): dense is slower but always correct,
+            # like the reference's own exhaustive walk.
+            strategy = "dense"
+    if strategy == "runs":
         if metric != "hamming":
             raise ValueError(f"runs strategy: unknown metric {metric!r}")
         return find_neighbor_pairs_runs(
@@ -905,7 +916,7 @@ def find_edit_pairs_shifted(
     max_dist: int,
     *,
     word_length: int,
-    join_cap: int = 1 << 26,
+    join_cap: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Subquadratic Levenshtein neighbour pairs via shifted segments.
 
@@ -921,9 +932,10 @@ def find_edit_pairs_shifted(
     lengths, replacing the dense O(U^2) edit tile scan
     (findEditNeighbours, humid.cc:140-158).
 
-    ``join_cap`` bounds a single join's output; degenerate key spaces
-    (e.g. all-identical segments) exceeding it raise with advice to use
-    strategy="dense".
+    ``join_cap`` bounds a single join's output (default: a quarter of
+    available memory at 16 bytes/pair, floor 2^26); degenerate key
+    spaces (e.g. all-identical segments) exceeding it raise ValueError —
+    the auto strategy catches that and falls back to the dense scan.
     """
     u, w = packed.shape
     if u <= 1 or max_dist == 0:
@@ -932,6 +944,15 @@ def find_edit_pairs_shifted(
         raise RuntimeError(
             "shifted-segment edit search needs the native extension; "
             "use strategy='dense'")
+    if join_cap is None:
+        import os as _os
+
+        try:
+            avail = (_os.sysconf("SC_AVPHYS_PAGES")
+                     * _os.sysconf("SC_PAGE_SIZE"))
+        except (ValueError, OSError):
+            avail = 1 << 33
+        join_cap = max(1 << 26, avail // 4 // 16)
 
     from .unique import _stable_argsort_u64
     from .. import words as W
@@ -958,7 +979,7 @@ def find_edit_pairs_shifted(
                                       hi + d, codes)
                 ob = _stable_argsort_u64(kb)
                 self_join = 0
-            cap = 1 << 20
+            cap = min(1 << 20, 1 << max(int(join_cap) - 1, 0).bit_length())
             while True:
                 outa = np.empty(cap, np.int64)
                 outb = np.empty(cap, np.int64)

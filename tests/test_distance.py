@@ -435,3 +435,29 @@ def test_degenerate_runs_collapse_to_dense():
                                  strategy="dense", impl="xor")
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_edit_degenerate_join_falls_back_to_dense():
+    """When the shifted-segment joins exceed join_cap (degenerate key
+    space), the auto strategy falls back to the dense edit scan instead
+    of raising; an explicit strategy='runs' still raises with advice."""
+    from humid_tpu.ops import unique_words
+
+    length = 18
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 4, 9).astype(np.uint8)
+    codes = np.empty((600, length), np.uint8)
+    codes[:, :9] = base                       # identical first segment
+    codes[:, 9:] = rng.integers(0, 4, (600, 9))
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    assert len(uniq) > 500
+    a1, b1 = find_neighbor_pairs(uniq, 1, metric="edit",
+                                 word_length=length, join_cap=64,
+                                 runs_threshold=256)
+    a2, b2 = find_neighbor_pairs(uniq, 1, metric="edit",
+                                 word_length=length, strategy="dense")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+    with pytest.raises(ValueError, match="join_cap"):
+        find_neighbor_pairs(uniq, 1, metric="edit", word_length=length,
+                            strategy="runs", join_cap=64)
