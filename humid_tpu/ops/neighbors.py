@@ -34,6 +34,12 @@ from .hamming import MASK_LO
 from .edit import _banded_levenshtein, _unpack
 
 
+class JoinCapExceeded(ValueError):
+    """A shifted-segment join needs more candidate pairs than join_cap
+    allows (degenerate key space) — the auto strategy falls back to the
+    dense edit scan on this, and ONLY this, error."""
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -259,29 +265,25 @@ def _quantize_rows(packed: np.ndarray) -> np.ndarray:
     return np.concatenate([packed, pad], axis=0)
 
 
-def _xla_chunked_run(data, pairs_raw, n_rows, max_dist, *, tile,
-                     metric, word_length, ids=None, chunk_nb: int = 64):
-    """Chunked launcher for the XLA tile scan; same (out_a, out_b,
-    total, counts) contract as _all_pairs so _extract_with_retry wraps
-    it.  Chunking bounds per-launch device memory AND keeps every int32
+def _chunked_run(launch, pairs_raw, tile: int):
+    """Generic chunked tile-pair launcher; same (out_a, out_b, total,
+    counts) contract as _all_pairs so _extract_with_retry wraps it.
+
+    ``launch(chunk_ij, cr, ct) -> (oa, ob, t, c)`` (device values).
+    Chunking bounds per-launch device memory AND keeps every int32
     quantity (scan offsets, cap_total) far from overflow on degenerate
-    inputs whose TRUE pair count exceeds 2^31 — a single chunk's total
-    is at most chunk_nb * tile^2 < 2^29, and the host accumulates the
-    chunks in int64."""
-    rid_dev = jnp.asarray(ids) if ids is not None else None
+    inputs whose TRUE pair count exceeds 2^31: chunk_nb is derived from
+    the tile size so one chunk's worst-case total stays under 2^28, and
+    the host accumulates chunks in int64.  Only the small (total,
+    counts) pair is fetched per chunk — the pair buffers stay on device
+    until one batched device_get at the end."""
+    chunk_nb = max(1, (1 << 28) // (tile * tile))
 
     def run(cr, ct):
         outs_a, outs_b, counts = [], [], []
         for lo in range(0, len(pairs_raw), chunk_nb):
-            chunk = _pad_pairs(pairs_raw[lo:lo + chunk_nb])
-            oa, ob, t, c = _all_pairs(
-                data, jnp.asarray(chunk), jnp.int32(n_rows),
-                jnp.int32(max_dist),
-                tile=tile, cap_row=cr, cap_total=ct,
-                metric=metric, max_dist_static=int(max_dist),
-                word_length=word_length, ids=rid_dev,
-                with_ids=ids is not None,
-            )
+            chunk = _pad_pairs(pairs_raw[lo:lo + chunk_nb, :2])
+            oa, ob, t, c = launch(chunk, cr, ct)
             t, c = jax.device_get((t, c))
             t = int(t)
             counts.append(c)
@@ -295,22 +297,41 @@ def _xla_chunked_run(data, pairs_raw, n_rows, max_dist, *, tile,
                 # paying for the remaining chunks.
                 return (np.zeros(0, np.int32), np.zeros(0, np.int32), 0,
                         np.concatenate(counts))
-            pa, pb = jax.device_get((oa[:t], ob[:t]))
-            outs_a.append(pa)
-            outs_b.append(pb)
-        out_a = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int32)
-        out_b = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int32)
+            outs_a.append(oa[:t])
+            outs_b.append(ob[:t])
+        fetched = jax.device_get((outs_a, outs_b))
+        out_a = (np.concatenate(fetched[0]) if fetched[0]
+                 else np.zeros(0, np.int32))
+        out_b = (np.concatenate(fetched[1]) if fetched[1]
+                 else np.zeros(0, np.int32))
         return out_a, out_b, len(out_a), np.concatenate(counts)
 
     return run
 
 
+def _xla_chunked_run(data, pairs_raw, n_rows, max_dist, *, tile,
+                     metric, word_length, ids=None):
+    """Chunked launcher for the XLA tile scan (see _chunked_run)."""
+    rid_dev = jnp.asarray(ids) if ids is not None else None
+
+    def launch(chunk, cr, ct):
+        return _all_pairs(
+            data, jnp.asarray(chunk), jnp.int32(n_rows),
+            jnp.int32(max_dist),
+            tile=tile, cap_row=cr, cap_total=ct,
+            metric=metric, max_dist_static=int(max_dist),
+            word_length=word_length, ids=rid_dev,
+            with_ids=ids is not None,
+        )
+
+    return _chunked_run(launch, pairs_raw, tile)
+
+
 def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
-                        max_dist, *, tile, interpret,
-                        chunk_nb: int = 1024):
-    """Chunked launcher for the Pallas sweep; same (out_a, out_b, total,
-    counts) contract as _all_pairs so _extract_with_retry wraps it.
-    Chunking bounds the [nb, tile, cap_row] kernel output memory."""
+                        max_dist, *, tile, interpret):
+    """Chunked launcher for the Pallas sweep (see _chunked_run —
+    chunking also bounds the [nb, tile, cap_row] kernel output
+    memory)."""
     from .pallas_hamming import pallas_all_pairs
 
     if packed_rows.shape[1] % 2:  # one-hot feature dim must be 128-wide
@@ -325,33 +346,16 @@ def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
         rows.T.reshape(w * (n // 128), 128))
     data = jnp.asarray(lanemaj)
 
-    def run(cr, ct):
-        outs_a, outs_b, counts = [], [], []
-        for lo in range(0, len(pairs_np), chunk_nb):
-            chunk = _pad_pairs(pairs_np[lo:lo + chunk_nb, :2])
-            oa, ob, t, c = pallas_all_pairs(
-                data, jnp.asarray(chunk),
-                jnp.int32(part_stride), jnp.int32(part_valid),
-                jnp.int32(max_dist),
-                tile=tile, cap_row=cr, cap_total=ct, w=w,
-                interpret=interpret,
-            )
-            t, c = jax.device_get((t, c))
-            t = int(t)
-            counts.append(c)
-            if t > ct:
-                # Chunk overflowed the output buffer: report the true
-                # total so the retry loop grows cap_total and reruns.
-                return (np.zeros(0, np.int32), np.zeros(0, np.int32), t,
-                        np.concatenate(counts))
-            pa, pb = jax.device_get((oa[:t], ob[:t]))
-            outs_a.append(pa)
-            outs_b.append(pb)
-        out_a = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int32)
-        out_b = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int32)
-        return out_a, out_b, len(out_a), np.concatenate(counts)
+    def launch(chunk, cr, ct):
+        return pallas_all_pairs(
+            data, jnp.asarray(chunk),
+            jnp.int32(part_stride), jnp.int32(part_valid),
+            jnp.int32(max_dist),
+            tile=tile, cap_row=cr, cap_total=ct, w=w,
+            interpret=interpret,
+        )
 
-    return run
+    return _chunked_run(launch, pairs_np, tile)
 
 
 def _extract_with_retry(run, u, b, cap_row, cap_total):
@@ -455,7 +459,7 @@ def find_neighbor_pairs(
             return find_edit_pairs_shifted(
                 packed, max_dist, word_length=word_length,
                 join_cap=join_cap)
-        except ValueError:
+        except JoinCapExceeded:
             if not auto_chosen:
                 raise
             # Degenerate key space (shifted-segment joins exceed the
@@ -750,7 +754,7 @@ def find_neighbor_pairs_runs(
 
     if big_parts:
         big_rows = sum(int(rl.sum()) for _, _, _, rl in big_parts)
-        if big_rows > 2 * u:
+        if big_rows > u:
             # Degenerate data (e.g. one template with scattered
             # substitutions): the giant runs cover most of the table in
             # SEVERAL partitions, so the stacked per-partition scan
@@ -945,14 +949,9 @@ def find_edit_pairs_shifted(
             "shifted-segment edit search needs the native extension; "
             "use strategy='dense'")
     if join_cap is None:
-        import os as _os
+        from .._util import avail_bytes
 
-        try:
-            avail = (_os.sysconf("SC_AVPHYS_PAGES")
-                     * _os.sysconf("SC_PAGE_SIZE"))
-        except (ValueError, OSError):
-            avail = 1 << 33
-        join_cap = max(1 << 26, avail // 4 // 16)
+        join_cap = max(1 << 26, avail_bytes() // 4 // 16)
 
     from .unique import _stable_argsort_u64
     from .. import words as W
@@ -990,7 +989,7 @@ def find_edit_pairs_shifted(
                 if n >= 0:
                     break
                 if -n > join_cap:
-                    raise ValueError(
+                    raise JoinCapExceeded(
                         f"shifted-segment join for (segment {s}, shift "
                         f"{d}) needs {-n} candidate pairs (> join_cap="
                         f"{join_cap}); the key space is degenerate — "

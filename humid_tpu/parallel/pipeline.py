@@ -228,12 +228,10 @@ def _compute_sharded(
             and os.environ.get("HUMID_TPU_SPAN_CACHE") != "0"
             and (start_offsets is not None or lo == 0)
             and not any(_is_gzip_file(f) for f in files)):
-        try:
-            avail_s = (os.sysconf("SC_AVPHYS_PAGES")
-                       * os.sysconf("SC_PAGE_SIZE"))
-        except (ValueError, OSError):
-            avail_s = 1 << 33
-        budget = max(1 << 20, avail_s // (32 * max(len(files), 1)) // 8)
+        from .._util import avail_bytes
+
+        budget = max(1 << 20,
+                     avail_bytes() // (32 * max(len(files), 1)) // 8)
         span_accs = [_span_acc_new(budget) for _ in files]
         if start_offsets is not None:
             for acc, off in zip(span_accs, start_offsets):

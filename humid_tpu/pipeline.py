@@ -406,13 +406,10 @@ def run(
     # (100M: pass-1 5s re-read mode vs 25-54s cached on the dev host).
     cache: list | None = None
     if cache_records is None:
-        try:
-            avail = (os.sysconf("SC_AVPHYS_PAGES")
-                     * os.sysconf("SC_PAGE_SIZE"))
-        except (ValueError, OSError):
-            avail = 1 << 33
+        from ._util import avail_bytes
+
         cache_records = (
-            _input_bytes_estimate(files) < min(1 << 34, avail // 3)
+            _input_bytes_estimate(files) < min(1 << 34, avail_bytes() // 3)
         )
     if cache_records and (write_dedup or write_annotated):
         cache = []
@@ -430,12 +427,10 @@ def run(
             and not any(_is_gzip_file(f) for f in files)):
         if span_env == "1":
             cache = None  # force the span path end to end
-        try:
-            avail_s = (os.sysconf("SC_AVPHYS_PAGES")
-                       * os.sysconf("SC_PAGE_SIZE"))
-        except (ValueError, OSError):
-            avail_s = 1 << 33
-        budget = max(1 << 20, avail_s // (32 * max(len(files), 1)) // 8)
+        from ._util import avail_bytes
+
+        budget = max(1 << 20,
+                     avail_bytes() // (32 * max(len(files), 1)) // 8)
         span_accs = [_span_acc_new(budget) for _ in files]
 
     import time as _time
