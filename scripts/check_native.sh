@@ -19,11 +19,14 @@ echo "ASan build in $BUILD (preloading $LIBASAN)"
 
 # leak detection off: the CPython interpreter itself "leaks" at exit.
 # Only the native-facing tests run sanitized — XLA jit compiles are
-# unusably slow under ASan interception.
+# unusably slow (and can wedge) under ASan interception, so tests that
+# drive jax device code (-k "not device") are excluded here; the plain
+# suite covers them.
 ASAN_OPTIONS=detect_leaks=0 \
 LD_PRELOAD="$LIBASAN" \
 PYTHONPATH="$BUILD:$PWD:$PWD/tests" \
 JAX_PLATFORMS=cpu \
 python -m pytest tests/test_native.py tests/test_packing.py \
-  tests/test_words.py tests/test_cluster.py -q -p no:cacheprovider "$@"
+  tests/test_words.py tests/test_cluster.py -q -p no:cacheprovider \
+  -k "not device" "$@"
 echo "native memcheck OK"
