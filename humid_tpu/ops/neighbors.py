@@ -271,13 +271,14 @@ def _chunked_run(launch, pairs_raw, tile: int):
 
     ``launch(chunk_ij, cr, ct) -> (oa, ob, t, c)`` (device values).
     Chunking bounds per-launch device memory AND keeps every int32
-    quantity (scan offsets, cap_total) far from overflow on degenerate
+    quantity (scan offsets, cap_total) under int32 on degenerate
     inputs whose TRUE pair count exceeds 2^31: chunk_nb is derived from
-    the tile size so one chunk's worst-case total stays under 2^28, and
-    the host accumulates chunks in int64.  Only the small (total,
-    counts) pair is fetched per chunk — the pair buffers stay on device
-    until one batched device_get at the end."""
-    chunk_nb = max(1, (1 << 28) // (tile * tile))
+    the tile size so one chunk's worst-case total stays at or under
+    2^30 (and _extract_with_retry clamps cap growth there), and the
+    host accumulates chunks in int64.  Only the small (total, counts)
+    pair is fetched per chunk — the pair buffers stay on device until
+    one batched device_get at the end."""
+    chunk_nb = max(1, (1 << 30) // (tile * tile))
 
     def run(cr, ct):
         outs_a, outs_b, counts = [], [], []
@@ -373,12 +374,18 @@ def _extract_with_retry(run, u, b, cap_row, cap_total):
             cap_row = min(1 << (row_max - 1).bit_length(), b)
             continue
         if total_h > cap_total and len(out_a) <= cap_total:
-            # Overflow of a single device buffer.  (The chunked Pallas
-            # launcher returns an already-trimmed concatenation whose
-            # length equals total_h — legitimately above one chunk's
-            # cap_total — and signals a real chunk overflow with empty
-            # buffers instead.)
-            cap_total = 1 << (total_h + 1024).bit_length()
+            # Overflow of a single device buffer.  (A chunked launcher
+            # returns an already-trimmed concatenation whose length
+            # equals total_h — legitimately above one chunk's cap_total
+            # — and signals a real chunk overflow with empty buffers
+            # instead.)  Growth clamps at 2^30, the chunked launchers'
+            # worst-case single-chunk total: an int32-safe ceiling.
+            grown = min(1 << (total_h + 1024).bit_length(), 1 << 30)
+            if grown <= cap_total:
+                raise RuntimeError(
+                    f"pair buffer overflow at the {1 << 30} cap "
+                    f"(total {total_h}) — tile/chunk invariant broken")
+            cap_total = grown
             continue
         break
     # Slice on device so only the true pair count crosses the wire, and
