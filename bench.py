@@ -117,22 +117,39 @@ def measure_baseline(fq: str, n_reads: int) -> float:
         return BASELINE_READS_PER_SEC
 
 
-def _probe_backend(timeout_s: float = 120.0) -> None:
+def _probe_backend() -> None:
     """Initialize the default backend in a SUBPROCESS first: a wedged
     TPU tunnel hangs backend init un-interruptibly, so probe out of
-    process and fall back to the CPU backend when it times out (a CPU
-    bench number beats a hung driver)."""
+    process and fall back to the CPU backend when every attempt times
+    out (a CPU bench number beats a hung driver — and the JSON records
+    which backend produced it).
+
+    Retries with backoff so a transient tunnel wedge does not silently
+    demote the round's number to CPU.  Knobs:
+    HUMID_TPU_BENCH_PROBE_TIMEOUT (seconds per attempt, default 180),
+    HUMID_TPU_BENCH_PROBE_TRIES (default 3)."""
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        if r.returncode == 0:
-            return
-    except subprocess.TimeoutExpired:
-        pass
+    timeout_s = float(os.environ.get("HUMID_TPU_BENCH_PROBE_TIMEOUT", 180))
+    tries = int(os.environ.get("HUMID_TPU_BENCH_PROBE_TRIES", 3))
+    for attempt in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.default_backend())"],
+                timeout=timeout_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                print(f"# backend probe ok: "
+                      f"{r.stdout.strip() or 'unknown'}", file=sys.stderr)
+                return
+            print(f"# backend probe attempt {attempt + 1}/{tries} failed "
+                  f"(rc={r.returncode})", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# backend probe attempt {attempt + 1}/{tries} hung "
+                  f"(>{timeout_s:.0f}s)", file=sys.stderr)
+        if attempt + 1 < tries:
+            time.sleep(min(30.0, 5.0 * (attempt + 1)))
     print("# backend init failed/hung; falling back to CPU",
           file=sys.stderr)
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -183,8 +200,10 @@ def main() -> int:
     n_runs = 0
     since_improve = 0
     while True:
-        d, res = run_once(files, out_dir, **kw)
+        d, r = run_once(files, out_dir, **kw)
         n_runs += 1
+        if dt is None or d <= dt:
+            res = r  # phases reported below come from the best run
         if dt is None or d < dt * 0.98:
             dt = min(dt, d) if dt is not None else d
             since_improve = 0
@@ -199,11 +218,20 @@ def main() -> int:
 
     rps = args.reads / dt
     base_rps = measure_baseline(fq, args.reads)
+    import jax
+
+    phases = {
+        k: round(v, 3)
+        for k, v in res.extra.get("timings", {}).items()
+    }
     print(json.dumps({
         "metric": "reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / base_rps, 2),
+        "backend": jax.default_backend(),
+        "n_runs": n_runs,
+        "phases": phases,
     }))
     print(f"# baseline humid_ref: {base_rps:.0f} reads/s", file=sys.stderr)
     print(

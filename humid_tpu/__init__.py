@@ -24,24 +24,7 @@ if not _os.environ.get("HUMID_TPU_NO_COMPILE_CACHE"):
         "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1"
     )
 
-# Keep freed large buffers on the malloc heap instead of returning them
-# to the kernel (mmap/munmap per allocation): the pipeline's host phases
-# cycle many multi-hundred-MB numpy scratch buffers, and on virtualized
-# hosts re-faulting returned pages is erratically slow (measured 60x
-# slower than reuse).  With a high mmap threshold + trim disabled, pages
-# are faulted once per process and reused by every later phase.  Opt out
-# with HUMID_TPU_NO_MALLOC_TUNE=1.
-if not _os.environ.get("HUMID_TPU_NO_MALLOC_TUNE"):
-    try:
-        import ctypes as _ctypes
-
-        _libc = _ctypes.CDLL(None)
-        _M_TRIM_THRESHOLD, _M_MMAP_THRESHOLD = -1, -3
-        _libc.mallopt(_M_MMAP_THRESHOLD, 1 << 30)
-        _libc.mallopt(_M_TRIM_THRESHOLD, 0x7FFFFFFF)
-    except (OSError, AttributeError):  # pragma: no cover - non-glibc
-        pass
-
+from ._util import tune_malloc  # noqa: E402,F401
 from .pipeline import run, PipelineResult  # noqa: E402
 
 __version__ = "0.1.0"

@@ -5,6 +5,37 @@ from __future__ import annotations
 import os
 
 
+_malloc_tuned = False
+
+
+def tune_malloc() -> None:
+    """Keep freed large buffers on the malloc heap instead of returning
+    them to the kernel (mmap/munmap per allocation): the pipeline's host
+    phases cycle many multi-hundred-MB numpy scratch buffers, and on
+    virtualized hosts re-faulting returned pages is erratically slow
+    (measured 60x slower than reuse).  With a high mmap threshold + trim
+    disabled, pages are faulted once per process and reused by every
+    later phase.
+
+    Called from the CLI / pipeline entry points — NOT at package import —
+    so merely importing humid_tpu never mutates a host application's
+    process-global glibc allocator.  Opt out with
+    HUMID_TPU_NO_MALLOC_TUNE=1."""
+    global _malloc_tuned
+    if _malloc_tuned or os.environ.get("HUMID_TPU_NO_MALLOC_TUNE"):
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 0x7FFFFFFF)
+    except (OSError, AttributeError):  # pragma: no cover - non-glibc
+        pass
+
+
 def avail_bytes(default: int = 1 << 33) -> int:
     """Available physical memory in bytes (``default`` when the sysconf
     probe is unsupported).  Single definition so a future cgroup-aware

@@ -40,6 +40,17 @@ class JoinCapExceeded(ValueError):
     dense edit scan on this, and ONLY this, error."""
 
 
+#: Engine actually dispatched by the most recent find_neighbor_pairs call
+#: in this process ({"strategy": ...}); drivers surface it in
+#: PipelineResult.extra["engine"] and tests assert the auto decision.
+LAST_DECISION: dict = {}
+
+
+def _note_strategy(strategy: str) -> None:
+    LAST_DECISION.clear()
+    LAST_DECISION["strategy"] = strategy
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -278,6 +289,14 @@ def _chunked_run(launch, pairs_raw, tile: int):
     host accumulates chunks in int64.  Only the small (total, counts)
     pair is fetched per chunk — the pair buffers stay on device until
     one batched device_get at the end."""
+    # The invariant (single-chunk worst-case total <= 2^30) needs
+    # tile^2 <= 2^30; larger tiles would make chunk_nb=1 yet let one
+    # tile pair alone exceed the cap, turning a dense degenerate input
+    # into a hard retry failure instead of a completed run.
+    if tile > (1 << 15):
+        raise ValueError(
+            f"tile {tile} > 32768 breaks the chunked launcher's "
+            f"int32-safety invariant (tile^2 must be <= 2^30)")
     chunk_nb = max(1, (1 << 30) // (tile * tile))
 
     def run(cr, ct):
@@ -454,13 +473,28 @@ def find_neighbor_pairs(
 
     auto_chosen = strategy == "auto"
     if strategy == "auto":
-        strategy = (
-            "runs"
-            if max_dist >= 1 and u > runs_threshold
+        if (
+            metric == "hamming" and max_dist >= 1
+            and word_length is not None and u > runs_threshold
+        ):
+            # Production engine choice (VERDICT r2 #2): on a co-located
+            # TPU the pigeonhole-bucketed device scan (Pallas sweep via
+            # _resolve_metric) carries the hot phase; on CPU or behind a
+            # tunneled chip the host runs engine stays the measured
+            # default.
+            from .._backend import backend_profile
+
+            strategy = ("bucketed" if backend_profile()["colocated_device"]
+                        else "runs")
+        elif (
+            max_dist >= 1 and u > runs_threshold
             and word_length is not None
             and (metric == "hamming" or _merge_join_native is not None)
-            else "dense"
-        )
+        ):
+            strategy = "runs"
+        else:
+            strategy = "dense"
+    _note_strategy(strategy)
     if strategy == "runs" and metric == "edit":
         try:
             return find_edit_pairs_shifted(
@@ -473,6 +507,7 @@ def find_neighbor_pairs(
             # memory-scaled cap): dense is slower but always correct,
             # like the reference's own exhaustive walk.
             strategy = "dense"
+            _note_strategy(strategy)
     if strategy == "runs":
         if metric != "hamming":
             raise ValueError(f"runs strategy: unknown metric {metric!r}")
@@ -528,7 +563,9 @@ def find_neighbor_pairs(
 
     if cap_total is None:
         # Power of two: distinct dataset sizes reuse compiled programs.
-        cap_total = 1 << max(20, (4 * u - 1).bit_length())
+        # Clamped to the chunked launchers' 2^30 int32-safe ceiling (the
+        # retry loop grows within the same bound).
+        cap_total = min(1 << 30, 1 << max(20, (4 * u - 1).bit_length()))
     cap_row = min(cap_row, b)
 
     if metric == "hamming_pallas":
@@ -1068,7 +1105,8 @@ def find_neighbor_pairs_bucketed(
     t = u_pad // b
     if cap_total is None:
         # Power of two: distinct dataset sizes reuse compiled programs.
-        cap_total = 1 << max(20, (4 * u - 1).bit_length())
+        # Clamped to the chunked launchers' 2^30 int32-safe ceiling.
+        cap_total = min(1 << 30, 1 << max(20, (4 * u - 1).bit_length()))
     cap_row = min(cap_row, b)
 
     from .unique import _stable_argsort_u64

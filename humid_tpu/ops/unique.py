@@ -92,8 +92,17 @@ def unique_words(packed: np.ndarray, want_inverse: bool = True):
         )
     import os as _os
 
-    if _os.environ.get("HUMID_TPU_UNIQUE") == "device":
+    env = _os.environ.get("HUMID_TPU_UNIQUE")
+    if env == "device":
         return unique_words_device(packed, want_inverse)
+    if env != "host" and n > (1 << 16):
+        # Production engine choice (VERDICT r2 #2): a co-located TPU's
+        # HBM sort bandwidth beats the host radix sort at scale; behind
+        # a tunnel or on CPU the host path stays the measured default.
+        from .._backend import backend_profile
+
+        if backend_profile()["colocated_device"]:
+            return unique_words_device(packed, want_inverse)
     # Stable sort in lane-lexicographic order.  For <= 2 lanes a single
     # uint64 key suffices, and the fused native path does sort + group
     # structure + inverse in one call.

@@ -40,19 +40,25 @@ from .multihost import host_record_range
 def _count_records_one(path: str) -> int:
     """Record count of one FastQ (any compression): line count // 4 (the
     framer's own rule — newline phase mod 4, with an unterminated final
-    line still closing its record)."""
+    line closing its record ONLY when it has non-whitespace content; the
+    framer drops a whitespace-only trailing segment, so a whitespace
+    final line must not mint a phantom record)."""
     from ..io.reader import _open_stream, iter_chunk_newline_counts
 
     stream = _open_stream(path)
     nl = 0
-    last = b"\n"
+    tail_nonws = False  # does the unterminated final line have content?
     try:
         for data, n in iter_chunk_newline_counts(stream):
             nl += n
-            last = data[-1:]
+            idx = data.rfind(b"\n")
+            if idx < 0:
+                tail_nonws = tail_nonws or bool(data.strip())
+            else:
+                tail_nonws = bool(data[idx + 1:].strip())
     finally:
         stream.close()
-    lines = nl + (last != b"\n")
+    lines = nl + tail_nonws
     return lines // 4
 
 
@@ -68,13 +74,17 @@ def _scan_plain_counts(path: str):
     if is_gzip_file(path):
         return None
     counts = []
-    last = b"\n"
+    tail_nonws = False  # mirror _count_records_one's final-line rule
     with open(path, "rb") as f:
         for data, n in iter_chunk_newline_counts(f, _COUNT_CHUNK):
             counts.append(n)
-            last = data[-1:]
+            idx = data.rfind(b"\n")
+            if idx < 0:
+                tail_nonws = tail_nonws or bool(data.strip())
+            else:
+                tail_nonws = bool(data[idx + 1:].strip())
     table = np.asarray(counts, np.int64)
-    lines = int(table.sum()) + (last != b"\n")
+    lines = int(table.sum()) + tail_nonws
     return lines // 4, table
 
 
@@ -432,10 +442,12 @@ def run_distributed(
     ``all_gather``/``barrier`` are injectable for in-process multi-host
     simulation; under a real ``jax.distributed`` job leave them None.
     """
+    from .._util import tune_malloc
     from ..phaselog import PhaseLog
     from ..stats import write_statistics
     from .multihost import default_barrier, global_unique_index
 
+    tune_malloc()  # scoped here, not at package import (ADVICE r2)
     p = process_id if process_id is not None else jax.process_index()
     log = PhaseLog(log_name if p == 0 else os.devnull)
 

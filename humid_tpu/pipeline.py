@@ -367,6 +367,9 @@ def run(
         from .errors import InputError
 
         raise InputError("at least one FastQ file required")
+    from ._util import tune_malloc
+
+    tune_malloc()  # scoped here, not at package import (ADVICE r2)
     if profile_dir is None:
         profile_dir = os.environ.get("HUMID_TPU_PROFILE")
     if profile_dir:
@@ -508,6 +511,9 @@ def run(
         metric="edit" if edit else "hamming",
         word_length=word_length, **nb,
     )
+    from .ops import neighbors as _nbmod
+
+    res.extra["engine"] = dict(_nbmod.LAST_DECISION)
     indptr, indices = pairs_to_csr(pa, pb, len(uniq))
     res.degree = np.diff(indptr)
     log.end(t)

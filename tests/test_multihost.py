@@ -84,6 +84,31 @@ def test_count_records_matches_framer(tmp_path):
         assert count_records(files) == expect, files
 
 
+def test_count_records_whitespace_tail_matches_framer(tmp_path):
+    """A trailing whitespace-only segment whose newlines would complete a
+    4-newline group must NOT mint a phantom record: the framer drops a
+    whitespace-only leftover (reader.py), and the counter mirrors that
+    (ADVICE r2).  Covers plain scan, gz scan, and the chunk-table scan."""
+    import gzip as _gzip
+
+    import humid_tpu.parallel.pipeline as pp
+    from humid_tpu.io import read_tuples
+    from humid_tpu.parallel.pipeline import count_records
+
+    rec = b"@r%d\nACGTACGT\n+\nIIIIIIII\n"
+    body = b"".join(rec % i for i in range(7))
+    for tail in (b"\n\n\n  ", b" \n\t\n\n ", b"   ", b"\n\n\n\r"):
+        f1 = tmp_path / "w.fastq"
+        f1.write_bytes(body + tail)
+        f2 = tmp_path / "w.fastq.gz"
+        f2.write_bytes(_gzip.compress(body + tail))
+        for files in ([str(f1)], [str(f2)]):
+            expect = sum(b[0].n for b in read_tuples(files))
+            assert count_records(files) == expect, (files, tail)
+        n_tab, _ = pp._scan_plain_counts(str(f1))
+        assert n_tab == expect, tail
+
+
 def test_offset_from_table_matches_skip_to_record(tmp_path):
     """The count-scan chunk-table offset lookup equals skip_to_record,
     including records straddling the count-chunk size."""
