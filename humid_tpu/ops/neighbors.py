@@ -41,8 +41,9 @@ class JoinCapExceeded(ValueError):
 
 
 #: Engine actually dispatched by the most recent find_neighbor_pairs call
-#: in this process ({"strategy": ...}); drivers surface it in
-#: PipelineResult.extra["engine"] and tests assert the auto decision.
+#: in this process ({"strategy": ..., "shard": ..., "candidates": ...});
+#: drivers surface it in PipelineResult.extra["engine"] and tests assert
+#: the auto decision / host-shard work proportionality.
 LAST_DECISION: dict = {}
 
 
@@ -51,8 +52,41 @@ def _note_strategy(strategy: str) -> None:
     LAST_DECISION["strategy"] = strategy
 
 
+def _note_stat(key: str, value) -> None:
+    LAST_DECISION[key] = value
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, wrap-around uint64 arithmetic)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _owned_mask(key: np.ndarray, shard: tuple[int, int],
+                salt_idx: int) -> np.ndarray:
+    """Host-sharding ownership of pigeonhole runs (VERDICT r2 #3).
+
+    An equal-key run belongs to exactly ONE host, decided by a salted
+    hash of the key itself, so every host derives the same owner for the
+    same run without any communication: the union of all hosts' partial
+    pair lists equals the full pair set, while per-host candidate work
+    is ~1/n_parts.  ``salt_idx`` decorrelates the assignment across
+    pigeonhole partitions / (segment, shift) joins.
+    """
+    part, n_parts = shard
+    salt = np.uint64(((2 * salt_idx + 1) * 0xD1B54A32D192ED03)
+                     & 0xFFFFFFFFFFFFFFFF)
+    return (_mix64(key ^ salt) % np.uint64(n_parts)) == np.uint64(part)
 
 
 def _tile_distance(rows, cols, metric: str, max_dist_static: int,
@@ -433,6 +467,7 @@ def find_neighbor_pairs(
     runs_threshold: int = 1 << 11,
     dense_threshold: int = 1 << 17,
     join_cap: int | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered pairs (a, b), a < b, of unique words within
     ``max_dist``.
@@ -452,6 +487,17 @@ def find_neighbor_pairs(
         dense scan, humid_tpu.parallel), "sharded_bucketed" (force the
         bucketed mesh search), or "auto" (runs for Hamming above
         ``runs_threshold`` unique words, dense below).
+      shard: optional (part, n_parts) HOST shard.  Each part computes a
+        disjoint-by-construction ~1/n_parts slice of the candidate work
+        (pigeonhole runs by salted key hash, tile pairs by striping,
+        shifted-segment join keys by the same hash); the union of all
+        parts' outputs, deduplicated, equals the unsharded pair list.
+        Every strategy/fallback decision is made from shard-independent
+        global quantities so all parts pick the same engine — required,
+        or the per-part slices would not tile the full pair set.  The
+        mesh strategies ("sharded*", device-level) ignore ``shard``:
+        each host searches its full local-mesh slice (correct after
+        dedup, not work-proportional).
 
     Returns:
       (a, b): int64 arrays with a < b, sorted by (a, b).
@@ -495,29 +541,57 @@ def find_neighbor_pairs(
         else:
             strategy = "dense"
     _note_strategy(strategy)
+    if shard is not None:
+        part, n_parts = shard
+        if not (0 <= part < n_parts):
+            raise ValueError(f"invalid shard {shard!r}")
+        if n_parts == 1:
+            shard = None
+    if shard is not None:
+        _note_stat("shard", tuple(shard))
     if strategy == "runs" and metric == "edit":
         try:
             return find_edit_pairs_shifted(
                 packed, max_dist, word_length=word_length,
-                join_cap=join_cap)
+                join_cap=join_cap, shard=shard)
         except JoinCapExceeded:
             if not auto_chosen:
                 raise
             # Degenerate key space (shifted-segment joins exceed the
             # memory-scaled cap): dense is slower but always correct,
-            # like the reference's own exhaustive walk.
+            # like the reference's own exhaustive walk.  (With a shard,
+            # the cap check uses the shard-independent pre-counted join
+            # size, so every part reaches this fallback together.)
             strategy = "dense"
             _note_strategy(strategy)
+            if shard is not None:
+                _note_stat("shard", tuple(shard))
     if strategy == "runs":
         if metric != "hamming":
             raise ValueError(f"runs strategy: unknown metric {metric!r}")
         return find_neighbor_pairs_runs(
             packed, max_dist, word_length=word_length, tile=tile,
-            cap_row=cap_row, cap_total=cap_total, impl=impl,
+            cap_row=cap_row, cap_total=cap_total, impl=impl, shard=shard,
         )
     if strategy in ("sharded", "sharded_bucketed"):
+        if metric == "edit":
+            # The edit metric rides the dense ring (banded-Levenshtein
+            # tiles); unshifted pigeonhole buckets do not bound edit
+            # distance, so the bucketed mesh search cannot serve it.
+            if strategy == "sharded_bucketed":
+                raise ValueError(
+                    "sharded_bucketed supports only the hamming metric "
+                    "(pigeonhole segments do not bound edit distance); "
+                    "use strategy='sharded'")
+            if word_length is None:
+                raise ValueError("sharded edit requires word_length")
+            from ..parallel import sharded_neighbor_pairs
+
+            return sharded_neighbor_pairs(
+                packed, max_dist, tile=tile, cap_row=cap_row,
+                metric="edit", word_length=word_length)
         if metric != "hamming":
-            raise ValueError("sharded strategy supports only hamming")
+            raise ValueError(f"sharded strategy: unknown metric {metric!r}")
         # "sharded" auto-upgrades to the pigeonhole-bucketed mesh search
         # when it applies (subquadratic per-chip work); the dense ring
         # remains for distance 0 / unknown word length / explicit choice.
@@ -546,7 +620,7 @@ def find_neighbor_pairs(
             )
         return find_neighbor_pairs_bucketed(
             packed, max_dist, word_length=word_length, tile=tile,
-            cap_row=cap_row, cap_total=cap_total, impl=impl,
+            cap_row=cap_row, cap_total=cap_total, impl=impl, shard=shard,
         )
 
     metric, tile = _resolve_metric(metric, impl, word_length, tile)
@@ -560,6 +634,13 @@ def find_neighbor_pairs(
     t = u_pad // b
     ii, jj = np.triu_indices(t)
     pairs_raw = np.stack([ii, jj], axis=1).astype(np.int32)
+    if shard is not None:
+        # Each unordered pair lives in exactly one tile pair, so striping
+        # the tile-pair list partitions the pair set exactly.
+        pairs_raw = pairs_raw[shard[0]::shard[1]]
+        _note_stat("candidates", len(pairs_raw) * b * b)
+        if not len(pairs_raw):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
     if cap_total is None:
         # Power of two: distinct dataset sizes reuse compiled programs.
@@ -716,6 +797,7 @@ def find_neighbor_pairs_runs(
     cap_row: int = 16,
     cap_total: int | None = None,
     impl: str | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pigeonhole neighbour search via sorted-run candidate enumeration.
 
@@ -733,6 +815,12 @@ def find_neighbor_pairs_runs(
     reads) fall back to the device tile kernel, scanning only the tiles
     those runs span with the run-id equality mask.
 
+    ``shard=(part, n_parts)`` keeps only the pigeonhole runs this part
+    owns (salted hash of the run key, :func:`_owned_mask`): per-part
+    candidate work is ~1/n_parts, and the union over parts of the
+    deduplicated outputs equals the full pair list.  Fallback decisions
+    stay shard-independent (see find_neighbor_pairs).
+
     Replaces the reference's per-word fuzzy trie walk
     (findHammingNeighbours, humid.cc:113-130) as the production default.
     """
@@ -747,13 +835,20 @@ def find_neighbor_pairs_runs(
     parts_a: list[np.ndarray] = [None] * n_seg
     parts_b: list[np.ndarray] = [None] * n_seg
     big_parts: list[tuple] = []
+    all_big_rows = [0] * n_seg  # pre-ownership, for the uniform fallback
+    cand_stat = [0] * n_seg
 
     def _one_partition(p):
         order, run_start, run_len = _partition_runs(keys[p])
         small = (run_len >= 2) & (run_len <= run_cap)
+        if shard is not None:
+            run_keys = keys[p][order[run_start]]
+            owned = _owned_mask(run_keys, shard, salt_idx=p)
+            small &= owned
         ss = np.ascontiguousarray(run_start[small])
         sl = np.ascontiguousarray(run_len[small])
         t_cand = int((sl * (sl - 1) // 2).sum())
+        cand_stat[p] = t_cand
         if t_cand == 0:
             pa = pb = np.zeros(0, np.int64)
         elif word64 is not None and _run_pairs_hamming_native is not None:
@@ -777,8 +872,15 @@ def find_neighbor_pairs_runs(
         parts_b[p] = pb
         if (run_len > run_cap).any():
             big = run_len > run_cap
-            big_parts.append((p, order,
-                              run_start[big].copy(), run_len[big].copy()))
+            # The dense-fallback decision below must be identical on
+            # every shard part, so it uses the PRE-ownership row count.
+            all_big_rows[p] = int(run_len[big].sum())
+            if shard is not None:
+                run_keys = keys[p][order[run_start]]
+                big &= _owned_mask(run_keys, shard, salt_idx=p)
+            if big.any():
+                big_parts.append(
+                    (p, order, run_start[big].copy(), run_len[big].copy()))
 
     # Partitions run SEQUENTIALLY when the native extension is present:
     # each _partition_runs call is already OpenMP-parallel across all
@@ -796,19 +898,20 @@ def find_neighbor_pairs_runs(
         for p in range(n_seg):
             _one_partition(p)
 
+    _note_stat("candidates", sum(cand_stat))
+    if sum(all_big_rows) > u:
+        # Degenerate data (e.g. one template with scattered
+        # substitutions): the giant runs cover most of the table in
+        # SEVERAL partitions, so the stacked per-partition scan
+        # would evaluate every candidate once per partition.  One
+        # dense upper-triangle scan finds each pair exactly once
+        # and subsumes the small-run pairs too.  (The row count is
+        # shard-independent so every part falls back together.)
+        return find_neighbor_pairs(
+            packed, max_dist, metric="hamming",
+            word_length=word_length, strategy="dense", impl=impl,
+            tile=tile, cap_row=cap_row, cap_total=cap_total, shard=shard)
     if big_parts:
-        big_rows = sum(int(rl.sum()) for _, _, _, rl in big_parts)
-        if big_rows > u:
-            # Degenerate data (e.g. one template with scattered
-            # substitutions): the giant runs cover most of the table in
-            # SEVERAL partitions, so the stacked per-partition scan
-            # would evaluate every candidate once per partition.  One
-            # dense upper-triangle scan finds each pair exactly once
-            # and subsumes the small-run pairs too.
-            return find_neighbor_pairs(
-                packed, max_dist, metric="hamming",
-                word_length=word_length, strategy="dense", impl=impl,
-                tile=tile, cap_row=cap_row, cap_total=cap_total)
         ba, bb = _big_run_pairs(
             packed, big_parts, max_dist, word_length=word_length,
             tile=tile, cap_row=cap_row, cap_total=cap_total, impl=impl)
@@ -959,12 +1062,41 @@ def _lev_py(x, y):  # pragma: no cover - fallback only
     return row[L]
 
 
+def _sorted_run_counts(sk: np.ndarray):
+    """(values, counts) of a SORTED uint64 array (no re-sort)."""
+    if not len(sk):
+        return sk, np.zeros(0, np.int64)
+    new = np.empty(len(sk), bool)
+    new[0] = True
+    np.not_equal(sk[1:], sk[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, len(sk)))
+    return sk[starts], cnt
+
+
+def _join_size(ka_sorted: np.ndarray, kb_sorted: np.ndarray,
+               self_join: bool) -> int:
+    """Equal-key join output size from the sorted key arrays alone —
+    shard-independent, so every host makes the same JoinCapExceeded
+    decision before any ownership filtering."""
+    ua, ca = _sorted_run_counts(ka_sorted)
+    if self_join:
+        return int((ca * (ca - 1) // 2).sum())
+    ub, cb = _sorted_run_counts(kb_sorted)
+    pos = np.searchsorted(ua, ub)
+    pos_c = np.minimum(pos, max(len(ua) - 1, 0))
+    m = (pos < len(ua)) & (ua[pos_c] == ub) if len(ua) else \
+        np.zeros(len(ub), bool)
+    return int((ca[pos_c[m]] * cb[m]).sum())
+
+
 def find_edit_pairs_shifted(
     packed: np.ndarray,
     max_dist: int,
     *,
     word_length: int,
     join_cap: int | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Subquadratic Levenshtein neighbour pairs via shifted segments.
 
@@ -1008,6 +1140,7 @@ def find_edit_pairs_shifted(
     # Canonical keys + sort orders, one per segment (reused across
     # shifts); shifted keys sorted per (segment, shift).
     parts_a, parts_b = [], []
+    t_cand = 0
     for s in range(n_seg):
         lo, hi = bounds[s], bounds[s + 1]
         ka = _segment_keys_at(packed, word_length, lo, hi, codes)
@@ -1022,13 +1155,32 @@ def find_edit_pairs_shifted(
                                       hi + d, codes)
                 ob = _stable_argsort_u64(kb)
                 self_join = 0
+            if shard is not None:
+                # Cap check BEFORE ownership filtering (uniform across
+                # parts), then keep only the keys this part owns: equal
+                # keys land on one owner, so each candidate is produced
+                # by exactly one part per (segment, shift).
+                need = _join_size(ka[oa], kb[ob], bool(self_join))
+                if need > join_cap:
+                    raise JoinCapExceeded(
+                        f"shifted-segment join for (segment {s}, shift "
+                        f"{d}) needs {need} candidate pairs (> join_cap="
+                        f"{join_cap}); the key space is degenerate — "
+                        "use strategy='dense' (CLI: "
+                        "HUMID_TPU_STRATEGY=dense)")
+                salt = s * (2 * max_dist + 1) + (d + max_dist)
+                oa_j = oa[_owned_mask(ka, shard, salt)[oa]]
+                ob_j = (oa_j if d == 0
+                        else ob[_owned_mask(kb, shard, salt)[ob]])
+            else:
+                oa_j, ob_j = oa, ob
             cap = min(1 << 20, 1 << max(int(join_cap) - 1, 0).bit_length())
             while True:
                 outa = np.empty(cap, np.int64)
                 outb = np.empty(cap, np.int64)
                 n = _merge_join_native(
-                    np.ascontiguousarray(ka), np.ascontiguousarray(oa),
-                    np.ascontiguousarray(kb), np.ascontiguousarray(ob),
+                    np.ascontiguousarray(ka), np.ascontiguousarray(oa_j),
+                    np.ascontiguousarray(kb), np.ascontiguousarray(ob_j),
                     self_join, outa, outb)
                 if n >= 0:
                     break
@@ -1040,9 +1192,11 @@ def find_edit_pairs_shifted(
                         "use strategy='dense' (CLI: "
                         "HUMID_TPU_STRATEGY=dense)")
                 cap = 1 << int(-n - 1).bit_length()
+            t_cand += int(n)
             parts_a.append(outa[:n].copy())
             parts_b.append(outb[:n].copy())
 
+    _note_stat("candidates", t_cand)
     a = np.concatenate(parts_a)
     b = np.concatenate(parts_b)
     if not len(a):
@@ -1076,6 +1230,7 @@ def find_neighbor_pairs_bucketed(
     cap_row: int = 16,
     cap_total: int | None = None,
     impl: str | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Subquadratic Hamming neighbour pairs via pigeonhole partitions.
 
@@ -1183,6 +1338,16 @@ def find_neighbor_pairs_bucketed(
     rid_all = np.concatenate(rids)
     pairs_all = np.concatenate(pair_lists, axis=0)
     n_all = n_seg * u_pad
+    if shard is not None:
+        # Within a partition each unordered pair is emitted by exactly
+        # one tile pair (the one its two permuted positions fall in), so
+        # striping the stacked tile-pair list partitions each
+        # partition's pair set exactly; cross-partition duplicates are
+        # deduplicated by the caller after gathering all parts.
+        pairs_all = pairs_all[shard[0]::shard[1]]
+        _note_stat("candidates", len(pairs_all) * b * b)
+        if not len(pairs_all):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
     if metric == "hamming_pallas":
         # Per-partition padding rows are masked in-kernel via

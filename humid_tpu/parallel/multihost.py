@@ -107,30 +107,57 @@ def merge_unique_tables(
     it).
     """
     if all_gather is None:
-        from jax.experimental import multihost_utils
-
-        def all_gather(arrs):
-            # Per-host table lengths differ; process_allgather needs
-            # equal shapes, so exchange lengths, pad to the max, gather,
-            # and trim each host's rows back.
-            lens = np.asarray(multihost_utils.process_allgather(
-                np.asarray(len(arrs[0]), np.int64))).ravel()
-            maxlen = int(lens.max())
-            out = []
-            for a in arrs:
-                if len(a) < maxlen:
-                    pad = np.zeros((maxlen - len(a),) + a.shape[1:],
-                                   a.dtype)
-                    a = np.concatenate([a, pad], axis=0)
-                g = np.asarray(multihost_utils.process_allgather(a))
-                out.append([g[p][:int(lens[p])]
-                            for p in range(len(lens))])
-            return out
+        all_gather = default_all_gather
 
     uniq_all, counts_all, first_all = all_gather(
         [uniq, counts, first_occ]
     )
     return combine_unique_tables(uniq_all, counts_all, first_all)
+
+
+def default_all_gather(arrs):
+    """Gather a list of (per-host variable-length) arrays over
+    ``jax.distributed``: per-host lengths are exchanged first, arrays
+    padded to the max, gathered, and trimmed back — so every host gets
+    ``[per_host_list for each array]``."""
+    from jax.experimental import multihost_utils
+
+    # Per-host lengths differ; process_allgather needs equal shapes,
+    # so exchange lengths, pad to the max, gather, and trim back.
+    lens = np.asarray(multihost_utils.process_allgather(
+        np.asarray(len(arrs[0]), np.int64))).ravel()
+    maxlen = int(lens.max())
+    out = []
+    for a in arrs:
+        if len(a) < maxlen:
+            pad = np.zeros((maxlen - len(a),) + a.shape[1:],
+                           a.dtype)
+            a = np.concatenate([a, pad], axis=0)
+        g = np.asarray(multihost_utils.process_allgather(a))
+        out.append([g[p][:int(lens[p])]
+                    for p in range(len(lens))])
+    return out
+
+
+def merge_edge_lists(pa, pb, *, all_gather=None):
+    """Gather per-host partial neighbour-pair lists into the global edge
+    list every host needs for clustering.
+
+    Each host contributes the pairs of the pigeonhole runs / tile-pair
+    stripes it owns (find_neighbor_pairs ``shard``); a pair found under
+    several pigeonhole partitions can arrive from several hosts, so the
+    concatenation is deduplicated and (a, b)-sorted — equal to the
+    unsharded single-host pair list."""
+    if all_gather is None:
+        all_gather = default_all_gather
+    pa_all, pb_all = all_gather([pa, pb])
+    from ..ops.neighbors import _dedupe_pairs
+
+    a = np.concatenate([np.asarray(x, np.int64) for x in pa_all])
+    b = np.concatenate([np.asarray(x, np.int64) for x in pb_all])
+    if not len(a):
+        return a, b
+    return _dedupe_pairs(a, b)
 
 
 def combine_unique_tables(uniq_all, counts_all, first_all):

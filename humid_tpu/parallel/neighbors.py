@@ -42,8 +42,14 @@ __all__ = ["sharded_neighbor_pairs", "sharded_neighbor_pairs_bucketed"]
 
 
 def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
-                      cap_total: int, n_shards: int):
+                      cap_total: int, n_shards: int,
+                      metric: str = "hamming", max_dist_static: int = 0,
+                      word_length: int | None = None):
     """shard_map body: local [B, W] shard block -> compacted pair buffer.
+
+    ``local`` rows are packed uint32 lanes for Hamming and unpacked
+    int32 base codes for the edit metric (the banded-Levenshtein tile
+    kernel consumes codes; rotating codes beats unpacking per step).
 
     Returns (out_a [cap_total], out_b [cap_total], total [1],
     counts [S*nb, 2]) with pairs as (min, max) global indices, -1 padded.
@@ -78,6 +84,8 @@ def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
             upper_only=upper_only, enabled=enabled,
             row_base=me * bsh, col_base=q * bsh,
             state=state, tile=tile, cap_row=cap_row,
+            metric=metric, max_dist_static=max_dist_static,
+            word_length=word_length,
         )
         nxt = jax.lax.ppermute(rot, DATA_AXIS, perm) if d > 1 else rot
         return (nxt, state), counts
@@ -89,13 +97,17 @@ def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile", "cap_row", "cap_total", "n_shards", "mesh"))
+    "tile", "cap_row", "cap_total", "n_shards", "mesh", "metric",
+    "max_dist_static", "word_length"))
 def _ring_pairs(packed, u, max_dist, *, tile: int, cap_row: int,
-                cap_total: int, n_shards: int, mesh):
+                cap_total: int, n_shards: int, mesh,
+                metric: str = "hamming", max_dist_static: int = 0,
+                word_length: int | None = None):
     fn = shard_map(
         functools.partial(
             _ring_pairs_local, tile=tile, cap_row=cap_row,
-            cap_total=cap_total, n_shards=n_shards,
+            cap_total=cap_total, n_shards=n_shards, metric=metric,
+            max_dist_static=max_dist_static, word_length=word_length,
         ),
         mesh=mesh,
         in_specs=(P(DATA_AXIS), P(), P()),
@@ -114,19 +126,39 @@ def sharded_neighbor_pairs(
     tile: int = 2048,
     cap_row: int = 16,
     cap_total: int | None = None,
+    metric: str = "hamming",
+    word_length: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All unordered fingerprint pairs within ``max_dist``, computed on the
     device mesh.  Returns (a, b) int64, a < b, sorted by (a, b) — the same
     contract as :func:`humid_tpu.ops.neighbors.find_neighbor_pairs`.
+
+    ``metric="edit"`` (the ``-e`` flag, humid.cc:140-158) ring-rotates
+    UNPACKED code blocks through the banded-Levenshtein tile kernel
+    (ops.edit._banded_levenshtein via scan_tile_pairs) — the dense mesh
+    analogue of the single-chip edit scan.
     """
     mesh = mesh or data_mesh()
     d = mesh.devices.size
     u, w = packed.shape
     if u <= 1:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if metric == "edit":
+        if word_length is None:
+            raise ValueError("edit metric requires word_length")
+        from .. import words as W
+
+        # Rotate codes, not packed lanes: the banded DP consumes codes,
+        # and unpacking once on host beats re-unpacking every ring step.
+        data_host = W.unpack_words(packed, word_length).astype(np.int32)
+        tile = min(tile, 512)
+    elif metric == "hamming":
+        data_host = packed
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     tile = min(tile, _round_up(-(-u // d), 256))
     cap_row = min(cap_row, tile)
-    data = pad_to_shards(packed, d, multiple=tile, fill=0)
+    data = pad_to_shards(data_host, d, multiple=tile, fill=0)
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     dev = jax.device_put(data, sharding)
     if cap_total is None:
@@ -135,7 +167,8 @@ def sharded_neighbor_pairs(
         out_a, out_b, totals, counts = _ring_pairs(
             dev, jnp.int32(u), jnp.int32(max_dist),
             tile=tile, cap_row=cap_row, cap_total=cap_total,
-            n_shards=d, mesh=mesh,
+            n_shards=d, mesh=mesh, metric=metric,
+            max_dist_static=int(max_dist), word_length=word_length,
         )
         counts_h = np.asarray(counts)
         totals_h = np.asarray(totals)

@@ -273,10 +273,28 @@ def _compute_sharded(
         )
 
     nb = dict(neighbor_opts or {})
-    pa, pb = find_neighbor_pairs(
-        uniq, distance, metric="edit" if edit else "hamming",
-        word_length=word_length, **nb
-    )
+    p = process_id if process_id is not None else (
+        jax.process_index() if n_proc > 1 else 0)
+    if n_proc > 1 and (all_gather is not None
+                       or jax.process_count() == n_proc):
+        # Host-sharded neighbour phase (VERDICT r2 #3): this host
+        # computes only the ~1/n_proc slice of candidate work it owns,
+        # then the partial edge lists merge over DCN — per-host
+        # neighbour work is O(U/P) instead of every host redundantly
+        # searching the full table.
+        nb.setdefault("shard", (p, n_proc))
+        pa_l, pb_l = find_neighbor_pairs(
+            uniq, distance, metric="edit" if edit else "hamming",
+            word_length=word_length, **nb
+        )
+        from .multihost import merge_edge_lists
+
+        pa, pb = merge_edge_lists(pa_l, pb_l, all_gather=all_gather)
+    else:
+        pa, pb = find_neighbor_pairs(
+            uniq, distance, metric="edit" if edit else "hamming",
+            word_length=word_length, **nb
+        )
     indptr, indices = pairs_to_csr(pa, pb, len(uniq))
     cl = cluster_exact(counts, indptr, indices, maximum=maximum)
     from ..pipeline import _span_tables_from_accs

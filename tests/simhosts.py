@@ -1,0 +1,57 @@
+"""In-process multi-host simulation gather for the sharded pipeline.
+
+``make_sim_gather`` returns an ``all_gather`` fake that recomputes every
+simulated host's contribution on demand (hosts run sequentially in one
+process, so the fake cannot capture live peers).  It serves BOTH gather
+shapes the pipeline issues:
+
+  3 arrays  -> per-host unique tables (uniq, counts, first_occ)
+  2 arrays  -> per-host partial neighbour-pair lists, recomputed with
+               find_neighbor_pairs(shard=(p, n_hosts)) over the merged
+               global unique table — exactly what each real host would
+               contribute (humid_tpu/parallel/pipeline.py).
+"""
+
+import numpy as np
+
+
+def make_sim_gather(files, total, n_hosts, *, word_length=24, distance=1,
+                    edit=False, neighbor_opts=None):
+    from humid_tpu.ops import find_neighbor_pairs
+    from humid_tpu.ops.unique import unique_words
+    from humid_tpu.parallel.multihost import (
+        combine_unique_tables,
+        host_record_range,
+    )
+    from humid_tpu.parallel.pipeline import pack_host_range
+
+    def host_tables():
+        per = []
+        for p in range(n_hosts):
+            lo, hi = host_record_range(total, p, n_hosts)
+            packed, filtered = pack_host_range(files, lo, hi,
+                                               word_length=word_length)
+            u, c, f, _ = unique_words(packed[~filtered])
+            fg = (np.flatnonzero(~filtered) + lo)[f] if len(f) else f
+            per.append((u, c, fg))
+        return per
+
+    def all_gather(arrs):
+        per = host_tables()
+        if len(arrs) == 3:
+            return [[t[slot] for t in per] for slot in range(3)]
+        assert len(arrs) == 2, "unexpected gather shape"
+        uniq_g, _, _ = combine_unique_tables(*[
+            [t[slot] for t in per] for slot in range(3)])
+        pa_all, pb_all = [], []
+        for p in range(n_hosts):
+            nb = dict(neighbor_opts or {})
+            nb.setdefault("shard", (p, n_hosts))
+            pa, pb = find_neighbor_pairs(
+                uniq_g, distance, metric="edit" if edit else "hamming",
+                word_length=word_length, **nb)
+            pa_all.append(pa)
+            pb_all.append(pb)
+        return [pa_all, pb_all]
+
+    return all_gather

@@ -7,11 +7,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
 from genfastq import gen_dataset  # noqa: E402
+from simhosts import make_sim_gather  # noqa: E402
 
 from humid_tpu.pipeline import run
 from humid_tpu.parallel.pipeline import (
     count_records,
-    pack_host_range,
     run_sharded,
 )
 
@@ -21,21 +21,7 @@ def _simulated_hosts(files, n_hosts, **kw):
     total = count_records(files[0])
     per_host = []
     for h in range(n_hosts):
-        # Gather step: collect every host's local table.
-        def all_gather(arrs, h=h):
-            gathered = [[] for _ in arrs]
-            for p in range(n_hosts):
-                from humid_tpu.parallel.multihost import host_record_range
-                from humid_tpu.ops.unique import unique_words
-
-                lo, hi = host_record_range(total, p, n_hosts)
-                packed, filtered = pack_host_range(files, lo, hi)
-                u, c, f, _ = unique_words(packed[~filtered])
-                fg = (np.flatnonzero(~filtered) + lo)[f] if len(f) else f
-                for slot, val in enumerate((u, c, fg)):
-                    gathered[slot].append(val)
-            return gathered
-
+        all_gather = make_sim_gather(files, total, n_hosts)
         cl, counts, first_occ, uniq = run_sharded(
             files, total_records=total, process_id=h,
             num_processes=n_hosts, all_gather=all_gather, **kw,
@@ -84,22 +70,11 @@ def _run_hosts_with_outputs(files, n_hosts, out_dir, **kw):
     from humid_tpu.io import make_file_names
 
     total = count_records(files)
-    wl = kw.get("word_length", 24)
-
-    def all_gather(arrs):
-        gathered = [[] for _ in arrs]
-        for p in range(n_hosts):
-            from humid_tpu.parallel.multihost import host_record_range
-            from humid_tpu.ops.unique import unique_words
-
-            lo, hi = host_record_range(total, p, n_hosts)
-            packed, filtered = pack_host_range(files, lo, hi,
-                                               word_length=wl)
-            u, c, f, _ = unique_words(packed[~filtered])
-            fg = (np.flatnonzero(~filtered) + lo)[f] if len(f) else f
-            for slot, val in enumerate((u, c, fg)):
-                gathered[slot].append(val)
-        return gathered
+    all_gather = make_sim_gather(
+        files, total, n_hosts,
+        word_length=kw.get("word_length", 24),
+        distance=kw.get("distance", 1), edit=kw.get("edit", False),
+        neighbor_opts=kw.get("neighbor_opts"))
 
     for p in range(n_hosts):
         run_distributed(

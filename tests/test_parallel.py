@@ -43,6 +43,40 @@ def test_sharded_pairs_match_single_device(n_dev, m):
     np.testing.assert_array_equal(b1, b2)
 
 
+@pytest.mark.parametrize("n_dev", [1, 2, 3, 8])
+@pytest.mark.parametrize("m", [1, 2])
+def test_sharded_edit_pairs_match_single_device(n_dev, m):
+    """-e on the mesh: the edit ring (banded-Levenshtein tiles over
+    ppermute rotations) equals the single-device edit scan."""
+    rng = np.random.default_rng(300 + 10 * n_dev + m)
+    codes = _dataset(rng, 400, 20)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(n_dev)
+    a1, b1 = sharded_neighbor_pairs(uniq, m, mesh=mesh, cap_row=4,
+                                    metric="edit", word_length=20)
+    a2, b2 = find_neighbor_pairs(uniq, m, metric="edit", word_length=20,
+                                 strategy="dense")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_strategy_sharded_edit_dispatch():
+    """find_neighbor_pairs(strategy='sharded', metric='edit') routes to
+    the mesh ring; sharded_bucketed + edit is rejected."""
+    rng = np.random.default_rng(31)
+    codes = _dataset(rng, 300, 16)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    a1, b1 = find_neighbor_pairs(uniq, 1, metric="edit", word_length=16,
+                                 strategy="sharded")
+    a2, b2 = find_neighbor_pairs(uniq, 1, metric="edit", word_length=16,
+                                 strategy="dense")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+    with pytest.raises(ValueError, match="sharded_bucketed"):
+        find_neighbor_pairs(uniq, 1, metric="edit", word_length=16,
+                            strategy="sharded_bucketed")
+
+
 def test_sharded_pairs_overflow_retry():
     rng = np.random.default_rng(7)
     codes = _dataset(rng, 500, 16, pool=3)
