@@ -75,6 +75,75 @@ def cluster_exact(
     return _cluster_directional_py(counts, indptr, indices)
 
 
+def cluster_max_from_components(
+    counts: np.ndarray,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    cc_labels: np.ndarray,
+) -> ClusterResult:
+    """Finalize maximum (-x) clustering from precomputed connected
+    component labels (min-node-index per component — e.g. the device
+    label propagation, cluster/labelprop.py), bit-exactly matching
+    :func:`cluster_exact`'s DFS (cluster.cc:72-80 semantics).
+
+    Membership, 1-based ids in seed order, ``size`` and ``maxCount`` are
+    order-independent reductions over the labels.  ``maxLeaf`` carries
+    the reference's order dependence: strict ``>`` updates during a
+    pre-order DFS keep the FIRST max-count leaf in DFS order — which is
+    only ambiguous when several members share the max count.  Such tied
+    components are re-walked with the same DFS, early-exiting at the
+    first max-count node; everything else never touches the adjacency.
+    """
+    from .labelprop import renumber_components
+
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    u = len(counts)
+    cid, k = renumber_components(cc_labels)      # [U] 1-based, seed order
+    if k == 0:
+        z = np.zeros(0, np.int64)
+        return ClusterResult(np.zeros(0, np.int64), z, z, z)
+    g = cid - 1
+    size = np.bincount(g, weights=counts, minlength=k).astype(np.int64)
+    max_count = np.zeros(k, np.int64)
+    np.maximum.at(max_count, g, counts)
+    # Index-order-first max per component; equals DFS-order-first when
+    # the max is unique in its component.
+    is_max = counts == max_count[g]
+    n_max = np.bincount(g[is_max], minlength=k)
+    max_leaf = np.full(k, u, np.int64)
+    np.minimum.at(max_leaf, g[is_max], np.flatnonzero(is_max))
+    tied = np.flatnonzero(n_max > 1)
+    if len(tied):
+        # Seeds are the component minima == the cc label values.
+        seeds = np.full(k, u, np.int64)
+        np.minimum.at(seeds, g, np.arange(u, dtype=np.int64))
+        tied_set = max_count[tied]
+        for comp, mc in zip(tied.tolist(), tied_set.tolist()):
+            seed = int(seeds[comp])
+            if counts[seed] == mc:  # pre-order starts at the seed
+                max_leaf[comp] = seed
+                continue
+            # Restricted pre-order DFS (ascending adjacency), early
+            # exit at the first max-count node — the reference's
+            # strict-> update never replaces it (cluster.cc:20-25).
+            visited = {seed}
+            stack = [(seed, int(indptr[seed]))]
+            while stack:
+                node, ptr = stack[-1]
+                if ptr == indptr[node + 1]:
+                    stack.pop()
+                    continue
+                stack[-1] = (node, ptr + 1)
+                nb = int(indices[ptr])
+                if nb not in visited:
+                    visited.add(nb)
+                    if counts[nb] == mc:
+                        max_leaf[comp] = nb
+                        break
+                    stack.append((nb, int(indptr[nb])))
+    return ClusterResult(cid.astype(np.int64), max_leaf, max_count, size)
+
+
 def _cluster_max_py(counts, indptr, indices) -> ClusterResult:
     u = len(counts)
     labels = np.zeros(u, dtype=np.int64)

@@ -28,7 +28,6 @@ import jax
 import numpy as np
 
 from .. import words as W
-from ..cluster import cluster_exact
 from ..io import make_file_names, read_tuples
 from ..ops import find_neighbor_pairs, pairs_to_csr
 from ..ops.unique import unique_words
@@ -142,6 +141,117 @@ def count_records(files) -> int:
     return count_records_with_tables(files)[0]
 
 
+def _spill_gz_range(path: str, lo: int, hi: int, spill_path: str):
+    """Stream-decompress a gzip FastQ ONCE, writing the bytes of records
+    [lo, hi) into a sparse plain file at their STREAM-ABSOLUTE offsets,
+    and stop decompressing right after record ``hi`` — hosts early in
+    the range do proportionally less inflate work, and no host ever
+    frames, packs, or (pass 2) re-reads bytes outside its own range.
+
+    The sparse layout (seek past the skipped prefix) preserves absolute
+    byte offsets, so the chunk-table/offset/span machinery built for
+    plain inputs applies to the spill unchanged.  Returns
+    (start_offset, end_offset) of the range in stream coordinates
+    (end == the spill's apparent size).
+
+    This is the multi-host gzip strategy the reference sidesteps by
+    being single-process (it links isa-l for fast sequential inflate,
+    /root/reference/docs/install.rst:32-43); gzip streams are not
+    random-access, so range-proportional DECOMPRESSION would need an
+    index — range-proportional everything-else is achievable and is
+    what this provides."""
+    from ..io.reader import _open_stream, iter_chunk_newline_counts
+
+    need_lo, need_hi = 4 * lo, 4 * hi
+    seen = 0
+    base = 0
+    started = lo == 0
+    start_off = 0 if started else None
+    end_off = None
+    stream = _open_stream(path)
+    out = open(spill_path, "wb")
+    try:
+        for data, n in iter_chunk_newline_counts(stream):
+            s_in = 0
+            if not started:
+                if seen + n >= need_lo:
+                    buf = np.frombuffer(data, np.uint8)
+                    pos = int(np.flatnonzero(buf == 10)[need_lo - seen - 1])
+                    start_off = base + pos + 1
+                    s_in = pos + 1
+                    started = True
+                    out.seek(start_off)
+                else:
+                    seen += n
+                    base += len(data)
+                    continue
+            if seen + n >= need_hi:
+                buf = np.frombuffer(data, np.uint8)
+                pos = int(np.flatnonzero(buf == 10)[need_hi - seen - 1])
+                end_off = base + pos + 1
+                out.write(data[s_in:pos + 1])
+                break
+            out.write(data[s_in:])
+            seen += n
+            base += len(data)
+        else:
+            # EOF before the hi-th record boundary: unterminated final
+            # record (or fewer records than hi) — the range ends at EOF.
+            end_off = base
+            if start_off is None:
+                start_off = base
+        # Apparent size == range end even when nothing was written
+        # (empty range) — keeps mmap/slice consumers uniform.
+        out.truncate(end_off)
+    finally:
+        out.close()
+        stream.close()
+    return start_off, end_off
+
+
+def spill_gz_ranges(files, lo: int, hi: int):
+    """Spill every gzip member of ``files`` to a per-host scratch dir
+    (plain files pass through).  Returns (files_local, start_offsets,
+    spill_dir-or-None); offsets for plain files come from the usual raw
+    newline scan.  Caller owns cleanup of ``spill_dir``."""
+    import tempfile
+
+    if not any(_gz(f) for f in files):
+        return list(files), None, None
+    spill_dir = tempfile.mkdtemp(prefix="humid_tpu_gzspill_")
+    files_local = list(files)
+    offs: list[int | None] = []
+    try:
+        for i, f in enumerate(files):
+            if _gz(f):
+                sp = os.path.join(
+                    spill_dir, f"spill{i:03d}_{os.path.basename(f)}.plain")
+                so, _ = _spill_gz_range(f, lo, hi, sp)
+                files_local[i] = sp
+                offs.append(so)
+            else:
+                offs.append(skip_to_record(f, lo))
+        if any(o is None for o in offs):
+            # A plain file with fewer than lo records (can't happen when
+            # hi <= lockstep total, but stay safe): abandon the spill.
+            import shutil
+
+            shutil.rmtree(spill_dir, ignore_errors=True)
+            return list(files), None, None
+        return files_local, offs, spill_dir
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        raise
+
+
+def _gz(path: str) -> bool:
+    from ..io.reader import is_gzip_file
+
+    return is_gzip_file(path)
+
+
 def range_start_offsets(files, lo: int):
     """Byte offsets of record ``lo`` in every file (None when any file is
     gzip or shorter than ``lo`` — callers then frame from the start).
@@ -188,7 +298,9 @@ def pack_host_range(files, lo: int, hi: int, *, word_length: int = 24,
         sub = [b.slice_records(s, e) for b in batches]
         if span_accs is not None:
             for b, acc in zip(sub, span_accs):
-                _span_stitch(_span_batch_part(b), acc)
+                _span_stitch(
+                    _span_batch_part(b, acc["hdr_parts"] is not None),
+                    acc)
         packed, filtered = _batch_words(sub, nt_to_take, header_umi_size)
         packed_parts.append(packed)
         filt_parts.append(filtered)
@@ -214,6 +326,7 @@ def _compute_sharded(
     all_gather=None,
     neighbor_opts: dict | None = None,
     collect_spans: bool = False,
+    collect_hdr: bool = False,
 ):
     """Shared compute stage of the sharded pipeline.  Returns a dict with
     the global clustering plus this host's local arrays (for the output
@@ -226,7 +339,17 @@ def _compute_sharded(
     if total_records is None:
         total_records, tables = count_records_with_tables(files)
     lo, hi = host_record_range(total_records, process_id, n_proc)
-    if tables is not None and lo > 0:
+    files_local = list(files)
+    spill_dir = None
+    if (n_proc > 1 and any(_is_gzip_file(f) for f in files)
+            and os.environ.get("HUMID_TPU_GZ_SPILL", "1") != "0"):
+        # Gzip at multi-host scale: spill each gz input's [lo, hi) byte
+        # range to a local sparse plain file in ONE streaming inflate
+        # that stops at the range end; framing, packing, spans, and the
+        # output pass then run range-proportionally on the spill.
+        files_local, start_offsets, spill_dir = spill_gz_ranges(
+            files, lo, hi)
+    elif tables is not None and lo > 0:
         offs = [_offset_from_table(f, lo, t)
                 for f, t in zip(files, tables)]
         start_offsets = (offs if all(o is not None for o in offs)
@@ -237,17 +360,18 @@ def _compute_sharded(
     if (collect_spans
             and os.environ.get("HUMID_TPU_SPAN_CACHE") != "0"
             and (start_offsets is not None or lo == 0)
-            and not any(_is_gzip_file(f) for f in files)):
+            and not any(_is_gzip_file(f) for f in files_local)):
         from .._util import avail_bytes
 
         budget = max(1 << 20,
                      avail_bytes() // (32 * max(len(files), 1)) // 8)
-        span_accs = [_span_acc_new(budget) for _ in files]
+        span_accs = [_span_acc_new(budget, with_hdr=collect_hdr)
+                     for _ in files]
         if start_offsets is not None:
             for acc, off in zip(span_accs, start_offsets):
                 acc["base"] = off
     packed, filtered = pack_host_range(
-        files, lo, hi, word_length=word_length,
+        files_local, lo, hi, word_length=word_length,
         start_offsets=start_offsets, span_accs=span_accs,
     )
     usable = packed[~filtered]
@@ -296,7 +420,10 @@ def _compute_sharded(
             word_length=word_length, **nb
         )
     indptr, indices = pairs_to_csr(pa, pb, len(uniq))
-    cl = cluster_exact(counts, indptr, indices, maximum=maximum)
+    from ..pipeline import cluster_dispatch
+
+    cl = cluster_dispatch(counts, indptr, indices, maximum=maximum,
+                          pairs=(pa, pb))
     from ..pipeline import _span_tables_from_accs
 
     span_tables = _span_tables_from_accs(span_accs, hi - lo)
@@ -305,6 +432,7 @@ def _compute_sharded(
         indptr=indptr, lo=lo, hi=hi, filtered=filtered,
         usable=usable, total_records=total_records, n_proc=n_proc,
         start_offsets=start_offsets, span_tables=span_tables,
+        files_local=files_local, spill_dir=spill_dir,
     )
 
 
@@ -335,6 +463,10 @@ def run_sharded(
         process_id=process_id, num_processes=num_processes,
         all_gather=all_gather, neighbor_opts=neighbor_opts,
     )
+    if st["spill_dir"]:
+        import shutil
+
+        shutil.rmtree(st["spill_dir"], ignore_errors=True)
     return st["cl"], st["counts"], st["first_occ"], st["uniq"]
 
 
@@ -474,11 +606,16 @@ def run_distributed(
         files, word_length=word_length, distance=distance, edit=edit,
         maximum=maximum, total_records=total_records, process_id=p,
         num_processes=num_processes, all_gather=all_gather,
-        neighbor_opts=neighbor_opts, collect_spans=write_dedup,
+        neighbor_opts=neighbor_opts,
+        collect_spans=write_dedup or write_annotated,
+        collect_hdr=write_annotated,
     )
     log.end(t)
     cl, counts, first_occ = st["cl"], st["counts"], st["first_occ"]
     lo, hi, n_proc = st["lo"], st["hi"], st["n_proc"]
+    # Output passes read from the local view of the inputs (gz ranges
+    # spilled to plain scratch files, other files as-is).
+    files_local = st["files_local"]
 
     # Representative read per cluster (humid.cc:223-232).
     if cl.num_clusters:
@@ -503,19 +640,31 @@ def run_distributed(
         if st["span_tables"] is not None:
             from ..pipeline import _write_selected_spans_to
 
-            _write_selected_spans_to(files, _part_names(dedup_names, p),
+            _write_selected_spans_to(files_local,
+                                     _part_names(dedup_names, p),
                                      sel, st["span_tables"])
         else:
-            _write_range_selected(files, _part_names(dedup_names, p), sel,
-                                  lo, hi, batch_records,
+            _write_range_selected(files_local, _part_names(dedup_names, p),
+                                  sel, lo, hi, batch_records,
                                   start_offsets=st["start_offsets"])
         log.end(t)
     if write_annotated:
         t = log.start("Writing annotated results")
-        _write_range_annotated(files, _part_names(ann_names, p),
-                               cluster_of_local, lo, hi, batch_records,
-                               start_offsets=st["start_offsets"])
+        if st["span_tables"] is not None and all(
+                tb[2] is not None for tb in st["span_tables"]):
+            from ..pipeline import _write_annotated_spans
+
+            _write_annotated_spans(files_local, _part_names(ann_names, p),
+                                   cluster_of_local, st["span_tables"])
+        else:
+            _write_range_annotated(files_local, _part_names(ann_names, p),
+                                   cluster_of_local, lo, hi, batch_records,
+                                   start_offsets=st["start_offsets"])
         log.end(t)
+    if st["spill_dir"]:
+        import shutil
+
+        shutil.rmtree(st["spill_dir"], ignore_errors=True)
     if run_stats and p == 0:
         write_statistics(
             counts=counts,

@@ -161,7 +161,8 @@ def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
         else:
             keys = _combine_key64(packed)
             gidx = np.arange(base, base + len(packed), dtype=np.int64)
-        spans = ([_span_batch_part(b) for b in batches]
+        spans = ([_span_batch_part(b, a["hdr_parts"] is not None)
+                  for b, a in zip(batches, span_accs)]
                  if span_accs is not None else None)
         return keys, gidx, spans
 
@@ -232,17 +233,21 @@ def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
             inv if want_inverse else None)
 
 
-def _span_acc_new(budget_entries: int) -> dict:
+def _span_acc_new(budget_entries: int, with_hdr: bool = False) -> dict:
     """Accumulator for one file's absolute record-span table (filled by
-    ``_span_batch_part`` + ``_span_stitch``)."""
+    ``_span_batch_part`` + ``_span_stitch``).  ``with_hdr`` also collects
+    per-record header-line lengths (4B/record) so the annotated writer
+    can splice ``:<id>`` after the name without re-framing pass 2."""
     return {"ok": True, "base": 0, "parts": [], "entries": 0,
-            "budget": budget_entries}
+            "budget": budget_entries,
+            "hdr_parts": [] if with_hdr else None}
 
 
-def _span_batch_part(b):
+def _span_batch_part(b, with_hdr: bool = False):
     """Per-batch span math (pool-side, GIL-friendly numpy): relative
     record start offsets within the batch's raw byte run, the run's
-    total raw length, and the LF-only validity flag.
+    total raw length, and the LF-only validity flag (plus header-line
+    lengths when ``with_hdr``).
 
     Records tile the (decompressed) file, so record i's raw byte length
     is its line contents + 4 newlines — buffer layout (chunk views,
@@ -250,13 +255,16 @@ def _span_batch_part(b):
     only holds for LF-only files; any ``\\r`` at a line end invalidates
     the table (pass 2 falls back to the re-reading writer)."""
     if b.n == 0:
-        return np.zeros(0, np.int64), 0, True
+        return (np.zeros(0, np.int64), 0, True,
+                np.zeros(0, np.int32) if with_hdr else None)
     idx = np.minimum(b.ends.reshape(-1), len(b.buf) - 1)
     if bool((b.buf[idx] == 13).any()):
-        return None, 0, False
+        return None, 0, False, None
     content = (b.ends - b.starts).sum(axis=1, dtype=np.int64) + 4
     cum = np.cumsum(content)
-    return cum - content, int(cum[-1]), True
+    hdr = ((b.ends[:, 0] - b.starts[:, 0]).astype(np.int32)
+           if with_hdr else None)
+    return cum - content, int(cum[-1]), True, hdr
 
 
 def _span_stitch(part, acc: dict) -> None:
@@ -268,18 +276,49 @@ def _span_stitch(part, acc: dict) -> None:
     build_records)."""
     if not acc["ok"]:
         return
-    rel, total, ok = part
+    rel, total, ok, hdr = part
     if not ok:
         acc["ok"] = False
         acc["parts"] = []
+        acc["hdr_parts"] = [] if acc["hdr_parts"] is not None else None
         return
     acc["entries"] += len(rel)
     if acc["entries"] > acc["budget"]:
         acc["ok"] = False
         acc["parts"] = []
+        acc["hdr_parts"] = [] if acc["hdr_parts"] is not None else None
         return
     acc["parts"].append(acc["base"] + rel)
+    if acc["hdr_parts"] is not None:
+        acc["hdr_parts"].append(hdr)
     acc["base"] += total
+
+
+def cluster_dispatch(counts, indptr, indices, *, maximum: bool,
+                     pairs=None, device_threshold: int = 1 << 14):
+    """Route clustering to the right engine (VERDICT r2 #7).
+
+    ``-x`` (maximum) clustering on a CO-LOCATED TPU backend with a large
+    unique table runs connected components on-device (label propagation,
+    cluster/labelprop.py) and finalizes ids/size/maxCount/maxLeaf
+    bit-exactly on host (cluster_max_from_components — only components
+    with a shared max count re-walk the DFS tie-break).  Directional
+    clustering is inherently sequential (hill-climb restarts,
+    order-dependent descent, cluster.cc:39-69) and stays on the native
+    host path everywhere.
+    """
+    if maximum and pairs is not None and len(counts) > device_threshold:
+        from ._backend import backend_profile
+
+        if backend_profile()["colocated_device"]:
+            from .cluster import connected_components_device
+            from .cluster.exact import cluster_max_from_components
+
+            cc = connected_components_device(pairs[0], pairs[1],
+                                             len(counts))
+            return cluster_max_from_components(counts, indptr, indices,
+                                               cc)
+    return cluster_exact(counts, indptr, indices, maximum=maximum)
 
 
 from .io.reader import is_gzip_file as _is_gzip_file  # noqa: E402
@@ -309,7 +348,8 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
                                         header_umi_size)
         spans = None
         if span_accs is not None:
-            spans = [_span_batch_part(b) for b in batches]
+            spans = [_span_batch_part(b, a["hdr_parts"] is not None)
+                     for b, a in zip(batches, span_accs)]
         return packed, filtered, spans
 
     def _drain(fut):
@@ -419,13 +459,14 @@ def run(
 
     # Span cache: when the record cache does NOT fit (WGS scale) but the
     # inputs are plain (mmap-able) files, collect absolute record spans
-    # during pass 1 (8 bytes/record/file) so the dedup pass copies only
-    # the SELECTED records' raw bytes from the mmap instead of re-framing
-    # the whole input.  HUMID_TPU_SPAN_CACHE=1 forces it (testing),
-    # =0 disables.
+    # during pass 1 (8 bytes/record/file — plus 4 for header lengths in
+    # annotate mode) so pass 2 copies record bytes from the mmap instead
+    # of re-framing the whole input (dedup: selected records only;
+    # annotated: raw record + spliced ``:<id>``).
+    # HUMID_TPU_SPAN_CACHE=1 forces it (testing), =0 disables.
     span_env = os.environ.get("HUMID_TPU_SPAN_CACHE")
     span_accs = None
-    if (write_dedup and span_env != "0"
+    if ((write_dedup or write_annotated) and span_env != "0"
             and (cache is None or span_env == "1")
             and not any(_is_gzip_file(f) for f in files)):
         if span_env == "1":
@@ -434,7 +475,8 @@ def run(
 
         budget = max(1 << 20,
                      avail_bytes() // (32 * max(len(files), 1)) // 8)
-        span_accs = [_span_acc_new(budget) for _ in files]
+        span_accs = [_span_acc_new(budget, with_hdr=write_annotated)
+                     for _ in files]
 
     import time as _time
 
@@ -523,7 +565,8 @@ def run(
         t = log.start("Calculating maximum clusters")
     else:
         t = log.start("Calculating directional clusters")
-    cl = cluster_exact(counts, indptr, indices, maximum=maximum)
+    cl = cluster_dispatch(counts, indptr, indices, maximum=maximum,
+                          pairs=(pa, pb))
     res.clusters = cl.num_clusters
     res.labels = cl.labels
     res.sizes = cl.size
@@ -549,9 +592,9 @@ def run(
     res.cluster_of_read = cluster_of_read
 
     # --- pass 2: outputs ---
+    span_tables = _span_tables_from_accs(span_accs, res.total)
     if write_dedup:
         t = log.start("Writing filtered results")
-        span_tables = _span_tables_from_accs(span_accs, res.total)
         if span_tables is not None:
             _write_selected_spans(files, dir_name, "dedup", rep_reads,
                                   span_tables)
@@ -561,8 +604,14 @@ def run(
         log.end(t)
     if write_annotated:
         t = log.start("Writing annotated results")
-        _write_annotated(files, dir_name, cluster_of_read, batch_records,
-                         cache)
+        if span_tables is not None and all(
+                tb[2] is not None for tb in span_tables):
+            _write_annotated_spans(
+                files, make_file_names(list(files), dir_name, "annotated"),
+                cluster_of_read, span_tables)
+        else:
+            _write_annotated(files, dir_name, cluster_of_read,
+                             batch_records, cache)
         log.end(t)
 
     if run_stats:
@@ -681,16 +730,21 @@ def _write_selected_spans(files, dir_name, suffix, selected, span_tables,
 
 
 def _span_tables_from_accs(span_accs, expected_entries: int):
-    """[(starts_abs, end_sentinel)] per file when every accumulator is
-    valid and covers exactly ``expected_entries`` records — None
-    otherwise (the caller falls back to the re-reading writer)."""
+    """[(starts_abs, end_sentinel, hdr_lens-or-None)] per file when
+    every accumulator is valid and covers exactly ``expected_entries``
+    records — None otherwise (the caller falls back to the re-reading
+    writer)."""
     if span_accs is None or not all(
         a["ok"] and a["entries"] == expected_entries for a in span_accs
     ):
         return None
     return [
         (np.concatenate(a["parts"]) if a["parts"]
-         else np.zeros(0, np.int64), a["base"])
+         else np.zeros(0, np.int64),
+         a["base"],
+         None if a["hdr_parts"] is None else
+         (np.concatenate(a["hdr_parts"]) if a["hdr_parts"]
+          else np.zeros(0, np.int32)))
         for a in span_accs
     ]
 
@@ -726,7 +780,7 @@ def _write_selected_spans_to(files, names, selected, span_tables,
 
         def build_one(sel):
             outs = []
-            for full, (starts, total) in zip(fulls, span_tables):
+            for full, (starts, total, _hdr) in zip(fulls, span_tables):
                 s = starts[sel]
                 e = np.empty(len(sel), np.int64)
                 nxt = sel + 1
@@ -749,6 +803,86 @@ def _write_selected_spans_to(files, names, selected, span_tables,
             try:
                 mm.close()
             except BufferError:  # a view outlived us; GC will close it
+                pass
+            fh.close()
+
+
+def _write_annotated_spans(files, names, cluster_of_read, span_tables,
+                           chunk: int = 1 << 19):
+    """Annotated pass via cached record spans + header lengths: splice
+    ``:<cluster_id>`` after each record's name line directly from an
+    mmap of the (plain) input — no pass-2 re-framing (VERDICT r2 #8).
+
+    Per record three segments are emitted: the name line (no newline),
+    the rendered ``:<id>``, and the raw remainder of the record starting
+    at the name's newline — raw bytes equal the canonical record because
+    span collection verified LF-only endings (``_span_batch_part``)."""
+    import mmap as _mmap
+
+    from .io.writer import _ann_buffer, _build_output
+
+    n = len(cluster_of_read)
+    fulls = []
+    handles = []
+    try:
+        for f in files:
+            fh = open(f, "rb")
+            try:
+                mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+            except ValueError:
+                fh.close()
+                fulls.append(np.zeros(0, np.uint8))
+                continue
+            handles.append((fh, mm))
+            fulls.append(np.frombuffer(mm, np.uint8))
+
+        def source():
+            for lo in range(0, n, chunk):
+                yield lo, min(n, lo + chunk)
+
+        def build_one(rng):
+            lo, hi = rng
+            k = hi - lo
+            ann_buf, ann_s, ann_l = _ann_buffer(cluster_of_read[lo:hi])
+            outs = []
+            for full, (starts, total, hdr) in zip(fulls, span_tables):
+                s = starts[lo:hi]
+                e = np.empty(k, np.int64)
+                e[:-1] = starts[lo + 1:hi] if k > 1 else e[:0]
+                e[-1] = starts[hi] if hi < len(starts) else total
+                h = hdr[lo:hi].astype(np.int64)
+                # The chunk's records are contiguous: copy their raw
+                # byte range once, then gather segments relative to it.
+                base = int(s[0]) if k else 0
+                end = int(e[-1]) if k else 0
+                nl_missing = end > len(full)  # unterminated final record
+                if nl_missing:
+                    end = len(full)
+                src = np.concatenate([full[base:end], ann_buf])
+                seg_start = np.empty((k, 3), np.int64)
+                seg_len = np.empty((k, 3), np.int64)
+                seg_start[:, 0] = s - base
+                seg_len[:, 0] = h
+                seg_start[:, 1] = (end - base) + ann_s
+                seg_len[:, 1] = ann_l
+                seg_start[:, 2] = s - base + h
+                seg_len[:, 2] = e - s - h
+                nl_after = np.zeros((k, 3), bool)
+                if nl_missing:
+                    seg_len[-1, 2] -= 1  # the counted synthetic newline
+                    nl_after[-1, 2] = True
+                outs.append(_build_output(src, seg_start.ravel(),
+                                          seg_len.ravel(),
+                                          nl_after.ravel()))
+            return outs
+
+        _pipelined_write(source(), names, build_one)
+    finally:
+        fulls.clear()
+        for fh, mm in handles:
+            try:
+                mm.close()
+            except BufferError:
                 pass
             fh.close()
 

@@ -140,3 +140,103 @@ def test_deep_chain_no_stack_overflow():
     res = cluster_exact(counts, indptr, indices, maximum=True)
     assert res.labels.max() == 1
     assert res.size[0] == counts.sum()
+
+
+def _cc_host(indptr, indices, n):
+    """Host connected components (min index per component) — an oracle
+    stand-in for connected_components_device in these tests."""
+    labels = np.arange(n, dtype=np.int64)
+    for seed in range(n):
+        if labels[seed] != seed:
+            continue
+        stack = [seed]
+        while stack:
+            v = stack.pop()
+            for p in range(indptr[v], indptr[v + 1]):
+                nb = indices[p]
+                if labels[nb] != seed:
+                    labels[nb] = seed
+                    stack.append(nb)
+    return labels
+
+
+def test_max_from_components_matches_exact_random():
+    """cluster_max_from_components == cluster_exact(maximum=True) on
+    random graphs — including maxLeaf under shared-max-count ties."""
+    from humid_tpu.cluster import cluster_max_from_components
+
+    rng = np.random.default_rng(41)
+    for trial in range(20):
+        n = int(rng.integers(2, 120))
+        counts, neigh = _random_graph(rng, n)
+        if trial % 3 == 0:
+            counts[:] = 1  # everything tied: maximal DFS tie-breaking
+        elif trial % 3 == 1:
+            counts = rng.integers(1, 3, n).astype(np.int64)  # many ties
+        indptr, indices = _csr(neigh)
+        ref = cluster_exact(counts, indptr, indices, maximum=True)
+        cc = _cc_host(indptr, indices, n)
+        got = cluster_max_from_components(counts, indptr, indices, cc)
+        np.testing.assert_array_equal(got.labels, ref.labels)
+        np.testing.assert_array_equal(got.max_leaf, ref.max_leaf)
+        np.testing.assert_array_equal(got.max_count, ref.max_count)
+        np.testing.assert_array_equal(got.size, ref.size)
+
+
+def test_max_from_components_device_labels():
+    """The same finalize fed by the DEVICE label propagation."""
+    from humid_tpu.cluster import (
+        cluster_max_from_components,
+        connected_components_device,
+    )
+
+    rng = np.random.default_rng(43)
+    n = 300
+    counts, neigh = _random_graph(rng, n)
+    counts[rng.integers(0, n, n // 2)] = 5  # force some shared maxima
+    indptr, indices = _csr(neigh)
+    pa, pb = [], []
+    for i, lst in enumerate(neigh):
+        for j in lst:
+            if j > i:
+                pa.append(i)
+                pb.append(j)
+    cc = connected_components_device(
+        np.asarray(pa, np.int64), np.asarray(pb, np.int64), n)
+    ref = cluster_exact(counts, indptr, indices, maximum=True)
+    got = cluster_max_from_components(counts, indptr, indices, cc)
+    np.testing.assert_array_equal(got.labels, ref.labels)
+    np.testing.assert_array_equal(got.max_leaf, ref.max_leaf)
+    np.testing.assert_array_equal(got.max_count, ref.max_count)
+    np.testing.assert_array_equal(got.size, ref.size)
+
+
+def test_cluster_dispatch_device_x_path(monkeypatch):
+    """cluster_dispatch routes -x through the device components when the
+    backend probe reports a co-located chip, bit-exactly."""
+    import humid_tpu._backend as B
+    from humid_tpu.pipeline import cluster_dispatch
+
+    rng = np.random.default_rng(47)
+    n = 400
+    counts, neigh = _random_graph(rng, n)
+    indptr, indices = _csr(neigh)
+    pa, pb = [], []
+    for i, lst in enumerate(neigh):
+        for j in lst:
+            if j > i:
+                pa.append(i)
+                pb.append(j)
+    pairs = (np.asarray(pa, np.int64), np.asarray(pb, np.int64))
+    ref = cluster_exact(counts, indptr, indices, maximum=True)
+
+    monkeypatch.setenv("HUMID_TPU_DEVICE_ENGINE", "1")
+    B._reset_profile_for_tests()
+    try:
+        got = cluster_dispatch(counts, indptr, indices, maximum=True,
+                               pairs=pairs, device_threshold=0)
+    finally:
+        B._reset_profile_for_tests()
+    np.testing.assert_array_equal(got.labels, ref.labels)
+    np.testing.assert_array_equal(got.max_leaf, ref.max_leaf)
+    np.testing.assert_array_equal(got.size, ref.size)

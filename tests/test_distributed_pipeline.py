@@ -134,6 +134,89 @@ def test_distributed_outputs_gz_and_modes(tmp_path):
         assert a == b, f"{f} content differs"
 
 
+def test_gz_spill_range_matches_plain_offsets(tmp_path):
+    """_spill_gz_range reproduces the exact byte range of the
+    decompressed stream at stream-absolute (sparse) offsets, stopping
+    its inflate at the range end."""
+    import gzip
+
+    from humid_tpu.parallel.pipeline import _spill_gz_range
+    from humid_tpu.io.reader import skip_to_record
+
+    gen_dataset(np.random.default_rng(23), str(tmp_path), n_reads=500,
+                n_files=1, umi_style="none", gz=True)
+    gz = str(tmp_path / "file0.fastq.gz")
+    plain = str(tmp_path / "plain.fastq")
+    with open(plain, "wb") as f:
+        f.write(gzip.open(gz).read())
+    raw = open(plain, "rb").read()
+
+    for lo, hi in [(0, 250), (250, 500), (100, 400), (0, 500),
+                   (200, 200)]:
+        sp = str(tmp_path / f"spill_{lo}_{hi}")
+        so, eo = _spill_gz_range(gz, lo, hi, sp)
+        want_so = skip_to_record(plain, lo)
+        want_eo = skip_to_record(plain, hi) if hi < 500 else len(raw)
+        assert so == want_so and eo == want_eo, (lo, hi)
+        data = open(sp, "rb").read()
+        assert len(data) == eo  # apparent size == range end
+        assert data[so:eo] == raw[so:eo]
+        # Early stop: the spill never contains bytes past the range.
+        assert os.path.getsize(sp) == eo
+
+
+def test_gz_spill_is_range_proportional(tmp_path):
+    """In a 2-host run each host's spill covers only ~its half of the
+    stream (host 0 stops inflating mid-file) — the gz analogue of the
+    plain-file range-proportional framing guarantee."""
+    import gzip
+
+    from humid_tpu.parallel.pipeline import spill_gz_ranges
+
+    gen_dataset(np.random.default_rng(29), str(tmp_path), n_reads=1000,
+                n_files=1, umi_style="none", gz=True)
+    gz = str(tmp_path / "file0.fastq.gz")
+    full = len(gzip.open(gz).read())
+
+    files0, offs0, dir0 = spill_gz_ranges([gz], 0, 500)
+    files1, offs1, dir1 = spill_gz_ranges([gz], 500, 1000)
+    try:
+        sz0 = os.path.getsize(files0[0])
+        assert offs0 == [0]
+        assert 0.4 * full < sz0 < 0.6 * full  # host 0 stops mid-stream
+        assert os.path.getsize(files1[0]) == full
+        assert 0.4 * full < offs1[0] < 0.6 * full
+        # The two ranges tile the decompressed stream exactly.
+        a = open(files0[0], "rb").read()
+        b = open(files1[0], "rb").read()
+        assert a + b[offs1[0]:] == gzip.open(gz).read()
+    finally:
+        import shutil
+
+        shutil.rmtree(dir0, ignore_errors=True)
+        shutil.rmtree(dir1, ignore_errors=True)
+
+
+def test_distributed_gz_spans_fast_path(tmp_path):
+    """With gz inputs the span-cache dedup writer now engages (spill is
+    plain): force it and byte-compare against the single-host run."""
+    import gzip
+
+    gen_dataset(np.random.default_rng(31), str(tmp_path), n_reads=700,
+                n_files=2, umi_style="underscore", gz=True)
+    files = [str(tmp_path / f"file{i}.fastq.gz") for i in range(2)]
+
+    ref_dir = tmp_path / "ref"
+    run(files, dir_name=str(ref_dir), log_name=os.devnull,
+        write_dedup=True)
+    sh_dir = tmp_path / "sharded"
+    _run_hosts_with_outputs(files, 3, str(sh_dir), write_dedup=True)
+    for f in sorted(os.listdir(ref_dir)):
+        a = gzip.open(str(ref_dir / f)).read()
+        b = gzip.open(str(sh_dir / f)).read()
+        assert a == b, f"{f} content differs"
+
+
 def test_distributed_edit_outputs(tmp_path):
     """Sharded -e run matches the single-host edit pipeline's files."""
     gen_dataset(np.random.default_rng(17), str(tmp_path), n_reads=300,

@@ -143,6 +143,39 @@ def test_golden_midscale_production_paths(strategy, humid_ref, tmp_path,
         assert _read(out_ref / name) == _read(out_tpu / name), name
 
 
+def test_golden_midscale_max_device_components(humid_ref, tmp_path,
+                                               monkeypatch):
+    """-x at ~300k reads with the device engine forced: clustering runs
+    through connected_components_device + cluster_max_from_components
+    (cluster_dispatch, VERDICT r2 #7), byte-compared vs the baseline."""
+    import humid_tpu._backend as B
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    fq = str(tmp_path / "maxdev.fastq")
+    bench.gen_dataset(fq, 300_000, read_len=60, seed=53)
+
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+    subprocess.run([humid_ref, "-d", str(out_ref), "-s", "-x", fq],
+                   check=True, capture_output=True)
+    monkeypatch.setenv("HUMID_TPU_DEVICE_ENGINE", "1")
+    B._reset_profile_for_tests()
+    try:
+        from humid_tpu.cli import main
+        main(["-d", str(out_tpu), "-s", "-x", "-l", os.devnull, fq])
+    finally:
+        B._reset_profile_for_tests()
+
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_tpu))
+    for name in names:
+        assert _read(out_ref / name) == _read(out_tpu / name), name
+
+
 @pytest.mark.parametrize("verify", ["host", "device"])
 def test_golden_midscale_edit_shifted(verify, humid_ref, tmp_path,
                                       monkeypatch):

@@ -73,3 +73,51 @@ def test_distributed_cli_matches_single_host(tmp_path, n_proc):
         b = open(os.path.join(out_dir, f), "rb").read()
         assert a == b, (
             f"{f} differs between single-host and {n_proc}-process")
+
+
+def test_distributed_cli_gz_matches_single_host(tmp_path):
+    """Real 2-process run over GZIP inputs: the per-host range spill
+    (parallel/pipeline.py::spill_gz_ranges) must leave the finalized
+    outputs content-identical to the single-host run (VERDICT r2 #4)."""
+    import gzip
+
+    gen_dataset(np.random.default_rng(37), str(tmp_path), n_reads=400,
+                n_files=1, umi_style="colon", gz=True)
+    files = [str(tmp_path / "file0.fastq.gz")]
+
+    from humid_tpu.pipeline import run
+
+    ref_dir = tmp_path / "ref"
+    run(files, dir_name=str(ref_dir), log_name=os.devnull,
+        write_dedup=True, write_annotated=True, run_stats=True)
+
+    port = _free_port()
+    out_dir = str(tmp_path / "dist")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "humid_tpu",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "-d", out_dir, "-s", "-a", "-l", os.devnull] + files,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    for f in sorted(os.listdir(ref_dir)):
+        ap, bp = str(ref_dir / f), os.path.join(out_dir, f)
+        if f.endswith(".gz"):
+            assert gzip.open(ap).read() == gzip.open(bp).read(), f
+        else:
+            assert open(ap, "rb").read() == open(bp, "rb").read(), f

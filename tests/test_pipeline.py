@@ -310,7 +310,7 @@ def test_part_writer_compresses_by_final_name(tmp_path):
     out = str(tmp_path / "x_dedup.fastq.gz.part00000")
     _write_selected_spans_to(
         [str(src)], [out], np.array([1], np.int64),
-        [(starts, 3 * len(rec))])
+        [(starts, 3 * len(rec), None)])
     assert gzip.decompress(open(out, "rb").read()) == rec
 
 
