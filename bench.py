@@ -230,6 +230,12 @@ def main() -> int:
         "unit": "reads/s",
         "vs_baseline": round(rps / base_rps, 2),
         "backend": jax.default_backend(),
+        # Where the neighbour phase actually ran: strategy "runs" is the
+        # host engine; "bucketed"/"dense"/"sharded*" are device engines
+        # (a "tpu" backend with a host strategy means the auto-router
+        # judged the chip non-co-located — don't read it as an on-chip
+        # number).
+        "engine": res.extra.get("engine", {}).get("strategy"),
         "n_runs": n_runs,
         "phases": phases,
     }))
