@@ -46,6 +46,15 @@ class JoinCapExceeded(ValueError):
 #: the auto decision / host-shard work proportionality.
 LAST_DECISION: dict = {}
 
+#: Starting row-selection cap for the device compaction epilogue (see
+#: scan_tile_pairs ``rsel``).  The TPU scatter costs ~15 ns/element no
+#: matter how sparse the matches, so selecting the <= rsel matched rows
+#: per tile pair before scattering cuts the epilogue ~tile/rsel-fold
+#: (microbenchmarked 501 -> 15.8 us/pair at rsel=64, tile=1024 on v5e).
+#: Overflow (a tile pair with more matched rows) is detected via
+#: counts[:, 2] and retried with rsel grown to the observed max.
+_RSEL_START = 64
+
 
 def _note_strategy(strategy: str) -> None:
     LAST_DECISION.clear()
@@ -143,6 +152,7 @@ def scan_tile_pairs(
     word_length: int | None = None,
     row_ids=None,
     col_ids=None,
+    rsel: int | None = None,
 ):
     """Scan over tile pairs, compacting matches into ``state``.
 
@@ -171,11 +181,26 @@ def scan_tile_pairs(
       state: (out_a [cap_total], out_b [cap_total], offset) carry; writes
         beyond cap_total are dropped (detected via the total offset).
       tile / cap_row: static tile size and per-row match capacity.
+      rsel: optional static row-selection cap.  TPU scatter costs
+        ~15 ns/element regardless of how many elements survive masking,
+        so compacting the full [tile, cap_row] candidate block per pair
+        dominates the phase (~0.5 ms/pair measured on v5e — 10x the
+        whole distance kernel).  With ``rsel``, only the <= rsel rows
+        that actually matched are gathered (``top_k`` over masked row
+        indices) and the scatter shrinks to [rsel, cap_row].  A pair
+        whose matched-row count exceeds rsel under-reports — detected
+        via counts[:, 2] and retried by the driver with a larger rsel
+        (mirrors the cap_row ladder).
 
-    Returns (state', counts [nb, 2]) with counts[:, 0] the per-tile pair
-    count and counts[:, 1] the per-tile max matches-per-row.  Emitted
-    global pairs are normalized to (min, max).
+    Returns (state', counts [nb, 3]) with counts[:, 0] the TRUE per-tile
+    pair count, counts[:, 1] the per-tile max matches-per-row, and
+    counts[:, 2] the per-tile matched-row count (compare against rsel).
+    The carried offset advances by the WRITTEN count (== true count iff
+    no rsel overflow).  Emitted global pairs are normalized to
+    (min, max).
     """
+    if rsel is not None and rsel >= tile:
+        rsel = None  # selection would be a no-op
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
     iota_rk = jax.lax.broadcasted_iota(jnp.int32, (tile, cap_row), 0)
@@ -212,28 +237,52 @@ def scan_tile_pairs(
         rowcnt, topv = _matches_xla(i, j, on, rows, cols)
         rowmax = rowcnt.max()
         n = rowcnt.sum()
-        valid = (iota_k < rowcnt[:, None]) & (topv >= 0)
-        roff = off + jnp.cumsum(rowcnt) - rowcnt
-        tgt = jnp.where(valid, roff[:, None] + iota_k, cap_total)
-        ga = row_base + i * tile + iota_rk
-        gb = col_base + topv                             # already j*tile+lc
+        matched = rowcnt > 0
+        nmatched = matched.sum(dtype=jnp.int32)
+        if rsel is not None:
+            # Gather the matched rows before expanding cap_row slots:
+            # the scatter shrinks tile/rsel-fold.
+            mrow = jnp.where(matched, iota_rk[:, 0], -1)
+            rowselv, _ = jax.lax.top_k(mrow, rsel)       # [rsel], -1 pad
+            have = rowselv >= 0
+            rs = jnp.where(have, rowselv, 0)
+            selcnt = jnp.where(have, rowcnt[rs], 0)      # [rsel]
+            seltv = topv[rs, :]                          # [rsel, cap_row]
+            iota_ks = jax.lax.broadcasted_iota(
+                jnp.int32, (rsel, cap_row), 1)
+            valid = ((iota_ks < selcnt[:, None]) & (seltv >= 0)
+                     & have[:, None])
+            roff = off + jnp.cumsum(selcnt) - selcnt
+            tgt = jnp.where(valid, roff[:, None] + iota_ks, cap_total)
+            ga = row_base + i * tile + jnp.broadcast_to(
+                rs[:, None], (rsel, cap_row))
+            gb = col_base + seltv
+            written = selcnt.sum()
+        else:
+            valid = (iota_k < rowcnt[:, None]) & (topv >= 0)
+            roff = off + jnp.cumsum(rowcnt) - rowcnt
+            tgt = jnp.where(valid, roff[:, None] + iota_k, cap_total)
+            ga = row_base + i * tile + iota_rk
+            gb = col_base + topv                         # already j*tile+lc
+            written = n
         pa = jnp.minimum(ga, gb).astype(jnp.int32)
         pb = jnp.maximum(ga, gb).astype(jnp.int32)
         out_a = out_a.at[tgt.ravel()].set(pa.ravel(), mode="drop")
         out_b = out_b.at[tgt.ravel()].set(pb.ravel(), mode="drop")
-        return (out_a, out_b, off + n), jnp.stack([n, rowmax])
+        return (out_a, out_b, off + written), jnp.stack(
+            [n, rowmax, nmatched])
 
     return jax.lax.scan(body, state, pairs_ij)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "cap_row", "cap_total", "metric", "max_dist_static",
-    "word_length", "with_ids"))
+    "word_length", "with_ids", "rsel"))
 def _all_pairs(
     data, pairs_ij, u, max_dist, *,
     tile: int, cap_row: int, cap_total: int,
     metric: str, max_dist_static: int, word_length: int | None,
-    ids=None, with_ids: bool = False,
+    ids=None, with_ids: bool = False, rsel: int | None = None,
 ):
     out_a = jnp.full((cap_total,), -1, jnp.int32)
     out_b = jnp.full((cap_total,), -1, jnp.int32)
@@ -248,6 +297,7 @@ def _all_pairs(
         max_dist_static=max_dist_static, word_length=word_length,
         row_ids=ids if with_ids else None,
         col_ids=ids if with_ids else None,
+        rsel=rsel,
     )
     return out_a, out_b, total, counts
 
@@ -314,7 +364,7 @@ def _chunked_run(launch, pairs_raw, tile: int):
     """Generic chunked tile-pair launcher; same (out_a, out_b, total,
     counts) contract as _all_pairs so _extract_with_retry wraps it.
 
-    ``launch(chunk_ij, cr, ct) -> (oa, ob, t, c)`` (device values).
+    ``launch(chunk_ij, cr, ct, rsel) -> (oa, ob, t, c)`` (device values).
     Chunking bounds per-launch device memory AND keeps every int32
     quantity (scan offsets, cap_total) under int32 on degenerate
     inputs whose TRUE pair count exceeds 2^31: chunk_nb is derived from
@@ -333,14 +383,21 @@ def _chunked_run(launch, pairs_raw, tile: int):
             f"int32-safety invariant (tile^2 must be <= 2^30)")
     chunk_nb = max(1, (1 << 30) // (tile * tile))
 
-    def run(cr, ct):
+    def run(cr, ct, rsel=None):
         outs_a, outs_b, counts = [], [], []
         for lo in range(0, len(pairs_raw), chunk_nb):
             chunk = _pad_pairs(pairs_raw[lo:lo + chunk_nb, :2])
-            oa, ob, t, c = launch(chunk, cr, ct)
+            oa, ob, t, c = launch(chunk, cr, ct, rsel)
             t, c = jax.device_get((t, c))
             t = int(t)
             counts.append(c)
+            if (rsel is not None and c.shape[1] > 2
+                    and int(c[:, 2].max(initial=0)) > rsel):
+                # Row-selection overflow: this chunk under-reported;
+                # let the retry loop grow rsel before paying for the
+                # remaining chunks.
+                return (np.zeros(0, np.int32), np.zeros(0, np.int32), 0,
+                        np.concatenate(counts))
             if t > ct:
                 # Chunk overflowed the output buffer: report its true
                 # total so the retry loop grows cap_total and reruns.
@@ -368,14 +425,14 @@ def _xla_chunked_run(data, pairs_raw, n_rows, max_dist, *, tile,
     """Chunked launcher for the XLA tile scan (see _chunked_run)."""
     rid_dev = jnp.asarray(ids) if ids is not None else None
 
-    def launch(chunk, cr, ct):
+    def launch(chunk, cr, ct, rsel):
         return _all_pairs(
             data, jnp.asarray(chunk), jnp.int32(n_rows),
             jnp.int32(max_dist),
             tile=tile, cap_row=cr, cap_total=ct,
             metric=metric, max_dist_static=int(max_dist),
             word_length=word_length, ids=rid_dev,
-            with_ids=ids is not None,
+            with_ids=ids is not None, rsel=rsel,
         )
 
     return _chunked_run(launch, pairs_raw, tile)
@@ -400,28 +457,38 @@ def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
         rows.T.reshape(w * (n // 128), 128))
     data = jnp.asarray(lanemaj)
 
-    def launch(chunk, cr, ct):
+    def launch(chunk, cr, ct, rsel):
         return pallas_all_pairs(
             data, jnp.asarray(chunk),
             jnp.int32(part_stride), jnp.int32(part_valid),
             jnp.int32(max_dist),
             tile=tile, cap_row=cr, cap_total=ct, w=w,
-            interpret=interpret,
+            interpret=interpret, rsel=rsel,
         )
 
     return _chunked_run(launch, pairs_np, tile)
 
 
-def _extract_with_retry(run, u, b, cap_row, cap_total):
+def _extract_with_retry(run, u, b, cap_row, cap_total, rsel=None):
     """Run the capacity-retry loop around a scan launcher.
 
-    ``run(cap_row, cap_total)`` -> (out_a, out_b, total, counts).
+    ``run(cap_row, cap_total, rsel)`` -> (out_a, out_b, total, counts).
+    ``rsel`` starts the row-selection ladder (None = exact, no
+    selection); a chunk whose matched-row count exceeds it grows rsel
+    toward the exact path (checked FIRST — an overflowing chunk's
+    written total under-reports, so the other checks would read lies).
     Returns (a, b) int64 sorted by (a, b).
     """
     while True:
-        out_a, out_b, total, counts = run(cap_row, cap_total)
+        out_a, out_b, total, counts = run(cap_row, cap_total, rsel)
         total_h, counts_h = jax.device_get((total, counts))
         total_h = int(total_h)
+        if rsel is not None and counts_h.shape[1] > 2:
+            sel_max = int(counts_h[:, 2].max(initial=0))
+            if sel_max > rsel:
+                grown = 1 << (sel_max - 1).bit_length()
+                rsel = grown if grown < b else None
+                continue
         row_max = int(counts_h[:, 1].max(initial=0))
         if row_max > cap_row:
             cap_row = min(1 << (row_max - 1).bit_length(), b)
@@ -659,7 +726,8 @@ def find_neighbor_pairs(
         run = _xla_chunked_run(data, pairs_raw, u, max_dist, tile=b,
                                metric=metric, word_length=word_length)
 
-    return _extract_with_retry(run, u, b, cap_row, cap_total)
+    return _extract_with_retry(run, u, b, cap_row, cap_total,
+                               rsel=_RSEL_START)
 
 
 def _segment_run_ids(packed: np.ndarray, word_length: int, n_seg: int):
@@ -985,7 +1053,8 @@ def _big_run_pairs(packed, big_parts, max_dist, *, word_length, tile,
                            metric=metric, word_length=word_length,
                            ids=rid_all)
 
-    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
+    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total,
+                                 rsel=_RSEL_START)
     # Stacked permuted positions -> original unique-word indices,
     # indexing each partition's order array directly (no [P, U] stack).
     ga = np.empty(len(pa), np.int64)
@@ -1362,7 +1431,8 @@ def find_neighbor_pairs_bucketed(
                                metric=metric, word_length=word_length,
                                ids=rid_all)
 
-    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
+    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total,
+                                 rsel=_RSEL_START)
     # Stacked permuted positions -> original unique-word indices.
     ga = orders[pa // u_pad, pa % u_pad]
     gb = orders[pb // u_pad, pb % u_pad]

@@ -218,19 +218,29 @@ def hamming_pairs_sweep(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile", "bm", "cap_row", "cap_total", "w", "interpret"))
+    "tile", "bm", "cap_row", "cap_total", "w", "interpret", "rsel"))
 def pallas_all_pairs(
     lanemaj, pairs, part_stride, part_valid, max_dist, *,
     tile: int, bm: int = 256, cap_row: int = 16, cap_total: int,
-    w: int = 2, interpret: bool = False,
+    w: int = 2, interpret: bool = False, rsel: int | None = None,
 ):
     """Kernel sweep + vectorized compaction: one chunk of tile pairs ->
-    (out_a [cap_total], out_b [cap_total], total, counts [nb, 2]).
+    (out_a [cap_total], out_b [cap_total], total, counts [nb, 3]).
 
     Same output contract as humid_tpu.ops.neighbors._all_pairs (pairs
-    normalized (min, max), -1 padded, per-tile counts and row maxima for
-    the capacity-retry loop).  upper_only is always on (drivers using this
+    normalized (min, max), -1 padded; counts columns are per-tile true
+    pair count / max matches-per-row / matched-row count, feeding the
+    capacity-retry loop).  upper_only is always on (drivers using this
     path emit each unordered pair once by construction).
+
+    ``rsel``: static row-selection cap for the compaction scatter.  The
+    TPU scatter costs ~15 ns/element regardless of masking, so scattering
+    the full [nb*tile, k] candidate block dominates end-to-end time
+    (measured ~500 us/pair vs ~48 us for the kernel itself on v5e).
+    With ``rsel``, a ``top_k`` gathers only the <= rsel rows per tile
+    pair that actually matched, shrinking the scatter tile/rsel-fold.
+    A pair with more matched rows under-reports; the driver detects it
+    via counts[:, 2] > rsel and retries with a larger rsel.
     """
     nb = pairs.shape[0]
     glob = jnp.stack(
@@ -241,18 +251,42 @@ def pallas_all_pairs(
         lanemaj, pairs, glob,
         tile=tile, bm=bm, cap_row=cap_row, w=w, interpret=interpret,
     )                                        # [nb, tile], [nb, tile, k]
-    flat_cnt = rowcnt.reshape(-1)            # [nb*tile]
+    k = topv.shape[-1]
+    matched = rowcnt > 0
+    nmatched = matched.sum(axis=1, dtype=jnp.int32)      # [nb]
+    n_tile = rowcnt.sum(axis=1)
+    rowmax_tile = rowcnt.max(axis=1)
+    counts = jnp.stack([n_tile, rowmax_tile, nmatched], axis=1)
+    if rsel is not None and rsel >= tile:
+        rsel = None                          # selection would be a no-op
+    if rsel is not None:
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (nb, tile), 1)
+        mrow = jnp.where(matched, iota_t, -1)
+        rowselv, _ = jax.lax.top_k(mrow, rsel)           # [nb, rsel]
+        have = rowselv >= 0
+        rs = jnp.where(have, rowselv, 0)
+        selcnt = jnp.where(
+            have, jnp.take_along_axis(rowcnt, rs, axis=1), 0)
+        seltv = jnp.take_along_axis(topv, rs[:, :, None], axis=1)
+        flat_cnt = selcnt.reshape(-1)                    # [nb*rsel]
+        ga = (pairs[:, 0:1] * tile + rs).reshape(-1)
+        gb = pairs[:, 1:2, None] * tile + seltv          # [nb, rsel, k]
+        flat_tv = seltv.reshape(-1, k)
+        rows_flat = nb * rsel
+    else:
+        flat_cnt = rowcnt.reshape(-1)                    # [nb*tile]
+        row_in_tile = jax.lax.broadcasted_iota(
+            jnp.int32, (nb, tile), 1)
+        ga = (pairs[:, 0:1] * tile + row_in_tile).reshape(-1)
+        gb = pairs[:, 1:2, None] * tile + topv           # [nb, tile, k]
+        flat_tv = topv.reshape(-1, k)
+        rows_flat = nb * tile
     roff = jnp.cumsum(flat_cnt) - flat_cnt
     total = flat_cnt.sum()
-    k = topv.shape[-1]
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (nb * tile, k), 1)
-    valid = (iota_k < flat_cnt[:, None]) & (topv.reshape(-1, k) >= 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (rows_flat, k), 1)
+    valid = (iota_k < flat_cnt[:, None]) & (flat_tv >= 0)
     tgt = jnp.where(valid, roff[:, None] + iota_k, cap_total)
-    row_in_tile = jax.lax.broadcasted_iota(
-        jnp.int32, (nb, tile), 1)
-    ga = (pairs[:, 0:1] * tile + row_in_tile).reshape(-1)   # [nb*tile]
-    gb = pairs[:, 1:2, None] * tile + topv                  # [nb, tile, k]
-    ga = jnp.broadcast_to(ga[:, None], (nb * tile, k))
+    ga = jnp.broadcast_to(ga[:, None], (rows_flat, k))
     gb = gb.reshape(-1, k)
     pa = jnp.minimum(ga, gb).astype(jnp.int32)
     pb = jnp.maximum(ga, gb).astype(jnp.int32)
@@ -260,7 +294,4 @@ def pallas_all_pairs(
     out_b = jnp.full((cap_total,), -1, jnp.int32)
     out_a = out_a.at[tgt.ravel()].set(pa.ravel(), mode="drop")
     out_b = out_b.at[tgt.ravel()].set(pb.ravel(), mode="drop")
-    n_tile = rowcnt.sum(axis=1)
-    rowmax_tile = rowcnt.max(axis=1)
-    counts = jnp.stack([n_tile, rowmax_tile], axis=1)
     return out_a, out_b, total, counts

@@ -344,7 +344,7 @@ def dedup_step(
         if row_max > cap_row:
             cap_row = min(1 << (row_max - 1).bit_length(), tile)
             continue
-        per_shard_total = counts_h.reshape(d, -1, 2)[:, :, 0].sum(axis=1)
+        per_shard_total = counts_h.reshape(d, -1, 3)[:, :, 0].sum(axis=1)
         if int(per_shard_total.max(initial=0)) > cap_total:
             cap_total = _round_up(
                 int(per_shard_total.max()) + 1024, 1 << 14

@@ -52,7 +52,7 @@ def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
     kernel consumes codes; rotating codes beats unpacking per step).
 
     Returns (out_a [cap_total], out_b [cap_total], total [1],
-    counts [S*nb, 2]) with pairs as (min, max) global indices, -1 padded.
+    counts [S*nb, 3]) with pairs as (min, max) global indices, -1 padded.
     """
     d = n_shards
     bsh = local.shape[0]
@@ -93,7 +93,7 @@ def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
     (_, (out_a, out_b, total)), counts = jax.lax.scan(
         step, (local, state0), jnp.arange(steps, dtype=jnp.int32)
     )
-    return out_a, out_b, total[None], counts.reshape(-1, 2)
+    return out_a, out_b, total[None], counts.reshape(-1, 3)
 
 
 @functools.partial(jax.jit, static_argnames=(

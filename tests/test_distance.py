@@ -311,6 +311,29 @@ def test_pallas_impl_matches_xor(strategy):
     np.testing.assert_array_equal(b1, b2)
 
 
+@pytest.mark.parametrize("impl", ["xor", "pallas"])
+def test_rsel_overflow_ladder(impl, monkeypatch):
+    """The row-selection compaction (rsel) under-reports when a tile pair
+    has more matched rows than the cap; the retry ladder must detect it
+    via counts[:, 2] and converge to the exact pair set.  Forced by a
+    tiny starting rsel on data where most rows match (4 big clusters)."""
+    from humid_tpu.ops import neighbors as N
+
+    monkeypatch.setattr(N, "_RSEL_START", 2)
+    rng = np.random.default_rng(77)
+    length = 16
+    pool, _ = _rand_words(rng, 4, length)
+    codes = pool[rng.integers(0, 4, 600)].copy()
+    muts = rng.integers(0, length, 600)
+    codes[np.arange(600), muts] = rng.integers(0, 4, 600)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    a1, b1 = find_neighbor_pairs(uniq, 2, word_length=length,
+                                 impl=impl, strategy="dense", tile=256)
+    expected = _brute_pairs(W.unpack_words(uniq, length), 2, _hamming)
+    assert list(zip(a1.tolist(), b1.tolist())) == expected
+
+
 @pytest.mark.parametrize("m", [1, 2])
 @pytest.mark.parametrize("length", [18, 24, 33])
 def test_edit_shifted_matches_dense(m, length):
