@@ -32,7 +32,9 @@ Scalar operands:
     Rows r with (r % part_stride) >= part_valid are padding and never
     match (the fused pigeonhole driver stacks several permuted copies of
     the data; each partition occupies part_stride rows of which the
-    first part_valid are real).
+    first part_valid are real).  PRECONDITION: part_stride % tile == 0
+    (partitions are padded to whole tiles), which lets the kernel lower
+    the padding masks to scalar comparisons instead of per-element mod.
 
 Replaces the per-word fuzzy trie queries of ``findHammingNeighbours``
 (humid.cc:113-130).
@@ -111,6 +113,20 @@ def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref,
     is_upper = upper_only > 0
     n_bases = 16 * w  # includes constant phantom matches beyond L
 
+    # All index masks reduce to scalar comparisons against hoisted iotas:
+    # part_stride is a multiple of tile by construction (partitions are
+    # padded to whole tiles and tile pairs never straddle partitions), so
+    # (lr % part_stride) < part_valid becomes iota_r < scalar, and the
+    # upper/diagonal predicates on global ids become comparisons of the
+    # hoisted (iota_c - iota_r) against a per-block scalar.  The previous
+    # formulation ran integer mod + adds over [bm, tile] vectors per
+    # block, which cost ~21 us/pair of a 48 us/pair kernel (v5e bisect).
+    diff_cr = iota_c - iota_r
+    row_off0 = (ti * tile) % part_stride                # scalar (SMEM)
+    col_lim = part_valid - (tj * tile) % part_stride
+    base_delta = (col_base + tj * tile) - (row_base + ti * tile)
+    gate = (enabled > 0) & (on > 0)
+
     # fori_loops, not Python loops: an unrolled body (sub x cap_row
     # argmax steps) explodes the Mosaic IR and hangs the AOT compiler.
     def block_body(b, _):
@@ -120,16 +136,14 @@ def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref,
             preferred_element_type=jnp.float32,
         )                                               # [bm, tile]
         dist = (n_bases - matches).astype(jnp.int32)
-        lr = ti * tile + b * bm + iota_r
-        lc = tj * tile + iota_c
-        gr = row_base + lr
-        gc = col_base + lc
+        row_lim = part_valid - row_off0 - b * bm
+        nd = b * bm - base_delta                        # gc>gr <=> diff>nd
         mask = dist <= max_dist
-        mask &= (lr % part_stride) < part_valid
-        mask &= (lc % part_stride) < part_valid
+        mask &= iota_r < row_lim
+        mask &= iota_c < col_lim
         # No select over i1 vectors on Mosaic; boolean algebra instead.
-        mask &= ((gc > gr) & is_upper) | ((gr != gc) & ~is_upper)
-        mask &= (enabled > 0) & (on > 0)
+        mask &= ((diff_cr > nd) & is_upper) | ((diff_cr != nd) & ~is_upper)
+        mask &= gate
 
         rowcnt = mask.sum(axis=1, dtype=jnp.int32)
         counts_ref[0, 0, pl.ds(b * bm, bm)] = rowcnt

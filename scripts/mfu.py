@@ -141,7 +141,7 @@ def _prep_pallas(packed: np.ndarray):
 
 def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
                    bm: int, word_length: int, runs: int,
-                   nb_pair=(256, 1024)) -> dict:
+                   nb_pair=(256, 1024), rsel: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -155,9 +155,13 @@ def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
         chunk = jnp.asarray(pairs[:nb])
 
         def run():
+            # part_stride=part_valid=2^30: one giant all-valid partition
+            # (the kernel requires part_stride % tile == 0 or >= total
+            # rows; a bare 1 would trip the scalarized padding mask).
             out = pallas_all_pairs(
-                data, chunk, jnp.int32(1), jnp.int32(1), jnp.int32(1),
-                tile=tile, bm=bm, cap_row=16, cap_total=cap_total, w=w)
+                data, chunk, jnp.int32(1 << 30), jnp.int32(1 << 30),
+                jnp.int32(1), tile=tile, bm=bm, cap_row=16,
+                cap_total=cap_total, w=w, rsel=rsel)
             return int(jax.device_get(out[2]))  # forces completion
 
         return _best(run, runs)
@@ -170,6 +174,7 @@ def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
     useful = 2.0 * (4 * word_length) * tile * tile
     return {
         "engine": "pallas_sweep", "tile": tile, "bm": bm, "w": w,
+        "rsel": rsel,
         "time_per_pair_s": round(per, 8),
         "executed_tflops": round(executed / per / 1e12, 2),
         "useful_tflops": round(useful / per / 1e12, 2),
@@ -177,7 +182,8 @@ def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
 
 
 def measure_xla(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
-                word_length: int, runs: int, nb_pair=(256, 1024)) -> dict:
+                word_length: int, runs: int, nb_pair=(256, 1024),
+                rsel: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -196,7 +202,7 @@ def measure_xla(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
                 data, chunk, u, jnp.int32(1),
                 tile=tile, cap_row=16, cap_total=cap_total,
                 metric="hamming_mxu", max_dist_static=1,
-                word_length=word_length)
+                word_length=word_length, rsel=rsel)
             return int(jax.device_get(out[2]))
 
         return _best(run, runs)
@@ -206,7 +212,7 @@ def measure_xla(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
     per = (t2 - t1) / (n2 - n1)
     flops = 2.0 * (4 * word_length) * tile * tile
     return {
-        "engine": "xla_mxu_scan", "tile": tile,
+        "engine": "xla_mxu_scan", "tile": tile, "rsel": rsel,
         "time_per_pair_s": round(per, 8),
         "executed_tflops": round(flops / per / 1e12, 2),
         "useful_tflops": round(flops / per / 1e12, 2),
@@ -221,6 +227,9 @@ def main() -> int:
     p.add_argument("--bm", type=int, default=256)
     p.add_argument("--word-length", type=int, default=24)
     p.add_argument("--runs", type=int, default=4)
+    p.add_argument("--rsel", type=int, default=None,
+                   help="row-selection cap for the compaction epilogue "
+                        "(production default: neighbors._RSEL_START)")
     p.add_argument("--engines", default="pallas,xla,matmul")
     args = p.parse_args()
 
@@ -243,11 +252,13 @@ def main() -> int:
         elif eng == "pallas":
             rec = measure_pallas(
                 packed, pairs, tile=args.tile, bm=args.bm,
-                word_length=args.word_length, runs=args.runs)
+                word_length=args.word_length, runs=args.runs,
+                rsel=args.rsel)
         elif eng == "xla":
             rec = measure_xla(
                 packed, pairs, tile=args.tile,
-                word_length=args.word_length, runs=args.runs)
+                word_length=args.word_length, runs=args.runs,
+                rsel=args.rsel)
         else:
             raise SystemExit(f"unknown engine {eng!r}")
         rec["backend"] = backend
