@@ -50,10 +50,10 @@ LAST_DECISION: dict = {}
 #: scan_tile_pairs ``rsel``).  The TPU scatter costs ~15 ns/element no
 #: matter how sparse the matches, so selecting the <= rsel matched rows
 #: per tile pair before scattering cuts the epilogue ~tile/rsel-fold
-#: (microbenchmarked 501 -> 15.8 us/pair at rsel=64, tile=1024 on v5e).
+#: (end-to-end sweep 544 -> 31 us/pair at rsel=16, tile=2048 on v5e).
 #: Overflow (a tile pair with more matched rows) is detected via
 #: counts[:, 2] and retried with rsel grown to the observed max.
-_RSEL_START = 64
+_RSEL_START = 16
 
 
 def _note_strategy(strategy: str) -> None:
@@ -383,21 +383,30 @@ def _chunked_run(launch, pairs_raw, tile: int):
             f"int32-safety invariant (tile^2 must be <= 2^30)")
     chunk_nb = max(1, (1 << 30) // (tile * tile))
 
-    def run(cr, ct, rsel=None):
+    def run(cr, ct):
         outs_a, outs_b, counts = [], [], []
+        # Row-selection ladder, handled PER CHUNK: a chunk whose
+        # matched-row count exceeds rsel under-reported, so only that
+        # chunk relaunches with rsel grown to the observed max (sticky
+        # for later chunks — density persists).  Sorted fingerprints
+        # concentrate matches in near-diagonal tiles, so most chunks
+        # sail through at the cheap starting cap while a dense diagonal
+        # chunk escalates alone, never invalidating completed chunks.
+        rsel = _RSEL_START if _RSEL_START and _RSEL_START < tile else None
         for lo in range(0, len(pairs_raw), chunk_nb):
             chunk = _pad_pairs(pairs_raw[lo:lo + chunk_nb, :2])
-            oa, ob, t, c = launch(chunk, cr, ct, rsel)
-            t, c = jax.device_get((t, c))
-            t = int(t)
+            while True:
+                oa, ob, t, c = launch(chunk, cr, ct, rsel)
+                t, c = jax.device_get((t, c))
+                t = int(t)
+                if rsel is not None:
+                    sel_max = int(c[:, 2].max(initial=0))
+                    if sel_max > rsel:
+                        grown = 1 << (sel_max - 1).bit_length()
+                        rsel = grown if grown < tile else None
+                        continue
+                break
             counts.append(c)
-            if (rsel is not None and c.shape[1] > 2
-                    and int(c[:, 2].max(initial=0)) > rsel):
-                # Row-selection overflow: this chunk under-reported;
-                # let the retry loop grow rsel before paying for the
-                # remaining chunks.
-                return (np.zeros(0, np.int32), np.zeros(0, np.int32), 0,
-                        np.concatenate(counts))
             if t > ct:
                 # Chunk overflowed the output buffer: report its true
                 # total so the retry loop grows cap_total and reruns.
@@ -469,26 +478,18 @@ def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
     return _chunked_run(launch, pairs_np, tile)
 
 
-def _extract_with_retry(run, u, b, cap_row, cap_total, rsel=None):
+def _extract_with_retry(run, u, b, cap_row, cap_total):
     """Run the capacity-retry loop around a scan launcher.
 
-    ``run(cap_row, cap_total, rsel)`` -> (out_a, out_b, total, counts).
-    ``rsel`` starts the row-selection ladder (None = exact, no
-    selection); a chunk whose matched-row count exceeds it grows rsel
-    toward the exact path (checked FIRST — an overflowing chunk's
-    written total under-reports, so the other checks would read lies).
+    ``run(cap_row, cap_total)`` -> (out_a, out_b, total, counts).
+    (Row-selection overflow never reaches this loop — the chunked
+    launchers resolve their rsel ladder per chunk.)
     Returns (a, b) int64 sorted by (a, b).
     """
     while True:
-        out_a, out_b, total, counts = run(cap_row, cap_total, rsel)
+        out_a, out_b, total, counts = run(cap_row, cap_total)
         total_h, counts_h = jax.device_get((total, counts))
         total_h = int(total_h)
-        if rsel is not None and counts_h.shape[1] > 2:
-            sel_max = int(counts_h[:, 2].max(initial=0))
-            if sel_max > rsel:
-                grown = 1 << (sel_max - 1).bit_length()
-                rsel = grown if grown < b else None
-                continue
         row_max = int(counts_h[:, 1].max(initial=0))
         if row_max > cap_row:
             cap_row = min(1 << (row_max - 1).bit_length(), b)
@@ -726,8 +727,7 @@ def find_neighbor_pairs(
         run = _xla_chunked_run(data, pairs_raw, u, max_dist, tile=b,
                                metric=metric, word_length=word_length)
 
-    return _extract_with_retry(run, u, b, cap_row, cap_total,
-                               rsel=_RSEL_START)
+    return _extract_with_retry(run, u, b, cap_row, cap_total)
 
 
 def _segment_run_ids(packed: np.ndarray, word_length: int, n_seg: int):
@@ -1053,8 +1053,7 @@ def _big_run_pairs(packed, big_parts, max_dist, *, word_length, tile,
                            metric=metric, word_length=word_length,
                            ids=rid_all)
 
-    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total,
-                                 rsel=_RSEL_START)
+    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
     # Stacked permuted positions -> original unique-word indices,
     # indexing each partition's order array directly (no [P, U] stack).
     ga = np.empty(len(pa), np.int64)
@@ -1431,8 +1430,7 @@ def find_neighbor_pairs_bucketed(
                                metric=metric, word_length=word_length,
                                ids=rid_all)
 
-    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total,
-                                 rsel=_RSEL_START)
+    pa, pb = _extract_with_retry(run, u, b, cap_row, cap_total)
     # Stacked permuted positions -> original unique-word indices.
     ga = orders[pa // u_pad, pa % u_pad]
     gb = orders[pb // u_pad, pb % u_pad]
