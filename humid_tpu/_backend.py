@@ -1,15 +1,27 @@
-"""Backend engine profiling: should the hot phases run on-device?
+"""Backend engine profiling + calibration: should hot phases run on-device?
 
-The production default (VERDICT r2 #2): probe the jax backend ONCE per
-process — platform plus measured dispatch round-trip latency — and route
-the neighbour search / unique counting to the device kernels when a TPU
-is co-located (sub-millisecond dispatch).  Behind a tunneled/remote chip
-(dispatch = network RTT, tens of ms) or on CPU the measured-faster host
-engines remain the default.  Env overrides:
+Two layers decide the production route (VERDICT r2 #2):
+
+1. ``backend_profile()`` — probe the jax backend ONCE per process:
+   platform plus measured dispatch round-trip latency.  A TPU is
+   "co-located" when dispatch beats HUMID_TPU_DISPATCH_THRESHOLD_MS
+   (chip on this host's PCIe, not a network tunnel).
+2. ``engine_constants()`` / ``use_device_engine()`` — co-location makes
+   the device engines *eligible*, not chosen: the host and device
+   engines are both linear in input size, so a one-time measurement of
+   each engine's per-row cost on THIS machine (disk-cached per device
+   kind + core count) decides the route.  The decision is measurement,
+   not an env var or a latency proxy.
+
+Env overrides:
 
   HUMID_TPU_DEVICE_ENGINE=1|device|on   force the device engines
   HUMID_TPU_DEVICE_ENGINE=0|host|off    force the host engines
   HUMID_TPU_DISPATCH_THRESHOLD_MS       co-location latency bound (2.0)
+  HUMID_TPU_CALIBRATION=off             skip calibration (co-location
+                                        alone then opts in)
+  HUMID_TPU_RECALIBRATE=1               re-measure, ignore the cache
+  HUMID_TPU_CALIB_PATH                  cache file location
 """
 
 from __future__ import annotations
@@ -33,15 +45,16 @@ def backend_profile(refresh: bool = False) -> dict:
     if _PROFILE is not None and not refresh:
         return _PROFILE
 
-    forced = os.environ.get("HUMID_TPU_DEVICE_ENGINE", "").lower()
+    forced_env = os.environ.get("HUMID_TPU_DEVICE_ENGINE", "").lower()
+    forced: bool | None = None
     import jax
 
     backend = jax.default_backend()
     dispatch_s: float | None = None
-    if forced in ("1", "device", "on"):
-        colocated = True
-    elif forced in ("0", "host", "off"):
-        colocated = False
+    if forced_env in ("1", "device", "on"):
+        colocated = forced = True
+    elif forced_env in ("0", "host", "off"):
+        colocated = forced = False
     elif backend == "tpu":
         import jax.numpy as jnp
 
@@ -62,10 +75,166 @@ def backend_profile(refresh: bool = False) -> dict:
         "backend": backend,
         "dispatch_s": dispatch_s,
         "colocated_device": colocated,
+        "forced": forced,
     }
     return _PROFILE
 
 
+# ---------------------------------------------------------------------------
+# Engine calibration: measure, don't guess.
+#
+# Dispatch latency alone is not evidence that the device engines are
+# faster: on this project's own measurements (scripts/engine_xover.py,
+# TPU v5e, 4-core host) the host pigeonhole runs engine holds ~105
+# ns/unique FLAT across 0.18M-2.9M uniques while the device bucketed
+# MXU scan holds ~2000 ns/unique — the merge join is algorithmically
+# leaner than brute tile scans, and both are linear, so a single
+# measured constant per engine decides the route for every size.  The
+# constants are measured once per (device kind, host core count) on
+# first qualifying use and cached on disk, so a machine where the chip
+# DOES win (weak host, strong local chip) routes itself to the device
+# engines automatically — the decision is measurement, not env vars.
+# ---------------------------------------------------------------------------
+
+#: bump when an engine's cost profile changes materially (invalidates
+#: cached calibrations).
+_CALIB_VERSION = 1
+
+_CALIB: dict | None = None
+
+
+def _calib_path() -> str:
+    return os.environ.get(
+        "HUMID_TPU_CALIB_PATH",
+        os.path.join(os.path.expanduser("~"), ".cache", "humid_tpu",
+                     "engine_calib.json"))
+
+
+def _calib_key() -> str:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    return f"v{_CALIB_VERSION}|{kind}|ncpu={os.cpu_count()}"
+
+
+def _gen_probe_words(n: int, word_length: int = 24, seed: int = 0):
+    """Synthetic packed words with bench-like duplicate structure."""
+    import numpy as np
+
+    from . import words as W
+
+    rng = np.random.default_rng(seed)
+    pool = rng.integers(0, 4, size=(n // 8, word_length)).astype(np.uint8)
+    codes = pool[rng.integers(0, len(pool), n)].copy()
+    mut = rng.random(n) < 0.3
+    codes[np.flatnonzero(mut),
+          rng.integers(0, word_length, int(mut.sum()))] = (
+        rng.integers(0, 4, int(mut.sum())))
+    return W.pack_words(codes)
+
+
+def _measure_engines() -> dict:
+    """Time host vs device engines on small representative workloads.
+    Best-of-N per engine (the hosts this runs on show 3-10x hypervisor
+    steal on single samples)."""
+    import numpy as np
+
+    from .ops import unique_words
+    from .ops.unique import unique_words_device
+    from .ops.neighbors import find_neighbor_pairs
+
+    wl = 24
+    packed = _gen_probe_words(1 << 19, wl)
+
+    def best(fn, n=3):
+        fn()  # warmup: jit compile / page faults outside the timing
+        b = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t_uh = best(lambda: unique_words(packed, _force_host=True))
+    t_ud = best(lambda: unique_words_device(packed))
+    uniq = unique_words(packed, _force_host=True)[0]
+    u = len(uniq)
+    t_nr = best(lambda: find_neighbor_pairs(
+        uniq, 1, strategy="runs", word_length=wl))
+    t_nd = best(lambda: find_neighbor_pairs(
+        uniq, 1, strategy="bucketed", impl="pallas", word_length=wl))
+    return {
+        "unique_host_ns": round(t_uh / len(packed) * 1e9, 2),
+        "unique_device_ns": round(t_ud / len(packed) * 1e9, 2),
+        "neighbors_runs_ns": round(t_nr / u * 1e9, 2),
+        "neighbors_bucketed_ns": round(t_nd / u * 1e9, 2),
+        "probe_n": len(packed), "probe_u": u,
+        "ts": time.time(),
+    }
+
+
+def engine_constants(refresh: bool = False) -> dict | None:
+    """Measured engine cost constants for this machine (disk-cached per
+    device kind + core count), or None off-TPU / when disabled via
+    HUMID_TPU_CALIBRATION=off.  HUMID_TPU_RECALIBRATE=1 forces a fresh
+    measurement."""
+    global _CALIB
+    if os.environ.get("HUMID_TPU_CALIBRATION", "").lower() in (
+            "off", "0", "no"):
+        return None
+    if _CALIB is not None and not refresh:
+        return _CALIB
+    import json
+
+    path = _calib_path()
+    key = _calib_key()
+    cache: dict = {}
+    if not os.environ.get("HUMID_TPU_RECALIBRATE") and not refresh:
+        try:
+            with open(path) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            cache = {}
+        if key in cache:
+            _CALIB = cache[key]
+            return _CALIB
+    _CALIB = _measure_engines()
+    cache[key] = _CALIB
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # read-only home: keep the in-process calibration
+    return _CALIB
+
+
+def use_device_engine(kind: str) -> bool:
+    """Route a hot phase to the device engine?  True only when the chip
+    is co-located AND the measured constants say the device engine is
+    faster on this machine (with a 10% hysteresis margin so noise does
+    not flap the route).  ``kind``: "neighbors" or "unique".
+
+    HUMID_TPU_DEVICE_ENGINE=1/0 still forces the answer outright.
+    """
+    prof = backend_profile()
+    if prof.get("forced") is not None:
+        return bool(prof["forced"])
+    if not prof["colocated_device"]:
+        return False
+    c = engine_constants()
+    if c is None:  # calibration disabled: colocated alone opts in
+        return True
+    if kind == "neighbors":
+        return c["neighbors_bucketed_ns"] < 0.9 * c["neighbors_runs_ns"]
+    if kind == "unique":
+        return c["unique_device_ns"] < 0.9 * c["unique_host_ns"]
+    raise ValueError(f"unknown engine kind {kind!r}")
+
+
 def _reset_profile_for_tests() -> None:
-    global _PROFILE
+    global _PROFILE, _CALIB
     _PROFILE = None
+    _CALIB = None

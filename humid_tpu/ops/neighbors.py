@@ -591,15 +591,22 @@ def find_neighbor_pairs(
             metric == "hamming" and max_dist >= 1
             and word_length is not None and u > runs_threshold
         ):
-            # Production engine choice (VERDICT r2 #2): on a co-located
-            # TPU the pigeonhole-bucketed device scan (Pallas sweep via
-            # _resolve_metric) carries the hot phase; on CPU or behind a
-            # tunneled chip the host runs engine stays the measured
-            # default.
-            from .._backend import backend_profile
+            # Production engine choice (VERDICT r2 #2): routed by the
+            # MEASURED per-unique cost of both engines on this machine
+            # (calibrated once per device kind + core count, cached on
+            # disk — humid_tpu._backend.use_device_engine), gated on a
+            # co-located chip.  Host shards (multi-host runs) pin the
+            # host runs engine: the engine choice partitions the pair
+            # set differently per engine (hashed runs vs striped
+            # tiles), so it must be identical on every host, and
+            # per-host calibration constants are not.
+            if shard is not None:
+                strategy = "runs"
+            else:
+                from .._backend import use_device_engine
 
-            strategy = ("bucketed" if backend_profile()["colocated_device"]
-                        else "runs")
+                strategy = ("bucketed" if use_device_engine("neighbors")
+                            else "runs")
         elif (
             max_dist >= 1 and u > runs_threshold
             and word_length is not None

@@ -62,7 +62,8 @@ def _stable_argsort_u64(key: np.ndarray) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
-def unique_words(packed: np.ndarray, want_inverse: bool = True):
+def unique_words(packed: np.ndarray, want_inverse: bool = True,
+                 _force_host: bool = False):
     """Group identical fingerprints.
 
     Args:
@@ -71,6 +72,8 @@ def unique_words(packed: np.ndarray, want_inverse: bool = True):
         caller doesn't need per-read labels (dedup-only runs) — the
         random-scatter inverse write is a large share of unique time at
         WGS scale.
+      _force_host: bypass the engine router (used by the router's own
+        calibration probe, humid_tpu._backend._measure_engines).
 
     Returns:
       uniq:       [U, W] uint32, ascending lexicographic order.
@@ -93,15 +96,17 @@ def unique_words(packed: np.ndarray, want_inverse: bool = True):
     import os as _os
 
     env = _os.environ.get("HUMID_TPU_UNIQUE")
-    if env == "device":
+    if env == "device" and not _force_host:
         return unique_words_device(packed, want_inverse)
-    if env != "host" and n > (1 << 16):
-        # Production engine choice (VERDICT r2 #2): a co-located TPU's
-        # HBM sort bandwidth beats the host radix sort at scale; behind
-        # a tunnel or on CPU the host path stays the measured default.
-        from .._backend import backend_profile
+    if env != "host" and not _force_host and n > (1 << 16):
+        # Production engine choice (VERDICT r2 #2): routed by MEASURED
+        # per-row cost of both engines on this machine (calibrated once
+        # per device kind + core count, humid_tpu._backend), gated on a
+        # co-located chip.  Behind a tunnel or on CPU the host path is
+        # the default.
+        from .._backend import use_device_engine
 
-        if backend_profile()["colocated_device"]:
+        if use_device_engine("unique"):
             return unique_words_device(packed, want_inverse)
     # Stable sort in lane-lexicographic order.  For <= 2 lanes a single
     # uint64 key suffices, and the fused native path does sort + group

@@ -48,18 +48,101 @@ def test_auto_picks_runs_on_host_backend():
     assert nbmod.LAST_DECISION["strategy"] == "runs"
 
 
-def test_auto_picks_bucketed_when_colocated(monkeypatch):
-    """Same pairs, device strategy, when the probe reports co-location."""
+_DEVICE_WINS = {
+    "unique_host_ns": 100.0, "unique_device_ns": 10.0,
+    "neighbors_runs_ns": 1000.0, "neighbors_bucketed_ns": 100.0,
+}
+_HOST_WINS = {
+    "unique_host_ns": 10.0, "unique_device_ns": 100.0,
+    "neighbors_runs_ns": 100.0, "neighbors_bucketed_ns": 1000.0,
+}
+
+
+def _set_profile(monkeypatch, colocated, calib=None, forced=None):
+    monkeypatch.setitem(
+        B.__dict__, "_PROFILE",
+        {"backend": "cpu", "dispatch_s": 1e-4,
+         "colocated_device": colocated, "forced": forced})
+    monkeypatch.setitem(B.__dict__, "_CALIB", calib)
+
+
+def test_auto_picks_bucketed_when_calibration_favors_device(monkeypatch):
+    """Same pairs, device strategy, when the chip is co-located AND the
+    measured constants say the device engine wins."""
     uniq = _rand_packed(6000, seed=1)
     assert len(uniq) > 2048
     ra, rb = find_neighbor_pairs(uniq, 1, word_length=24, strategy="runs")
-    monkeypatch.setitem(
-        B.__dict__, "_PROFILE",
-        {"backend": "cpu", "dispatch_s": 1e-4, "colocated_device": True})
+    _set_profile(monkeypatch, True, _DEVICE_WINS)
     ba, bb = find_neighbor_pairs(uniq, 1, word_length=24, strategy="auto")
     assert nbmod.LAST_DECISION["strategy"] == "bucketed"
     np.testing.assert_array_equal(ra, ba)
     np.testing.assert_array_equal(rb, bb)
+
+
+def test_auto_keeps_runs_when_calibration_favors_host(monkeypatch):
+    """Co-located chip alone is NOT evidence: measured constants rule."""
+    uniq = _rand_packed(6000, seed=5)
+    _set_profile(monkeypatch, True, _HOST_WINS)
+    find_neighbor_pairs(uniq, 1, word_length=24, strategy="auto")
+    assert nbmod.LAST_DECISION["strategy"] == "runs"
+
+
+def test_auto_sharded_pins_host_engine(monkeypatch):
+    """Host shards must all pick the same engine regardless of per-host
+    calibration (hashed-runs vs striped-tiles partition the pair set
+    differently), so auto pins runs under ``shard``."""
+    uniq = _rand_packed(6000, seed=6)
+    _set_profile(monkeypatch, True, _DEVICE_WINS)
+    find_neighbor_pairs(uniq, 1, word_length=24, strategy="auto",
+                        shard=(0, 2))
+    assert nbmod.LAST_DECISION["strategy"] == "runs"
+
+
+def test_forced_device_engine_skips_calibration(monkeypatch):
+    uniq = _rand_packed(6000, seed=7)
+    _set_profile(monkeypatch, True, _HOST_WINS, forced=True)
+    find_neighbor_pairs(uniq, 1, word_length=24, strategy="auto")
+    assert nbmod.LAST_DECISION["strategy"] == "bucketed"
+
+
+def test_engine_constants_disk_cache(monkeypatch, tmp_path):
+    """engine_constants round-trips through the per-machine cache file
+    without re-measuring."""
+    path = tmp_path / "calib.json"
+    monkeypatch.setenv("HUMID_TPU_CALIB_PATH", str(path))
+    import json
+
+    key = B._calib_key()
+    path.write_text(json.dumps({key: dict(_HOST_WINS, ts=0.0)}))
+    monkeypatch.setitem(B.__dict__, "_CALIB", None)
+    c = B.engine_constants()
+    assert c["neighbors_runs_ns"] == 100.0
+    # and the comparator reads them
+    monkeypatch.setitem(
+        B.__dict__, "_PROFILE",
+        {"backend": "cpu", "dispatch_s": 1e-4,
+         "colocated_device": True, "forced": None})
+    assert B.use_device_engine("neighbors") is False
+    assert B.use_device_engine("unique") is False
+
+
+def test_calibration_measures_and_persists(monkeypatch, tmp_path):
+    """A missing cache entry triggers a real (tiny) measurement whose
+    result is written to disk and favors SOME engine for both phases."""
+    path = tmp_path / "calib.json"
+    monkeypatch.setenv("HUMID_TPU_CALIB_PATH", str(path))
+    monkeypatch.setitem(B.__dict__, "_CALIB", None)
+    # shrink the probe so the test stays fast
+    monkeypatch.setattr(
+        B, "_gen_probe_words",
+        lambda n, word_length=24, seed=0: _rand_packed(4096, word_length))
+    c = B.engine_constants()
+    assert c["neighbors_runs_ns"] > 0 and c["neighbors_bucketed_ns"] > 0
+    assert c["unique_host_ns"] > 0 and c["unique_device_ns"] > 0
+    import json
+
+    on_disk = json.loads(path.read_text())
+    assert B._calib_key() in on_disk
 
 
 def test_auto_small_input_stays_dense(monkeypatch):
@@ -81,8 +164,8 @@ def test_env_strategy_beats_profile(monkeypatch):
     assert nbmod.LAST_DECISION["strategy"] == "runs"
 
 
-def test_unique_auto_device_when_colocated(monkeypatch):
-    """unique_words folds the same co-location decision in: identical
+def test_unique_auto_device_when_calibration_favors_device(monkeypatch):
+    """unique_words folds the same measured decision in: identical
     output through the device path above the size gate."""
     rng = np.random.default_rng(4)
     codes = rng.integers(0, 4, size=(70_000, 24)).astype(np.uint8)
@@ -90,9 +173,7 @@ def test_unique_auto_device_when_colocated(monkeypatch):
     # duplicate some rows so counts differ from all-ones
     packed[1::3] = packed[0::3][: len(packed[1::3])]
     host = unique_words(packed)
-    monkeypatch.setitem(
-        B.__dict__, "_PROFILE",
-        {"backend": "cpu", "dispatch_s": 1e-4, "colocated_device": True})
+    _set_profile(monkeypatch, True, _DEVICE_WINS)
     dev = unique_words(packed)
     for h, d in zip(host, dev):
         np.testing.assert_array_equal(h, d)
