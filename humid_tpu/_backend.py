@@ -98,7 +98,7 @@ def backend_profile(refresh: bool = False) -> dict:
 
 #: bump when an engine's cost profile changes materially (invalidates
 #: cached calibrations).
-_CALIB_VERSION = 1
+_CALIB_VERSION = 2
 
 _CALIB: dict | None = None
 
@@ -157,17 +157,34 @@ def _measure_engines() -> dict:
 
     t_uh = best(lambda: unique_words(packed, _force_host=True))
     t_ud = best(lambda: unique_words_device(packed))
-    uniq = unique_words(packed, _force_host=True)[0]
+    uniq, counts = unique_words(packed, _force_host=True)[:2]
     u = len(uniq)
     t_nr = best(lambda: find_neighbor_pairs(
         uniq, 1, strategy="runs", word_length=wl))
     t_nd = best(lambda: find_neighbor_pairs(
         uniq, 1, strategy="bucketed", impl="pallas", word_length=wl))
+
+    # -x clustering: host exact flood fill vs device label propagation
+    # + bit-exact host finalize (the production device route in
+    # pipeline.cluster_dispatch).
+    from .ops import pairs_to_csr
+    from .cluster import connected_components_device
+    from .cluster.exact import cluster_exact, cluster_max_from_components
+
+    pa, pb = find_neighbor_pairs(uniq, 1, strategy="runs", word_length=wl)
+    indptr, indices = pairs_to_csr(pa, pb, u)
+    t_ch = best(lambda: cluster_exact(counts, indptr, indices,
+                                      maximum=True))
+    t_cd = best(lambda: cluster_max_from_components(
+        counts, indptr, indices,
+        connected_components_device(pa, pb, u)))
     return {
         "unique_host_ns": round(t_uh / len(packed) * 1e9, 2),
         "unique_device_ns": round(t_ud / len(packed) * 1e9, 2),
         "neighbors_runs_ns": round(t_nr / u * 1e9, 2),
         "neighbors_bucketed_ns": round(t_nd / u * 1e9, 2),
+        "cc_host_ns": round(t_ch / u * 1e9, 2),
+        "cc_device_ns": round(t_cd / u * 1e9, 2),
         "probe_n": len(packed), "probe_u": u,
         "ts": time.time(),
     }
@@ -215,7 +232,8 @@ def use_device_engine(kind: str) -> bool:
     """Route a hot phase to the device engine?  True only when the chip
     is co-located AND the measured constants say the device engine is
     faster on this machine (with a 10% hysteresis margin so noise does
-    not flap the route).  ``kind``: "neighbors" or "unique".
+    not flap the route).  ``kind``: "neighbors", "unique" or "cc"
+    (the -x connected-components route in pipeline.cluster_dispatch).
 
     HUMID_TPU_DEVICE_ENGINE=1/0 still forces the answer outright.
     """
@@ -227,11 +245,15 @@ def use_device_engine(kind: str) -> bool:
     c = engine_constants()
     if c is None:  # calibration disabled: colocated alone opts in
         return True
-    if kind == "neighbors":
-        return c["neighbors_bucketed_ns"] < 0.9 * c["neighbors_runs_ns"]
-    if kind == "unique":
-        return c["unique_device_ns"] < 0.9 * c["unique_host_ns"]
-    raise ValueError(f"unknown engine kind {kind!r}")
+    keys = {"neighbors": ("neighbors_bucketed_ns", "neighbors_runs_ns"),
+            "unique": ("unique_device_ns", "unique_host_ns"),
+            "cc": ("cc_device_ns", "cc_host_ns")}
+    if kind not in keys:
+        raise ValueError(f"unknown engine kind {kind!r}")
+    dev_k, host_k = keys[kind]
+    if dev_k not in c or host_k not in c:  # stale cache: re-measure
+        c = engine_constants(refresh=True)
+    return c[dev_k] < 0.9 * c[host_k]
 
 
 def _reset_profile_for_tests() -> None:

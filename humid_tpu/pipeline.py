@@ -308,9 +308,9 @@ def cluster_dispatch(counts, indptr, indices, *, maximum: bool,
     host path everywhere.
     """
     if maximum and pairs is not None and len(counts) > device_threshold:
-        from ._backend import backend_profile
+        from ._backend import use_device_engine
 
-        if backend_profile()["colocated_device"]:
+        if use_device_engine("cc"):
             from .cluster import connected_components_device
             from .cluster.exact import cluster_max_from_components
 

@@ -51,10 +51,12 @@ def test_auto_picks_runs_on_host_backend():
 _DEVICE_WINS = {
     "unique_host_ns": 100.0, "unique_device_ns": 10.0,
     "neighbors_runs_ns": 1000.0, "neighbors_bucketed_ns": 100.0,
+    "cc_host_ns": 100.0, "cc_device_ns": 10.0,
 }
 _HOST_WINS = {
     "unique_host_ns": 10.0, "unique_device_ns": 100.0,
     "neighbors_runs_ns": 100.0, "neighbors_bucketed_ns": 1000.0,
+    "cc_host_ns": 10.0, "cc_device_ns": 100.0,
 }
 
 
@@ -124,6 +126,7 @@ def test_engine_constants_disk_cache(monkeypatch, tmp_path):
          "colocated_device": True, "forced": None})
     assert B.use_device_engine("neighbors") is False
     assert B.use_device_engine("unique") is False
+    assert B.use_device_engine("cc") is False
 
 
 def test_calibration_measures_and_persists(monkeypatch, tmp_path):
@@ -139,6 +142,7 @@ def test_calibration_measures_and_persists(monkeypatch, tmp_path):
     c = B.engine_constants()
     assert c["neighbors_runs_ns"] > 0 and c["neighbors_bucketed_ns"] > 0
     assert c["unique_host_ns"] > 0 and c["unique_device_ns"] > 0
+    assert c["cc_host_ns"] > 0 and c["cc_device_ns"] > 0
     import json
 
     on_disk = json.loads(path.read_text())
