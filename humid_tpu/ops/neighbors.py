@@ -466,9 +466,11 @@ def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
         rows.T.reshape(w * (n // 128), 128))
     data = jnp.asarray(lanemaj)
 
+    from .pallas_hamming import group_pairs
+
     def launch(chunk, cr, ct, rsel):
         return pallas_all_pairs(
-            data, jnp.asarray(chunk),
+            data, jnp.asarray(chunk), jnp.asarray(group_pairs(chunk)),
             jnp.int32(part_stride), jnp.int32(part_valid),
             jnp.int32(max_dist),
             tile=tile, cap_row=cr, cap_total=ct, w=w,

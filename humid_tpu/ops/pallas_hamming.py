@@ -50,14 +50,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref,
+def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
             counts_ref, topv_ref, lanes_r_v, lanes_c_v, oht_r_ref,
-            oht_c_ref, sems, *, bm: int, tile: int, cap_row: int, w: int,
-            rows_per_lane: int):
-    n = pl.program_id(0)
-    ti = pairs_ref[n, 0]
-    tj = pairs_ref[n, 1]
-    on = pairs_ref[n, 2]
+            oht_c_ref, counts_v, topv_v, sems, *, bm: int, tile: int,
+            cap_row: int, w: int, rows_per_lane: int):
+    """Row-grouped sweep: one grid step per ROW tile, a dynamic inner
+    loop over that row's column partners (the pair list is i-major, so
+    `group_pairs` turns it into (ti, start, count) spans).  The row-side
+    DMA and one-hot build are paid once per group instead of once per
+    pair, and per-grid-step machinery amortizes over the whole group —
+    the per-pair skeleton was ~17 us of a ~30 us/pair kernel.
+
+    Outputs live in ANY (HBM) and are written per pair by manual DMA at
+    the dynamic pair index from one VMEM staging slot; the copy's
+    in-flight window overlaps the NEXT pair's column DMA + one-hot
+    build, and is drained just before the staging slot is rewritten.
+
+    topv is stored TRANSPOSED, [nb, cap_row, tile]: a manual HBM DMA
+    needs the minor dim 128-aligned (Mosaic rejects a [1, tile, 16]
+    slice), and tile is a multiple of 128 while cap_row is not.
+    """
+    g = pl.program_id(0)
+    ti = groups_ref[g, 0]
+    start = groups_ref[g, 1]
+    cnt = groups_ref[g, 2]
     part_stride = glob_ref[0, 0]
     part_valid = glob_ref[0, 1]
     max_dist = glob_ref[0, 2]
@@ -68,137 +84,214 @@ def _kernel(pairs_ref, glob_ref, data_r_ref, data_c_ref,
 
     sub = tile // 128  # 128-word groups per tile
 
-    # Lane-major layout: data[l*rows_per_lane + r, c] = lane l of word
-    # r*128 + c.  One DMA per (side, lane); every slice is [sub, 128].
-    copies = []
-    for l in range(w):
-        cr = pltpu.make_async_copy(
-            data_r_ref.at[pl.ds(l * rows_per_lane + ti * sub, sub), :],
-            lanes_r_v.at[l * sub:(l + 1) * sub, :], sems.at[2 * l],
+    def out_copies(idx):
+        """Descriptors for the staging-slot -> HBM copies of pair
+        ``idx`` (wait() only needs matching shapes, so a descriptor
+        rebuilt at a different idx drains an earlier same-shape copy)."""
+        return (
+            pltpu.make_async_copy(
+                counts_v, counts_ref.at[pl.ds(idx, 1)], sems.at[2 * w]),
+            pltpu.make_async_copy(
+                topv_v, topv_ref.at[pl.ds(idx, 1)], sems.at[2 * w + 1]),
         )
-        cc = pltpu.make_async_copy(
-            data_c_ref.at[pl.ds(l * rows_per_lane + tj * sub, sub), :],
-            lanes_c_v.at[l * sub:(l + 1) * sub, :], sems.at[2 * l + 1],
-        )
-        cr.start()
-        cc.start()
-        copies.extend([cr, cc])
-    for c in copies:
-        c.wait()
 
-    # Build TRANSPOSED one-hots oht[feature, word] in VMEM: feature
-    # e = l*64 + pos*4 + sym; columns grouped in `sub` blocks of 128
-    # words.  All slices are static multiples of (8, 128).
-    shift = 2 * (15 - (jax.lax.broadcasted_iota(
-        jnp.int32, (64, 128), 0) // 4))
-    sym = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0) % 4
-    for l in range(w):
-        for r in range(sub):
-            vr = lanes_r_v[l * sub + r:l * sub + r + 1, :].astype(
-                jnp.int32)
-            vc = lanes_c_v[l * sub + r:l * sub + r + 1, :].astype(
-                jnp.int32)
-            br = jnp.broadcast_to(vr, (64, 128))
-            bc = jnp.broadcast_to(vc, (64, 128))
-            oht_r_ref[l * 64:(l + 1) * 64, r * 128:(r + 1) * 128] = (
-                (jax.lax.shift_right_logical(br, shift) & 3) == sym
-            ).astype(jnp.bfloat16)
-            oht_c_ref[l * 64:(l + 1) * 64, r * 128:(r + 1) * 128] = (
-                (jax.lax.shift_right_logical(bc, shift) & 3) == sym
-            ).astype(jnp.bfloat16)
-
-    cols_oht = oht_c_ref[...]                           # [64w, tile]
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 1)
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 0)
-    is_upper = upper_only > 0
-    n_bases = 16 * w  # includes constant phantom matches beyond L
-
-    # All index masks reduce to scalar comparisons against hoisted iotas:
-    # part_stride is a multiple of tile by construction (partitions are
-    # padded to whole tiles and tile pairs never straddle partitions), so
-    # (lr % part_stride) < part_valid becomes iota_r < scalar, and the
-    # upper/diagonal predicates on global ids become comparisons of the
-    # hoisted (iota_c - iota_r) against a per-block scalar.  The previous
-    # formulation ran integer mod + adds over [bm, tile] vectors per
-    # block, which cost ~21 us/pair of a 48 us/pair kernel (v5e bisect).
-    diff_cr = iota_c - iota_r
-    row_off0 = (ti * tile) % part_stride                # scalar (SMEM)
-    col_lim = part_valid - (tj * tile) % part_stride
-    base_delta = (col_base + tj * tile) - (row_base + ti * tile)
-    gate = (enabled > 0) & (on > 0)
-
-    # fori_loops, not Python loops: an unrolled body (sub x cap_row
-    # argmax steps) explodes the Mosaic IR and hangs the AOT compiler.
-    def block_body(b, _):
-        a = oht_r_ref[:, pl.ds(b * bm, bm)]             # [64w, bm]
-        matches = jax.lax.dot_general(
-            a, cols_oht, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                               # [bm, tile]
-        dist = (n_bases - matches).astype(jnp.int32)
-        row_lim = part_valid - row_off0 - b * bm
-        nd = b * bm - base_delta                        # gc>gr <=> diff>nd
-        mask = dist <= max_dist
-        mask &= iota_r < row_lim
-        mask &= iota_c < col_lim
-        # No select over i1 vectors on Mosaic; boolean algebra instead.
-        mask &= ((diff_cr > nd) & is_upper) | ((diff_cr != nd) & ~is_upper)
-        mask &= gate
-
-        rowcnt = mask.sum(axis=1, dtype=jnp.int32)
-        counts_ref[0, 0, pl.ds(b * bm, bm)] = rowcnt
-
-        # Iterative masked argmax == top-k over unique column indices
-        # (LOCAL within the tile: 0..tile-1, -1 when exhausted).  The k
-        # results accumulate in a register carry (a dynamic lane-dim
-        # store is not provably 128-aligned) and store once per block.
-        # Blocks with no match at all skip extraction entirely — the
-        # consumer masks topv by the row counts, so stale topv memory is
-        # never read.
-        @pl.when(rowcnt.max() > 0)
-        def _extract():
-            iota_k = jax.lax.broadcasted_iota(
-                jnp.int32, (bm, cap_row), 1)
-
-            def k_body(k, carry):
-                vals, out = carry
-                best = vals.max(axis=1)          # [bm]
-                out = jnp.where(iota_k == k, best[:, None], out)
-                return jnp.where(vals == best[:, None], -1, vals), out
-
-            _, out = jax.lax.fori_loop(
-                0, cap_row, k_body,
-                (jnp.where(mask, iota_c, -1),
-                 jnp.full((bm, cap_row), -1, jnp.int32)),
+    @pl.when(cnt > 0)
+    def _group():
+        # Lane-major layout: data[l*rows_per_lane + r, c] = lane l of
+        # word r*128 + c.  One DMA per lane; every slice is [sub, 128].
+        rcopies = []
+        for l in range(w):
+            cr = pltpu.make_async_copy(
+                data_r_ref.at[pl.ds(l * rows_per_lane + ti * sub, sub),
+                              :],
+                lanes_r_v.at[l * sub:(l + 1) * sub, :], sems.at[2 * l],
             )
-            topv_ref[0, pl.ds(b * bm, bm), :] = out
+            cr.start()
+            rcopies.append(cr)
+        for c in rcopies:
+            c.wait()
 
-        return 0
+        # Build TRANSPOSED one-hots oht[feature, word] in VMEM: feature
+        # e = l*64 + pos*4 + sym; columns grouped in `sub` blocks of 128
+        # words.  All slices are static multiples of (8, 128).
+        shift = 2 * (15 - (jax.lax.broadcasted_iota(
+            jnp.int32, (64, 128), 0) // 4))
+        sym = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0) % 4
+        for l in range(w):
+            for r in range(sub):
+                vr = lanes_r_v[l * sub + r:l * sub + r + 1, :].astype(
+                    jnp.int32)
+                br = jnp.broadcast_to(vr, (64, 128))
+                oht_r_ref[l * 64:(l + 1) * 64,
+                          r * 128:(r + 1) * 128] = (
+                    (jax.lax.shift_right_logical(br, shift) & 3) == sym
+                ).astype(jnp.bfloat16)
 
-    jax.lax.fori_loop(0, tile // bm, block_body, 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 1)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 0)
+        is_upper = upper_only > 0
+        n_bases = 16 * w  # includes constant phantom matches beyond L
+
+        # All index masks reduce to scalar comparisons against hoisted
+        # iotas: part_stride is a multiple of tile by construction
+        # (partitions are padded to whole tiles and tile pairs never
+        # straddle partitions), so (lr % part_stride) < part_valid
+        # becomes iota_r < scalar, and the upper/diagonal predicates on
+        # global ids become comparisons of the hoisted (iota_c - iota_r)
+        # against a per-block scalar.  Per-element integer mods here
+        # measured ~21 us/pair of a 48 us/pair kernel (v5e bisect).
+        diff_cr = iota_c - iota_r
+        row_off0 = (ti * tile) % part_stride            # scalar (SMEM)
+
+        def pair_body(pi, _):
+            idx = start + pi
+            tj = pairs_ref[idx, 1]
+            on = pairs_ref[idx, 2]
+            ccopies = []
+            for l in range(w):
+                cc = pltpu.make_async_copy(
+                    data_c_ref.at[
+                        pl.ds(l * rows_per_lane + tj * sub, sub), :],
+                    lanes_c_v.at[l * sub:(l + 1) * sub, :],
+                    sems.at[2 * l + 1],
+                )
+                cc.start()
+                ccopies.append(cc)
+            for c in ccopies:
+                c.wait()
+            for l in range(w):
+                for r in range(sub):
+                    vc = lanes_c_v[
+                        l * sub + r:l * sub + r + 1, :].astype(jnp.int32)
+                    bc = jnp.broadcast_to(vc, (64, 128))
+                    oht_c_ref[l * 64:(l + 1) * 64,
+                              r * 128:(r + 1) * 128] = (
+                        (jax.lax.shift_right_logical(bc, shift) & 3)
+                        == sym
+                    ).astype(jnp.bfloat16)
+
+            cols_oht = oht_c_ref[...]                   # [64w, tile]
+            col_lim = part_valid - (tj * tile) % part_stride
+            base_delta = (col_base + tj * tile) - (row_base + ti * tile)
+            gate = (enabled > 0) & (on > 0)
+
+            # Drain the previous pair's output copies before rewriting
+            # the staging slot (their flight overlapped the col DMA +
+            # one-hot build above).
+            @pl.when(pi > 0)
+            def _drain():
+                for c in out_copies(idx - 1):
+                    c.wait()
+
+            # fori_loops, not Python loops: an unrolled body (sub x
+            # cap_row argmax steps) explodes the Mosaic IR and hangs
+            # the AOT compiler.
+            def block_body(b, _):
+                a = oht_r_ref[:, pl.ds(b * bm, bm)]     # [64w, bm]
+                matches = jax.lax.dot_general(
+                    a, cols_oht,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                       # [bm, tile]
+                dist = (n_bases - matches).astype(jnp.int32)
+                row_lim = part_valid - row_off0 - b * bm
+                nd = b * bm - base_delta           # gc>gr <=> diff>nd
+                mask = dist <= max_dist
+                mask &= iota_r < row_lim
+                mask &= iota_c < col_lim
+                # No select over i1 vectors on Mosaic; boolean algebra.
+                mask &= (((diff_cr > nd) & is_upper)
+                         | ((diff_cr != nd) & ~is_upper))
+                mask &= gate
+
+                rowcnt = mask.sum(axis=1, dtype=jnp.int32)
+                counts_v[0, 0, pl.ds(b * bm, bm)] = rowcnt
+
+                # Iterative masked argmax == top-k over unique column
+                # indices (LOCAL within the tile, -1 when exhausted).
+                # The k results accumulate in a register carry (a
+                # dynamic lane-dim store is not provably 128-aligned)
+                # and store once per block.  Blocks with no match skip
+                # extraction — stale staging memory is masked by the
+                # consumer via the row counts.
+                @pl.when(rowcnt.max() > 0)
+                def _extract():
+                    iota_k = jax.lax.broadcasted_iota(
+                        jnp.int32, (cap_row, bm), 0)
+
+                    def k_body(k, carry):
+                        vals, out = carry
+                        best = vals.max(axis=1)          # [bm]
+                        out = jnp.where(iota_k == k, best[None, :], out)
+                        return (jnp.where(vals == best[:, None], -1,
+                                          vals), out)
+
+                    _, out = jax.lax.fori_loop(
+                        0, cap_row, k_body,
+                        (jnp.where(mask, iota_c, -1),
+                         jnp.full((cap_row, bm), -1, jnp.int32)),
+                    )
+                    topv_v[0, :, pl.ds(b * bm, bm)] = out
+
+                return 0
+
+            jax.lax.fori_loop(0, tile // bm, block_body, 0)
+            for c in out_copies(idx):
+                c.start()
+            return 0
+
+        jax.lax.fori_loop(0, cnt, pair_body, 0)
+        # Drain the last pair's copies before the next grid step (which
+        # reuses the staging slot).
+        for c in out_copies(start + cnt - 1):
+            c.wait()
+
+
+def group_pairs(pairs_np: "np.ndarray") -> "np.ndarray":
+    """[nb, 3] i-major tile-pair list -> [ng_pad, 3] int32 groups
+    (ti, start, count): maximal spans of consecutive pairs sharing the
+    row tile.  Works (just amortizes less) on unsorted lists.  Padded
+    to a power of two with count-0 groups so grid lengths are bucketed
+    into few distinct compiles."""
+    import numpy as np
+
+    ti = pairs_np[:, 0]
+    cuts = np.flatnonzero(np.diff(ti) != 0) + 1
+    starts = np.concatenate([np.zeros(1, np.int64), cuts])
+    counts = np.diff(np.concatenate([starts, [len(ti)]]))
+    g = np.stack([ti[starts], starts, counts], axis=1).astype(np.int32)
+    ng = len(g)
+    ng_pad = 1 << max(0, (ng - 1).bit_length())
+    if ng_pad > ng:
+        g = np.concatenate([g, np.zeros((ng_pad - ng, 3), np.int32)])
+    return g
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("tile", "bm", "cap_row", "w", "interpret"))
 def hamming_pairs_sweep(
-    lanemaj, pairs, glob, *,
+    lanemaj, pairs, groups, glob, *,
     tile: int, bm: int = 256, cap_row: int = 16, w: int = 2,
     interpret: bool = False,
 ):
-    """Sweep a tile-pair list: -> (counts [nb, tile], topv [nb, tile, k]).
+    """Sweep a tile-pair list: -> (counts [nb, tile], topv [nb, k, tile]).
 
     lanemaj: [w * N/128, 128] uint32 — lane-major packed fingerprints:
       row l*(N/128) + r, column c holds lane l of word r*128 + c.
     pairs:   [nb, 3] int32 (tile_i, tile_j, on).
+    groups:  [ng, 3] int32 (tile_i, start, count) row-tile spans of the
+      pair list (:func:`group_pairs`); count-0 rows are padding.
     glob:    [1, 8] int32 scalars (see module docstring).
-    topv holds LOCAL column indices within the paired tile, -1 padded.
+    topv holds LOCAL column indices within the paired tile, -1 padded,
+    TRANSPOSED (k-major) so the manual HBM DMA's minor dim is tile.
     """
     nb = pairs.shape[0]
+    ng = groups.shape[0]
     rows_per_lane = lanemaj.shape[0] // w
     assert tile % bm == 0, (tile, bm)
     sub = tile // 128
-    grid = (nb,)
+    grid = (ng,)
     counts, topv = pl.pallas_call(
         functools.partial(
             _kernel, bm=bm, tile=tile, cap_row=cap_row, w=w,
@@ -208,33 +301,36 @@ def hamming_pairs_sweep(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile), lambda n: (n, 0, 0)),
-            pl.BlockSpec((1, tile, cap_row), lambda n: (n, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, 1, tile), jnp.int32),
-            jax.ShapeDtypeStruct((nb, tile, cap_row), jnp.int32),
+            jax.ShapeDtypeStruct((nb, cap_row, tile), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((w * sub, 128), jnp.uint32),
             pltpu.VMEM((w * sub, 128), jnp.uint32),
             pltpu.VMEM((64 * w, tile), jnp.bfloat16),
             pltpu.VMEM((64 * w, tile), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2 * w,)),
+            pltpu.VMEM((1, 1, tile), jnp.int32),
+            pltpu.VMEM((1, cap_row, tile), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * w + 2,)),
         ],
         interpret=interpret,
-    )(pairs, glob, lanemaj, lanemaj)
+    )(groups, pairs, glob, lanemaj, lanemaj)
     return counts[:, 0, :], topv
 
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "bm", "cap_row", "cap_total", "w", "interpret", "rsel"))
 def pallas_all_pairs(
-    lanemaj, pairs, part_stride, part_valid, max_dist, *,
+    lanemaj, pairs, groups, part_stride, part_valid, max_dist, *,
     tile: int, bm: int = 256, cap_row: int = 16, cap_total: int,
     w: int = 2, interpret: bool = False, rsel: int | None = None,
 ):
@@ -262,10 +358,10 @@ def pallas_all_pairs(
          jnp.int32(0), jnp.int32(0), jnp.int32(0)]
     ).astype(jnp.int32)[None, :]
     rowcnt, topv = hamming_pairs_sweep(
-        lanemaj, pairs, glob,
+        lanemaj, pairs, groups, glob,
         tile=tile, bm=bm, cap_row=cap_row, w=w, interpret=interpret,
-    )                                        # [nb, tile], [nb, tile, k]
-    k = topv.shape[-1]
+    )                                        # [nb, tile], [nb, k, tile]
+    k = topv.shape[1]
     matched = rowcnt > 0
     nmatched = matched.sum(axis=1, dtype=jnp.int32)      # [nb]
     n_tile = rowcnt.sum(axis=1)
@@ -281,7 +377,10 @@ def pallas_all_pairs(
         rs = jnp.where(have, rowselv, 0)
         selcnt = jnp.where(
             have, jnp.take_along_axis(rowcnt, rs, axis=1), 0)
-        seltv = jnp.take_along_axis(topv, rs[:, :, None], axis=1)
+        # topv is k-major; gather rsel columns then swap to [nb, rsel, k]
+        # (a tiny transpose vs transposing the full [nb, k, tile] block).
+        seltv = jnp.take_along_axis(
+            topv, rs[:, None, :], axis=2).transpose(0, 2, 1)
         flat_cnt = selcnt.reshape(-1)                    # [nb*rsel]
         ga = (pairs[:, 0:1] * tile + rs).reshape(-1)
         gb = pairs[:, 1:2, None] * tile + seltv          # [nb, rsel, k]
@@ -292,8 +391,9 @@ def pallas_all_pairs(
         row_in_tile = jax.lax.broadcasted_iota(
             jnp.int32, (nb, tile), 1)
         ga = (pairs[:, 0:1] * tile + row_in_tile).reshape(-1)
-        gb = pairs[:, 1:2, None] * tile + topv           # [nb, tile, k]
-        flat_tv = topv.reshape(-1, k)
+        tv = topv.transpose(0, 2, 1)                     # [nb, tile, k]
+        gb = pairs[:, 1:2, None] * tile + tv
+        flat_tv = tv.reshape(-1, k)
         rows_flat = nb * tile
     roff = jnp.cumsum(flat_cnt) - flat_cnt
     total = flat_cnt.sum()

@@ -145,7 +145,7 @@ def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
     import jax
     import jax.numpy as jnp
 
-    from humid_tpu.ops.pallas_hamming import pallas_all_pairs
+    from humid_tpu.ops.pallas_hamming import group_pairs, pallas_all_pairs
 
     lanemaj, w = _prep_pallas(packed)
     data = jnp.asarray(lanemaj)
@@ -153,15 +153,16 @@ def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
 
     def timer(nb):
         chunk = jnp.asarray(pairs[:nb])
+        groups = jnp.asarray(group_pairs(pairs[:nb]))
 
         def run():
             # part_stride=part_valid=2^30: one giant all-valid partition
             # (the kernel requires part_stride % tile == 0 or >= total
             # rows; a bare 1 would trip the scalarized padding mask).
             out = pallas_all_pairs(
-                data, chunk, jnp.int32(1 << 30), jnp.int32(1 << 30),
-                jnp.int32(1), tile=tile, bm=bm, cap_row=16,
-                cap_total=cap_total, w=w, rsel=rsel)
+                data, chunk, groups, jnp.int32(1 << 30),
+                jnp.int32(1 << 30), jnp.int32(1), tile=tile, bm=bm,
+                cap_row=16, cap_total=cap_total, w=w, rsel=rsel)
             return int(jax.device_get(out[2]))  # forces completion
 
         return _best(run, runs)
