@@ -54,6 +54,10 @@ LAST_DECISION: dict = {}
 #: Overflow (a tile pair with more matched rows) is detected via
 #: counts[:, 2] and retried with rsel grown to the observed max.
 _RSEL_START = 16
+#: Starting per-row match cap (column analogue of rsel; compare
+#: counts[:, 1]).  Most matched rows in dedup data have 1-2 neighbours
+#: within a tile, so the scatter shrinks another cap_row/ksel-fold.
+_KSEL_START = 4
 
 
 def _note_strategy(strategy: str) -> None:
@@ -153,6 +157,7 @@ def scan_tile_pairs(
     row_ids=None,
     col_ids=None,
     rsel: int | None = None,
+    ksel: int | None = None,
 ):
     """Scan over tile pairs, compacting matches into ``state``.
 
@@ -191,6 +196,11 @@ def scan_tile_pairs(
         whose matched-row count exceeds rsel under-reports — detected
         via counts[:, 2] and retried by the driver with a larger rsel
         (mirrors the cap_row ladder).
+      ksel: optional static per-row match cap — the column analogue of
+        rsel: only the first ksel of each row's cap_row candidate slots
+        are scattered (typical dedup rows match 1-2 columns).  A row
+        with more matches under-reports — detected via counts[:, 1] and
+        retried with a larger ksel.
 
     Returns (state', counts [nb, 3]) with counts[:, 0] the TRUE per-tile
     pair count, counts[:, 1] the per-tile max matches-per-row, and
@@ -201,10 +211,13 @@ def scan_tile_pairs(
     """
     if rsel is not None and rsel >= tile:
         rsel = None  # selection would be a no-op
+    if ksel is not None and ksel >= cap_row:
+        ksel = None  # slicing would be a no-op
+    kk = cap_row if ksel is None else ksel
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-    iota_rk = jax.lax.broadcasted_iota(jnp.int32, (tile, cap_row), 0)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (tile, cap_row), 1)
+    iota_rk = jax.lax.broadcasted_iota(jnp.int32, (tile, kk), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (tile, kk), 1)
     w = row_data.shape[1]
     cap_total = state[0].shape[0]
 
@@ -223,9 +236,11 @@ def scan_tile_pairs(
             cid = jax.lax.dynamic_slice(col_ids, (j * tile,), (tile,))
             mask &= rid[:, None] == cid[None, :]
         rowcnt = mask.sum(axis=1, dtype=jnp.int32)       # [tile]
-        # All matching columns of a row == its top-cap_row masked indices.
+        # All matching columns of a row == its top-kk masked indices
+        # (kk < cap_row only under the ksel ladder, whose driver retries
+        # when any row's true count exceeds it — counts stay true).
         vals = jnp.where(mask, lc, -1)
-        topv, _ = jax.lax.top_k(vals, cap_row)           # [tile, cap_row]
+        topv, _ = jax.lax.top_k(vals, kk)                # [tile, kk]
         return rowcnt, topv
 
     def body(carry, ij):
@@ -241,30 +256,34 @@ def scan_tile_pairs(
         nmatched = matched.sum(dtype=jnp.int32)
         if rsel is not None:
             # Gather the matched rows before expanding cap_row slots:
-            # the scatter shrinks tile/rsel-fold.
+            # the scatter shrinks tile/rsel-fold (and cap_row/ksel-fold
+            # via the kk column slice; clamped rows mean counts[:, 1] >
+            # ksel, so the driver discards the launch and retries).
             mrow = jnp.where(matched, iota_rk[:, 0], -1)
             rowselv, _ = jax.lax.top_k(mrow, rsel)       # [rsel], -1 pad
             have = rowselv >= 0
             rs = jnp.where(have, rowselv, 0)
-            selcnt = jnp.where(have, rowcnt[rs], 0)      # [rsel]
-            seltv = topv[rs, :]                          # [rsel, cap_row]
+            selcnt = jnp.minimum(
+                jnp.where(have, rowcnt[rs], 0), kk)      # [rsel]
+            seltv = topv[rs, :kk]                        # [rsel, kk]
             iota_ks = jax.lax.broadcasted_iota(
-                jnp.int32, (rsel, cap_row), 1)
+                jnp.int32, (rsel, kk), 1)
             valid = ((iota_ks < selcnt[:, None]) & (seltv >= 0)
                      & have[:, None])
             roff = off + jnp.cumsum(selcnt) - selcnt
             tgt = jnp.where(valid, roff[:, None] + iota_ks, cap_total)
             ga = row_base + i * tile + jnp.broadcast_to(
-                rs[:, None], (rsel, cap_row))
+                rs[:, None], (rsel, kk))
             gb = col_base + seltv
             written = selcnt.sum()
         else:
-            valid = (iota_k < rowcnt[:, None]) & (topv >= 0)
-            roff = off + jnp.cumsum(rowcnt) - rowcnt
+            kcnt = jnp.minimum(rowcnt, kk)
+            valid = (iota_k < kcnt[:, None]) & (topv[:, :kk] >= 0)
+            roff = off + jnp.cumsum(kcnt) - kcnt
             tgt = jnp.where(valid, roff[:, None] + iota_k, cap_total)
             ga = row_base + i * tile + iota_rk
-            gb = col_base + topv                         # already j*tile+lc
-            written = n
+            gb = col_base + topv[:, :kk]                 # already j*tile+lc
+            written = kcnt.sum()
         pa = jnp.minimum(ga, gb).astype(jnp.int32)
         pb = jnp.maximum(ga, gb).astype(jnp.int32)
         out_a = out_a.at[tgt.ravel()].set(pa.ravel(), mode="drop")
@@ -277,12 +296,13 @@ def scan_tile_pairs(
 
 @functools.partial(jax.jit, static_argnames=(
     "tile", "cap_row", "cap_total", "metric", "max_dist_static",
-    "word_length", "with_ids", "rsel"))
+    "word_length", "with_ids", "rsel", "ksel"))
 def _all_pairs(
     data, pairs_ij, u, max_dist, *,
     tile: int, cap_row: int, cap_total: int,
     metric: str, max_dist_static: int, word_length: int | None,
     ids=None, with_ids: bool = False, rsel: int | None = None,
+    ksel: int | None = None,
 ):
     out_a = jnp.full((cap_total,), -1, jnp.int32)
     out_b = jnp.full((cap_total,), -1, jnp.int32)
@@ -297,7 +317,7 @@ def _all_pairs(
         max_dist_static=max_dist_static, word_length=word_length,
         row_ids=ids if with_ids else None,
         col_ids=ids if with_ids else None,
-        rsel=rsel,
+        rsel=rsel, ksel=ksel,
     )
     return out_a, out_b, total, counts
 
@@ -364,7 +384,8 @@ def _chunked_run(launch, pairs_raw, tile: int):
     """Generic chunked tile-pair launcher; same (out_a, out_b, total,
     counts) contract as _all_pairs so _extract_with_retry wraps it.
 
-    ``launch(chunk_ij, cr, ct, rsel) -> (oa, ob, t, c)`` (device values).
+    ``launch(chunk_ij, cr, ct, rsel, ksel) -> (oa, ob, t, c)`` (device
+    values).
     Chunking bounds per-launch device memory AND keeps every int32
     quantity (scan offsets, cap_total) under int32 on degenerate
     inputs whose TRUE pair count exceeds 2^31: chunk_nb is derived from
@@ -393,18 +414,37 @@ def _chunked_run(launch, pairs_raw, tile: int):
         # sail through at the cheap starting cap while a dense diagonal
         # chunk escalates alone, never invalidating completed chunks.
         rsel = _RSEL_START if _RSEL_START and _RSEL_START < tile else None
+        # Column analogue (per-row match cap, compare counts[:, 1]):
+        # typical dedup rows match 1-2 columns, so the scatter shrinks
+        # a further cap_row/ksel-fold at the starting cap.
+        ksel = _KSEL_START if _KSEL_START and _KSEL_START < cr else None
         for lo in range(0, len(pairs_raw), chunk_nb):
             chunk = _pad_pairs(pairs_raw[lo:lo + chunk_nb, :2])
             while True:
-                oa, ob, t, c = launch(chunk, cr, ct, rsel)
+                oa, ob, t, c = launch(chunk, cr, ct, rsel, ksel)
                 t, c = jax.device_get((t, c))
                 t = int(t)
+                retry = False
                 if rsel is not None:
                     sel_max = int(c[:, 2].max(initial=0))
                     if sel_max > rsel:
                         grown = 1 << (sel_max - 1).bit_length()
                         rsel = grown if grown < tile else None
-                        continue
+                        retry = True
+                if ksel is not None:
+                    row_max = int(c[:, 1].max(initial=0))
+                    if row_max > ksel:
+                        grown = 1 << (row_max - 1).bit_length()
+                        if grown < cr:
+                            ksel = grown
+                            retry = True
+                        else:
+                            ksel = None
+                            # row_max > cr needs the OUTER cap_row
+                            # ladder anyway — skip the wasted relaunch.
+                            retry = row_max <= cr
+                if retry:
+                    continue
                 break
             counts.append(c)
             if t > ct:
@@ -434,14 +474,14 @@ def _xla_chunked_run(data, pairs_raw, n_rows, max_dist, *, tile,
     """Chunked launcher for the XLA tile scan (see _chunked_run)."""
     rid_dev = jnp.asarray(ids) if ids is not None else None
 
-    def launch(chunk, cr, ct, rsel):
+    def launch(chunk, cr, ct, rsel, ksel):
         return _all_pairs(
             data, jnp.asarray(chunk), jnp.int32(n_rows),
             jnp.int32(max_dist),
             tile=tile, cap_row=cr, cap_total=ct,
             metric=metric, max_dist_static=int(max_dist),
             word_length=word_length, ids=rid_dev,
-            with_ids=ids is not None, rsel=rsel,
+            with_ids=ids is not None, rsel=rsel, ksel=ksel,
         )
 
     return _chunked_run(launch, pairs_raw, tile)
@@ -451,13 +491,19 @@ def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
                         max_dist, *, tile, interpret):
     """Chunked launcher for the Pallas sweep (see _chunked_run —
     chunking also bounds the [nb, tile, cap_row] kernel output
-    memory)."""
+    memory).  Returns None when max_dist >= 16*w: the kernel folds the
+    padding-row masks into the one-hot build (zeroed features -> 0
+    matches -> distance 16*w), which only excludes padding while the
+    threshold is below 16*w; such degenerate thresholds (>= every
+    word's length) take the XLA path instead."""
     from .pallas_hamming import pallas_all_pairs
 
     if packed_rows.shape[1] % 2:  # one-hot feature dim must be 128-wide
         packed_rows = np.concatenate([
             packed_rows,
             np.zeros((len(packed_rows), 1), packed_rows.dtype)], axis=1)
+    if max_dist >= 16 * packed_rows.shape[1]:
+        return None
     rows = _quantize_rows(packed_rows)
     n, w = rows.shape
     # Lane-major layout for aligned DMA: row l*(n/128)+r, col c = lane l
@@ -468,13 +514,13 @@ def _pallas_chunked_run(packed_rows, pairs_np, part_stride, part_valid,
 
     from .pallas_hamming import group_pairs
 
-    def launch(chunk, cr, ct, rsel):
+    def launch(chunk, cr, ct, rsel, ksel):
         return pallas_all_pairs(
             data, jnp.asarray(chunk), jnp.asarray(group_pairs(chunk)),
             jnp.int32(part_stride), jnp.int32(part_valid),
             jnp.int32(max_dist),
             tile=tile, cap_row=cr, cap_total=ct, w=w,
-            interpret=interpret, rsel=rsel,
+            interpret=interpret, rsel=rsel, ksel=ksel,
         )
 
     return _chunked_run(launch, pairs_np, tile)
@@ -726,12 +772,14 @@ def find_neighbor_pairs(
         cap_total = min(1 << 30, 1 << max(20, (4 * u - 1).bit_length()))
     cap_row = min(cap_row, b)
 
+    run = None
     if metric == "hamming_pallas":
         run = _pallas_chunked_run(
             data_host, pairs_raw, u_pad, u, max_dist,
             tile=b, interpret=jax.default_backend() != "tpu",
         )
-    else:
+    if run is None:
+        metric = "hamming_mxu" if metric == "hamming_pallas" else metric
         data = _device_rep(data_host, metric, word_length)
         run = _xla_chunked_run(data, pairs_raw, u, max_dist, tile=b,
                                metric=metric, word_length=word_length)
@@ -1426,14 +1474,17 @@ def find_neighbor_pairs_bucketed(
         if not len(pairs_all):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
 
+    run = None
     if metric == "hamming_pallas":
-        # Per-partition padding rows are masked in-kernel via
-        # (row % part_stride) >= part_valid; no id plumbing needed.
+        # Per-partition padding rows are masked in-kernel via zeroed
+        # one-hot features for (row % part_stride) >= part_valid; no id
+        # plumbing needed.
         run = _pallas_chunked_run(
             data_host, pairs_all, u_pad, u, max_dist,
             tile=b, interpret=jax.default_backend() != "tpu",
         )
-    else:
+    if run is None:
+        metric = "hamming_mxu" if metric == "hamming_pallas" else metric
         data = _device_rep(data_host, metric, word_length)
         run = _xla_chunked_run(data, pairs_all, n_all, max_dist, tile=b,
                                metric=metric, word_length=word_length,

@@ -32,9 +32,12 @@ Scalar operands:
     Rows r with (r % part_stride) >= part_valid are padding and never
     match (the fused pigeonhole driver stacks several permuted copies of
     the data; each partition occupies part_stride rows of which the
-    first part_valid are real).  PRECONDITION: part_stride % tile == 0
-    (partitions are padded to whole tiles), which lets the kernel lower
-    the padding masks to scalar comparisons instead of per-element mod.
+    first part_valid are real).  Padding exclusion rides the one-hot
+    build: padding words get all-zero features, so their matches are 0
+    and dist = 16*w stays above the threshold.  PRECONDITIONS:
+    part_stride % tile == 0 (partitions are padded to whole tiles, so
+    validity is a per-128-word-block lane comparison), and
+    max_dist < 16*w (enforced by the launcher).
 
 Replaces the per-word fuzzy trie queries of ``findHammingNeighbours``
 (humid.cc:113-130).
@@ -114,17 +117,29 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
         # Build TRANSPOSED one-hots oht[feature, word] in VMEM: feature
         # e = l*64 + pos*4 + sym; columns grouped in `sub` blocks of 128
         # words.  All slices are static multiples of (8, 128).
+        #
+        # Partition-padding words (global id % part_stride >= part_valid)
+        # get an ALL-ZERO one-hot: their matches come out 0, so dist =
+        # n_bases > max_dist and they can never pass the threshold —
+        # folding the row/col validity masks into the matmul operands
+        # once per tile instead of two [bm, tile] compare+ands per block
+        # per pair in the hot loop (~6 us/pair of mask work measured on
+        # v5e).  Requires max_dist < 16*w, asserted by the caller.
         shift = 2 * (15 - (jax.lax.broadcasted_iota(
             jnp.int32, (64, 128), 0) // 4))
         sym = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0) % 4
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 1)
+        row_off0 = (ti * tile) % part_stride            # scalar (SMEM)
         for l in range(w):
             for r in range(sub):
                 vr = lanes_r_v[l * sub + r:l * sub + r + 1, :].astype(
                     jnp.int32)
                 br = jnp.broadcast_to(vr, (64, 128))
+                vok = lane_iota < part_valid - row_off0 - r * 128
                 oht_r_ref[l * 64:(l + 1) * 64,
                           r * 128:(r + 1) * 128] = (
-                    (jax.lax.shift_right_logical(br, shift) & 3) == sym
+                    ((jax.lax.shift_right_logical(br, shift) & 3) == sym)
+                    & vok
                 ).astype(jnp.bfloat16)
 
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 1)
@@ -132,16 +147,15 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
         is_upper = upper_only > 0
         n_bases = 16 * w  # includes constant phantom matches beyond L
 
-        # All index masks reduce to scalar comparisons against hoisted
-        # iotas: part_stride is a multiple of tile by construction
-        # (partitions are padded to whole tiles and tile pairs never
-        # straddle partitions), so (lr % part_stride) < part_valid
-        # becomes iota_r < scalar, and the upper/diagonal predicates on
-        # global ids become comparisons of the hoisted (iota_c - iota_r)
-        # against a per-block scalar.  Per-element integer mods here
-        # measured ~21 us/pair of a 48 us/pair kernel (v5e bisect).
+        # The remaining index mask reduces to scalar comparisons against
+        # a hoisted iota: the upper/diagonal predicates on global ids
+        # become comparisons of (iota_c - iota_r) against a per-block
+        # scalar (part_stride % tile == 0 by construction — partitions
+        # are padded to whole tiles and tile pairs never straddle
+        # partitions).  Per-element integer mods here measured ~21
+        # us/pair of a 48 us/pair kernel (v5e bisect); the row/col
+        # validity masks ride the one-hot build above.
         diff_cr = iota_c - iota_r
-        row_off0 = (ti * tile) % part_stride            # scalar (SMEM)
 
         def pair_body(pi, _):
             idx = start + pi
@@ -159,21 +173,25 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
                 ccopies.append(cc)
             for c in ccopies:
                 c.wait()
+            col_off0 = (tj * tile) % part_stride
             for l in range(w):
                 for r in range(sub):
                     vc = lanes_c_v[
                         l * sub + r:l * sub + r + 1, :].astype(jnp.int32)
                     bc = jnp.broadcast_to(vc, (64, 128))
+                    vok = lane_iota < part_valid - col_off0 - r * 128
                     oht_c_ref[l * 64:(l + 1) * 64,
                               r * 128:(r + 1) * 128] = (
-                        (jax.lax.shift_right_logical(bc, shift) & 3)
-                        == sym
+                        ((jax.lax.shift_right_logical(bc, shift) & 3)
+                         == sym) & vok
                     ).astype(jnp.bfloat16)
 
             cols_oht = oht_c_ref[...]                   # [64w, tile]
-            col_lim = part_valid - (tj * tile) % part_stride
             base_delta = (col_base + tj * tile) - (row_base + ti * tile)
             gate = (enabled > 0) & (on > 0)
+            # f32 threshold on raw matches: dist <= max_dist  <=>
+            # matches >= n_bases - max_dist (exact: small ints in f32).
+            thresh = (n_bases - max_dist).astype(jnp.float32)
 
             # Drain the previous pair's output copies before rewriting
             # the staging slot (their flight overlapped the col DMA +
@@ -193,18 +211,17 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                       # [bm, tile]
-                dist = (n_bases - matches).astype(jnp.int32)
-                row_lim = part_valid - row_off0 - b * bm
                 nd = b * bm - base_delta           # gc>gr <=> diff>nd
-                mask = dist <= max_dist
-                mask &= iota_r < row_lim
-                mask &= iota_c < col_lim
+                mask = matches >= thresh
                 # No select over i1 vectors on Mosaic; boolean algebra.
                 mask &= (((diff_cr > nd) & is_upper)
                          | ((diff_cr != nd) & ~is_upper))
-                mask &= gate
 
-                rowcnt = mask.sum(axis=1, dtype=jnp.int32)
+                # Scalar gate applies to the [bm] counts, not the
+                # [bm, tile] mask (the consumer ignores topv wherever
+                # counts are 0, so gated pairs may write stale topv).
+                rowcnt = jnp.where(
+                    gate, mask.sum(axis=1, dtype=jnp.int32), 0)
                 counts_v[0, 0, pl.ds(b * bm, bm)] = rowcnt
 
                 # Iterative masked argmax == top-k over unique column
@@ -272,7 +289,7 @@ def group_pairs(pairs_np: "np.ndarray") -> "np.ndarray":
     static_argnames=("tile", "bm", "cap_row", "w", "interpret"))
 def hamming_pairs_sweep(
     lanemaj, pairs, groups, glob, *,
-    tile: int, bm: int = 256, cap_row: int = 16, w: int = 2,
+    tile: int, bm: int = 512, cap_row: int = 16, w: int = 2,
     interpret: bool = False,
 ):
     """Sweep a tile-pair list: -> (counts [nb, tile], topv [nb, k, tile]).
@@ -289,6 +306,9 @@ def hamming_pairs_sweep(
     nb = pairs.shape[0]
     ng = groups.shape[0]
     rows_per_lane = lanemaj.shape[0] // w
+    bm = min(bm, tile)  # small test tiles; v5e sweep: 512 > 256 > 128
+    while tile % bm:    # tiles are multiples of 256, not always of 512
+        bm //= 2
     assert tile % bm == 0, (tile, bm)
     sub = tile // 128
     grid = (ng,)
@@ -328,11 +348,13 @@ def hamming_pairs_sweep(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tile", "bm", "cap_row", "cap_total", "w", "interpret", "rsel"))
+    "tile", "bm", "cap_row", "cap_total", "w", "interpret", "rsel",
+    "ksel"))
 def pallas_all_pairs(
     lanemaj, pairs, groups, part_stride, part_valid, max_dist, *,
-    tile: int, bm: int = 256, cap_row: int = 16, cap_total: int,
+    tile: int, bm: int = 512, cap_row: int = 16, cap_total: int,
     w: int = 2, interpret: bool = False, rsel: int | None = None,
+    ksel: int | None = None,
 ):
     """Kernel sweep + vectorized compaction: one chunk of tile pairs ->
     (out_a [cap_total], out_b [cap_total], total, counts [nb, 3]).
@@ -351,6 +373,13 @@ def pallas_all_pairs(
     pair that actually matched, shrinking the scatter tile/rsel-fold.
     A pair with more matched rows under-reports; the driver detects it
     via counts[:, 2] > rsel and retries with a larger rsel.
+
+    ``ksel``: static per-row match-count cap for the same scatter (the
+    column analogue of rsel): only the first ksel of each row's cap_row
+    candidate slots are scattered, shrinking the scatter a further
+    cap_row/ksel-fold (typical dedup rows match 1-2 columns).  A row
+    with more matches under-reports — detected via counts[:, 1] > ksel
+    and retried with a larger ksel.
     """
     nb = pairs.shape[0]
     glob = jnp.stack(
@@ -369,6 +398,9 @@ def pallas_all_pairs(
     counts = jnp.stack([n_tile, rowmax_tile, nmatched], axis=1)
     if rsel is not None and rsel >= tile:
         rsel = None                          # selection would be a no-op
+    if ksel is not None and ksel >= k:
+        ksel = None                          # slicing would be a no-op
+    kk = k if ksel is None else ksel
     if rsel is not None:
         iota_t = jax.lax.broadcasted_iota(jnp.int32, (nb, tile), 1)
         mrow = jnp.where(matched, iota_t, -1)
@@ -377,31 +409,34 @@ def pallas_all_pairs(
         rs = jnp.where(have, rowselv, 0)
         selcnt = jnp.where(
             have, jnp.take_along_axis(rowcnt, rs, axis=1), 0)
-        # topv is k-major; gather rsel columns then swap to [nb, rsel, k]
+        # topv is k-major; gather rsel columns then swap to [nb, rsel, kk]
         # (a tiny transpose vs transposing the full [nb, k, tile] block).
         seltv = jnp.take_along_axis(
-            topv, rs[:, None, :], axis=2).transpose(0, 2, 1)
+            topv[:, :kk, :], rs[:, None, :], axis=2).transpose(0, 2, 1)
         flat_cnt = selcnt.reshape(-1)                    # [nb*rsel]
         ga = (pairs[:, 0:1] * tile + rs).reshape(-1)
-        gb = pairs[:, 1:2, None] * tile + seltv          # [nb, rsel, k]
-        flat_tv = seltv.reshape(-1, k)
+        gb = pairs[:, 1:2, None] * tile + seltv          # [nb, rsel, kk]
+        flat_tv = seltv.reshape(-1, kk)
         rows_flat = nb * rsel
     else:
         flat_cnt = rowcnt.reshape(-1)                    # [nb*tile]
         row_in_tile = jax.lax.broadcasted_iota(
             jnp.int32, (nb, tile), 1)
         ga = (pairs[:, 0:1] * tile + row_in_tile).reshape(-1)
-        tv = topv.transpose(0, 2, 1)                     # [nb, tile, k]
+        tv = topv[:, :kk, :].transpose(0, 2, 1)          # [nb, tile, kk]
         gb = pairs[:, 1:2, None] * tile + tv
-        flat_tv = tv.reshape(-1, k)
+        flat_tv = tv.reshape(-1, kk)
         rows_flat = nb * tile
+    # Clamp to ksel so offsets stay consistent mid-launch; a clamped row
+    # means counts[:, 1] > ksel, so the driver discards and retries.
+    flat_cnt = jnp.minimum(flat_cnt, kk)
     roff = jnp.cumsum(flat_cnt) - flat_cnt
     total = flat_cnt.sum()
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (rows_flat, k), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (rows_flat, kk), 1)
     valid = (iota_k < flat_cnt[:, None]) & (flat_tv >= 0)
     tgt = jnp.where(valid, roff[:, None] + iota_k, cap_total)
-    ga = jnp.broadcast_to(ga[:, None], (rows_flat, k))
-    gb = gb.reshape(-1, k)
+    ga = jnp.broadcast_to(ga[:, None], (rows_flat, kk))
+    gb = gb.reshape(-1, kk)
     pa = jnp.minimum(ga, gb).astype(jnp.int32)
     pb = jnp.maximum(ga, gb).astype(jnp.int32)
     out_a = jnp.full((cap_total,), -1, jnp.int32)

@@ -141,7 +141,8 @@ def _prep_pallas(packed: np.ndarray):
 
 def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
                    bm: int, word_length: int, runs: int,
-                   nb_pair=(256, 1024), rsel: int | None = None) -> dict:
+                   nb_pair=(256, 1024), rsel: int | None = None,
+                   ksel: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -162,7 +163,8 @@ def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
             out = pallas_all_pairs(
                 data, chunk, groups, jnp.int32(1 << 30),
                 jnp.int32(1 << 30), jnp.int32(1), tile=tile, bm=bm,
-                cap_row=16, cap_total=cap_total, w=w, rsel=rsel)
+                cap_row=16, cap_total=cap_total, w=w, rsel=rsel,
+                ksel=ksel)
             return int(jax.device_get(out[2]))  # forces completion
 
         return _best(run, runs)
@@ -175,7 +177,7 @@ def measure_pallas(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
     useful = 2.0 * (4 * word_length) * tile * tile
     return {
         "engine": "pallas_sweep", "tile": tile, "bm": bm, "w": w,
-        "rsel": rsel,
+        "rsel": rsel, "ksel": ksel,
         "time_per_pair_s": round(per, 8),
         "executed_tflops": round(executed / per / 1e12, 2),
         "useful_tflops": round(useful / per / 1e12, 2),
@@ -225,12 +227,15 @@ def main() -> int:
     p.add_argument("--tiles", type=int, default=64,
                    help="number of row tiles (pairs = t*(t+1)/2)")
     p.add_argument("--tile", type=int, default=2048)
-    p.add_argument("--bm", type=int, default=256)
+    p.add_argument("--bm", type=int, default=512)
     p.add_argument("--word-length", type=int, default=24)
     p.add_argument("--runs", type=int, default=4)
     p.add_argument("--rsel", type=int, default=None,
                    help="row-selection cap for the compaction epilogue "
                         "(production default: neighbors._RSEL_START)")
+    p.add_argument("--ksel", type=int, default=None,
+                   help="per-row match cap for the compaction epilogue "
+                        "(production default: neighbors._KSEL_START)")
     p.add_argument("--engines", default="pallas,xla,matmul")
     args = p.parse_args()
 
@@ -254,7 +259,7 @@ def main() -> int:
             rec = measure_pallas(
                 packed, pairs, tile=args.tile, bm=args.bm,
                 word_length=args.word_length, runs=args.runs,
-                rsel=args.rsel)
+                rsel=args.rsel, ksel=args.ksel)
         elif eng == "xla":
             rec = measure_xla(
                 packed, pairs, tile=args.tile,

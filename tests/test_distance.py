@@ -334,6 +334,30 @@ def test_rsel_overflow_ladder(impl, monkeypatch):
     assert list(zip(a1.tolist(), b1.tolist())) == expected
 
 
+@pytest.mark.parametrize("impl", ["xor", "pallas"])
+def test_ksel_overflow_ladder(impl, monkeypatch):
+    """The per-row match cap (ksel, the column analogue of rsel)
+    under-reports when any row matches more columns than the cap; the
+    retry ladder must detect it via counts[:, 1] and converge to the
+    exact pair set.  Forced by ksel=1 on data where cluster rows match
+    many columns (escalates 1 -> ... -> cap_row)."""
+    from humid_tpu.ops import neighbors as N
+
+    monkeypatch.setattr(N, "_KSEL_START", 1)
+    rng = np.random.default_rng(78)
+    length = 16
+    pool, _ = _rand_words(rng, 6, length)
+    codes = pool[rng.integers(0, 6, 500)].copy()
+    muts = rng.integers(0, length, 500)
+    codes[np.arange(500), muts] = rng.integers(0, 4, 500)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    a1, b1 = find_neighbor_pairs(uniq, 2, word_length=length,
+                                 impl=impl, strategy="dense", tile=256)
+    expected = _brute_pairs(W.unpack_words(uniq, length), 2, _hamming)
+    assert list(zip(a1.tolist(), b1.tolist())) == expected
+
+
 @pytest.mark.parametrize("m", [1, 2])
 @pytest.mark.parametrize("length", [18, 24, 33])
 def test_edit_shifted_matches_dense(m, length):
