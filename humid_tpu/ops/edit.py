@@ -122,12 +122,13 @@ def _banded_levenshtein_pairs(a_codes, b_codes, max_dist: int,
             cur.append(best)
         return jnp.stack(cur), None
 
-    a_rows = a_codes.T                          # [L, N]
+    a_rows = a_codes.T                          # [L, R]
     iidx = jnp.arange(1, L + 1, dtype=jnp.int32)
+    # Window for row i covers bpad columns [i, i + band).
     bwins = jnp.stack(
         [jax.lax.dynamic_slice_in_dim(bpad, i, band, axis=1)
          for i in range(1, L + 1)]
-    )                                           # [L, N, band]
+    )                                           # [L, C, band]
     final, _ = jax.lax.scan(row_step, init, (a_rows, bwins, iidx))
     return final[m]
 

@@ -222,6 +222,46 @@ def measure_xla(packed: np.ndarray, pairs: np.ndarray, *, tile: int,
     }
 
 
+def measure_edit(packed: np.ndarray, *, word_length: int, max_dist: int,
+                 runs: int, n_pair=(1 << 16, 1 << 18)) -> dict:
+    """Device banded-Levenshtein verifier (HUMID_TPU_EDIT_VERIFY=device;
+    the -e candidate filter).  VPU-bound, so the roofline metric is
+    GCUPS (DP cell updates/s): cells per pair = L * (2m+1) band cells,
+    each costing ~8 VPU element ops (sub cmp+add, two min+add chains,
+    clamp, two boundary selects)."""
+    import jax
+    import jax.numpy as jnp
+
+    from humid_tpu.ops.edit import _edit_pairs_impl
+
+    rng = np.random.default_rng(7)
+    n1, n2 = n_pair
+    ia = rng.integers(0, len(packed), n2)
+    ib = rng.integers(0, len(packed), n2)
+
+    def timer(n):
+        pa = jnp.asarray(packed[ia[:n]])
+        pb = jnp.asarray(packed[ib[:n]])
+
+        def run():
+            mask = _edit_pairs_impl(pa, pb, word_length, int(max_dist))
+            return int(np.asarray(jax.device_get(mask)).sum())
+
+        return _best(run, runs)
+
+    t1, t2 = timer(n1), timer(n2)
+    per = (t2 - t1) / (n2 - n1)
+    band = 2 * max_dist + 1
+    cells = word_length * band
+    return {
+        "engine": "edit_verify", "word_length": word_length,
+        "max_dist": max_dist,
+        "time_per_pair_s": round(per, 10),
+        "gcups": round(cells / per / 1e9, 2),
+        "vpu_element_ops_per_s": round(8 * cells / per / 1e9, 2),
+    }
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--tiles", type=int, default=64,
@@ -265,12 +305,17 @@ def main() -> int:
                 packed, pairs, tile=args.tile,
                 word_length=args.word_length, runs=args.runs,
                 rsel=args.rsel)
+        elif eng == "edit":
+            rec = measure_edit(
+                packed, word_length=args.word_length,
+                max_dist=2, runs=args.runs)
         else:
             raise SystemExit(f"unknown engine {eng!r}")
         rec["backend"] = backend
         rec["device_kind"] = kind
-        if peak is not None:
-            key = "tflops" if "tflops" in rec else "executed_tflops"
+        key = "tflops" if "tflops" in rec else (
+            "executed_tflops" if "executed_tflops" in rec else None)
+        if peak is not None and key is not None:
             rec["peak_bf16_tflops"] = round(peak / 1e12, 1)
             rec["mfu"] = round(rec[key] * 1e12 / peak, 4)
         print(json.dumps(rec))
