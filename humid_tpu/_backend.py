@@ -136,23 +136,32 @@ def _gen_probe_words(n: int, word_length: int = 24, seed: int = 0):
 def _measure_engines() -> dict:
     """Time host vs device engines on small representative workloads.
     Best-of-N per engine (the hosts this runs on show 3-10x hypervisor
-    steal on single samples)."""
+    steal on single samples); the per-sample spread is recorded so
+    use_device_engine can tell a real margin from measurement noise."""
+    import sys
+
     import numpy as np
 
     from .ops import unique_words
     from .ops.unique import unique_words_device
     from .ops.neighbors import find_neighbor_pairs
 
+    print("# humid_tpu: calibrating host vs device engines "
+          "(one-time per device kind; cached)", file=sys.stderr)
     wl = 24
     packed = _gen_probe_words(1 << 19, wl)
 
+    spreads: list[float] = []
+
     def best(fn, n=3):
         fn()  # warmup: jit compile / page faults outside the timing
-        b = float("inf")
+        samples = []
         for _ in range(n):
             t0 = time.perf_counter()
             fn()
-            b = min(b, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
+        b = min(samples)
+        spreads.append(max(samples) / b - 1.0 if b > 0 else 0.0)
         return b
 
     t_uh = best(lambda: unique_words(packed, _force_host=True))
@@ -185,6 +194,9 @@ def _measure_engines() -> dict:
         "neighbors_bucketed_ns": round(t_nd / u * 1e9, 2),
         "cc_host_ns": round(t_ch / u * 1e9, 2),
         "cc_device_ns": round(t_cd / u * 1e9, 2),
+        # Worst relative per-sample spread (max/best - 1) across all
+        # measured engines: the noise floor for routing decisions.
+        "spread": round(max(spreads), 3) if spreads else 0.0,
         "probe_n": len(packed), "probe_u": u,
         "ts": time.time(),
     }
@@ -205,16 +217,17 @@ def engine_constants(refresh: bool = False) -> dict | None:
 
     path = _calib_path()
     key = _calib_key()
-    cache: dict = {}
-    if not os.environ.get("HUMID_TPU_RECALIBRATE") and not refresh:
-        try:
-            with open(path) as f:
-                cache = json.load(f)
-        except (OSError, ValueError):
-            cache = {}
-        if key in cache:
-            _CALIB = cache[key]
-            return _CALIB
+    # Always load the existing file: a refresh replaces only THIS key's
+    # entry, never calibrations for other device kinds / core counts.
+    try:
+        with open(path) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        cache = {}
+    if (key in cache and not refresh
+            and not os.environ.get("HUMID_TPU_RECALIBRATE")):
+        _CALIB = cache[key]
+        return _CALIB
     _CALIB = _measure_engines()
     cache[key] = _CALIB
     try:
@@ -253,7 +266,18 @@ def use_device_engine(kind: str) -> bool:
     dev_k, host_k = keys[kind]
     if dev_k not in c or host_k not in c:  # stale cache: re-measure
         c = engine_constants(refresh=True)
-    return c[dev_k] < 0.9 * c[host_k]
+    dev, host = c[dev_k], c[host_k]
+    # Noise guard: on a host with 3-10x hypervisor steal, a single
+    # skewed calibration window could permanently pin the route.  When
+    # the engines' margin is within the measured per-sample spread AND
+    # the cached measurement is stale, re-measure once before deciding.
+    noise = float(c.get("spread", 0.0))
+    margin = abs(dev - host) / max(min(dev, host), 1e-9)
+    age_s = time.time() - float(c.get("ts", 0.0))
+    if margin < noise and age_s > 3600.0:
+        c = engine_constants(refresh=True)
+        dev, host = c[dev_k], c[host_k]
+    return dev < 0.9 * host
 
 
 def _reset_profile_for_tests() -> None:

@@ -272,6 +272,8 @@ def group_pairs(pairs_np: "np.ndarray") -> "np.ndarray":
     into few distinct compiles."""
     import numpy as np
 
+    if len(pairs_np) == 0:
+        return np.zeros((1, 3), np.int32)  # one count-0 padding group
     ti = pairs_np[:, 0]
     cuts = np.flatnonzero(np.diff(ti) != 0) + 1
     starts = np.concatenate([np.zeros(1, np.int64), cuts])
