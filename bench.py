@@ -86,6 +86,25 @@ def run_once(files, out_dir, **kw):
     return time.perf_counter() - t0, res
 
 
+_MICRO_X = None
+
+
+def steal_probe() -> float:
+    """One sample of a fixed pure-CPU microbenchmark (numpy xor+popcount
+    over a resident 8MB array).  The work is constant, so sample-to-sample
+    ratios measure hypervisor steal / host contention, not the pipeline.
+    Returns seconds."""
+    global _MICRO_X
+    if _MICRO_X is None:
+        _MICRO_X = np.random.default_rng(7).integers(
+            0, 2**31, size=1 << 21, dtype=np.int64)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        z = _MICRO_X ^ (_MICRO_X >> 1)
+        np.bitwise_count(z).sum()
+    return time.perf_counter() - t0
+
+
 def measure_baseline(fq: str, n_reads: int) -> float:
     """Single-core reference-semantics reads/s (baseline/humid_ref)."""
     import shutil
@@ -194,13 +213,21 @@ def main() -> int:
         os.sync()
     except AttributeError:
         pass
-    budget = max(60.0, args.reads / 100_000)
+    budget = max(90.0, args.reads / 80_000)
     t_bench = time.perf_counter()
     dt = None
     n_runs = 0
     since_improve = 0
+    samples: list[float] = []
+    micro: list[float] = []
+    phases_best: dict[str, float] = {}
+    micro.append(steal_probe())
     while True:
         d, r = run_once(files, out_dir, **kw)
+        micro.append(steal_probe())
+        samples.append(d)
+        for k, v in r.extra.get("timings", {}).items():
+            phases_best[k] = min(phases_best.get(k, v), v)
         n_runs += 1
         if dt is None or d <= dt:
             res = r  # phases reported below come from the best run
@@ -210,8 +237,8 @@ def main() -> int:
         else:
             dt = min(dt, d)
             since_improve += 1
-        if n_runs >= 5 and (
-            since_improve >= 3
+        if n_runs >= 7 and (
+            since_improve >= 4
             or time.perf_counter() - t_bench > budget
         ):
             break
@@ -224,6 +251,16 @@ def main() -> int:
         k: round(v, 3)
         for k, v in res.extra.get("timings", {}).items()
     }
+    # Host-steal evidence (BASELINE.md: this dev host shows 3-10x
+    # hypervisor steal on single samples).  The microbenchmark does
+    # CONSTANT work, so steal_factor = median/best across its samples
+    # is pure environment noise: >~1.3 means the host was contended
+    # during this bench and even the best pipeline sample likely ate
+    # steal — read `value` (best-of-N) with that in mind, and expect
+    # documented numbers from quiet windows to be higher.
+    ms = sorted(micro)
+    steal_factor = ms[len(ms) // 2] / ms[0] if ms and ms[0] > 0 else 1.0
+    ss = sorted(samples)
     print(json.dumps({
         "metric": "reads_per_sec",
         "value": round(rps, 1),
@@ -237,7 +274,13 @@ def main() -> int:
         # number).
         "engine": res.extra.get("engine", {}).get("strategy"),
         "n_runs": n_runs,
+        "value_median": round(args.reads / ss[len(ss) // 2], 1),
+        "steal_factor": round(steal_factor, 2),
         "phases": phases,
+        # Per-phase minimum across ALL runs: a contended host rarely
+        # yields one run where every phase is clean, so the per-phase
+        # floor is the better estimate of the pipeline's real cost.
+        "phases_best": {k: round(v, 3) for k, v in phases_best.items()},
     }))
     print(f"# baseline humid_ref: {base_rps:.0f} reads/s", file=sys.stderr)
     print(
