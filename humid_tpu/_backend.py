@@ -98,7 +98,7 @@ def backend_profile(refresh: bool = False) -> dict:
 
 #: bump when an engine's cost profile changes materially (invalidates
 #: cached calibrations).
-_CALIB_VERSION = 2
+_CALIB_VERSION = 3
 
 _CALIB: dict | None = None
 
@@ -172,6 +172,17 @@ def _measure_engines() -> dict:
         uniq, 1, strategy="runs", word_length=wl))
     t_nd = best(lambda: find_neighbor_pairs(
         uniq, 1, strategy="bucketed", impl="pallas", word_length=wl))
+    t_nrd = best(lambda: find_neighbor_pairs(
+        uniq, 1, strategy="runs_device", word_length=wl))
+    # Mesh engine: only meaningful with >1 co-located chip (on a single
+    # chip the sharded path is the bucketed path plus collective
+    # overhead, so it is skipped and never routed to).
+    import jax
+
+    t_ns = None
+    if len(jax.local_devices()) > 1:
+        t_ns = best(lambda: find_neighbor_pairs(
+            uniq, 1, strategy="sharded_bucketed", word_length=wl))
 
     # -x clustering: host exact flood fill vs device label propagation
     # + bit-exact host finalize (the production device route in
@@ -192,6 +203,9 @@ def _measure_engines() -> dict:
         "unique_device_ns": round(t_ud / len(packed) * 1e9, 2),
         "neighbors_runs_ns": round(t_nr / u * 1e9, 2),
         "neighbors_bucketed_ns": round(t_nd / u * 1e9, 2),
+        "neighbors_runs_device_ns": round(t_nrd / u * 1e9, 2),
+        **({"neighbors_sharded_ns": round(t_ns / u * 1e9, 2)}
+           if t_ns is not None else {}),
         "cc_host_ns": round(t_ch / u * 1e9, 2),
         "cc_device_ns": round(t_cd / u * 1e9, 2),
         # Worst relative per-sample spread (max/best - 1) across all
@@ -241,6 +255,67 @@ def engine_constants(refresh: bool = False) -> dict | None:
     return _CALIB
 
 
+#: neighbour engines eligible for auto-routing, keyed by the
+#: find_neighbor_pairs strategy name; values are calibration keys.
+_NEIGHBOR_ENGINES = {
+    "runs": "neighbors_runs_ns",                    # host
+    "bucketed": "neighbors_bucketed_ns",            # device MXU tiles
+    "runs_device": "neighbors_runs_device_ns",      # device run sweeps
+    "sharded_bucketed": "neighbors_sharded_ns",     # local chip mesh
+}
+
+
+def _noise_guarded(c: dict, ks: list[str]) -> dict:
+    """Noise guard: on a host with 3-10x hypervisor steal, a single
+    skewed calibration window could permanently pin the route.  When the
+    best two engines' margin is within the measured per-sample spread
+    AND the cached measurement is stale, re-measure once."""
+    vals = sorted(float(c[k]) for k in ks if k in c)
+    if len(vals) < 2:
+        return c
+    noise = float(c.get("spread", 0.0))
+    margin = (vals[1] - vals[0]) / max(vals[0], 1e-9)
+    age_s = time.time() - float(c.get("ts", 0.0))
+    if margin < noise and age_s > 3600.0:
+        return engine_constants(refresh=True)
+    return c
+
+
+def pick_neighbor_engine(shardable_only: bool = False) -> str:
+    """The auto-routed neighbour engine (a find_neighbor_pairs strategy
+    name): the MEASURED fastest of host runs / device bucketed / device
+    run sweeps / (with >1 local chip) bucketed mesh search on this
+    machine, with a 10% hysteresis favoring the host engine so noise
+    does not flap the route.  HUMID_TPU_DEVICE_ENGINE=1/0 forces the
+    device/host side (among device engines the measured best still
+    wins).  ``shardable_only`` restricts the choice to engines that
+    honor find_neighbor_pairs' host ``shard`` work partition (the mesh
+    strategies search their full local slice instead — correct but not
+    work-proportional under host shards)."""
+    prof = backend_profile()
+    forced = prof.get("forced")
+    if forced is False or (forced is None
+                           and not prof["colocated_device"]):
+        return "runs"
+    c = engine_constants()
+    if c is None:  # calibration disabled: colocated alone opts in
+        return "runs_device"
+    if any(v not in c for v in ("neighbors_runs_ns",
+                                "neighbors_bucketed_ns",
+                                "neighbors_runs_device_ns")):
+        c = engine_constants(refresh=True)  # stale cache: re-measure
+    keys = [k for k in _NEIGHBOR_ENGINES.values() if k in c]
+    c = _noise_guarded(c, keys)
+    host = float(c["neighbors_runs_ns"])
+    dev_engines = {s: float(c[k]) for s, k in _NEIGHBOR_ENGINES.items()
+                   if s != "runs" and k in c
+                   and not (shardable_only and s == "sharded_bucketed")}
+    best_dev = min(dev_engines, key=dev_engines.get)
+    if forced is True:
+        return best_dev
+    return best_dev if dev_engines[best_dev] < 0.9 * host else "runs"
+
+
 def use_device_engine(kind: str) -> bool:
     """Route a hot phase to the device engine?  True only when the chip
     is co-located AND the measured constants say the device engine is
@@ -250,6 +325,8 @@ def use_device_engine(kind: str) -> bool:
 
     HUMID_TPU_DEVICE_ENGINE=1/0 still forces the answer outright.
     """
+    if kind == "neighbors":
+        return pick_neighbor_engine() != "runs"
     prof = backend_profile()
     if prof.get("forced") is not None:
         return bool(prof["forced"])
@@ -258,26 +335,15 @@ def use_device_engine(kind: str) -> bool:
     c = engine_constants()
     if c is None:  # calibration disabled: colocated alone opts in
         return True
-    keys = {"neighbors": ("neighbors_bucketed_ns", "neighbors_runs_ns"),
-            "unique": ("unique_device_ns", "unique_host_ns"),
+    keys = {"unique": ("unique_device_ns", "unique_host_ns"),
             "cc": ("cc_device_ns", "cc_host_ns")}
     if kind not in keys:
         raise ValueError(f"unknown engine kind {kind!r}")
     dev_k, host_k = keys[kind]
     if dev_k not in c or host_k not in c:  # stale cache: re-measure
         c = engine_constants(refresh=True)
-    dev, host = c[dev_k], c[host_k]
-    # Noise guard: on a host with 3-10x hypervisor steal, a single
-    # skewed calibration window could permanently pin the route.  When
-    # the engines' margin is within the measured per-sample spread AND
-    # the cached measurement is stale, re-measure once before deciding.
-    noise = float(c.get("spread", 0.0))
-    margin = abs(dev - host) / max(min(dev, host), 1e-9)
-    age_s = time.time() - float(c.get("ts", 0.0))
-    if margin < noise and age_s > 3600.0:
-        c = engine_constants(refresh=True)
-        dev, host = c[dev_k], c[host_k]
-    return dev < 0.9 * host
+    c = _noise_guarded(c, [dev_k, host_k])
+    return c[dev_k] < 0.9 * c[host_k]
 
 
 def _reset_profile_for_tests() -> None:

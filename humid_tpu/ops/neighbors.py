@@ -640,21 +640,23 @@ def find_neighbor_pairs(
             and word_length is not None and u > runs_threshold
         ):
             # Production engine choice (VERDICT r2 #2): routed by the
-            # MEASURED per-unique cost of both engines on this machine
-            # (calibrated once per device kind + core count, cached on
-            # disk — humid_tpu._backend.use_device_engine), gated on a
-            # co-located chip.  Host shards (multi-host runs) pin the
-            # host runs engine: the engine choice partitions the pair
-            # set differently per engine (hashed runs vs striped
-            # tiles), so it must be identical on every host, and
-            # per-host calibration constants are not.
+            # MEASURED per-unique cost of every engine on this machine
+            # (host runs / device bucketed / device run sweeps / local
+            # chip mesh — calibrated once per device kind + core count,
+            # cached on disk, humid_tpu._backend.pick_neighbor_engine),
+            # gated on a co-located chip.  Host shards (multi-host
+            # runs) need the SAME engine on every host (each engine
+            # partitions the candidate work differently), so drivers
+            # broadcast host 0's calibrated decision and pass
+            # ``strategy`` explicitly (parallel.pipeline); a bare auto
+            # under a shard keeps the host engine, whose decision needs
+            # no cross-host agreement.
             if shard is not None:
                 strategy = "runs"
             else:
-                from .._backend import use_device_engine
+                from .._backend import pick_neighbor_engine
 
-                strategy = ("bucketed" if use_device_engine("neighbors")
-                            else "runs")
+                strategy = pick_neighbor_engine()
         elif (
             max_dist >= 1 and u > runs_threshold
             and word_length is not None
@@ -693,6 +695,18 @@ def find_neighbor_pairs(
         if metric != "hamming":
             raise ValueError(f"runs strategy: unknown metric {metric!r}")
         return find_neighbor_pairs_runs(
+            packed, max_dist, word_length=word_length, tile=tile,
+            cap_row=cap_row, cap_total=cap_total, impl=impl, shard=shard,
+        )
+    if strategy == "runs_device":
+        if metric != "hamming":
+            raise ValueError(
+                f"runs_device strategy: unknown metric {metric!r}")
+        if word_length is None:
+            raise ValueError("runs_device strategy requires word_length")
+        from .runs_device import runs_device_pairs
+
+        return runs_device_pairs(
             packed, max_dist, word_length=word_length, tile=tile,
             cap_row=cap_row, cap_total=cap_total, impl=impl, shard=shard,
         )

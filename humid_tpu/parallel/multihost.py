@@ -139,6 +139,32 @@ def default_all_gather(arrs):
     return out
 
 
+#: wire codes for the neighbour-engine broadcast (stable across hosts).
+_ENGINE_CODES = {"runs": 0, "bucketed": 1, "runs_device": 2}
+_ENGINE_NAMES = {v: k for k, v in _ENGINE_CODES.items()}
+
+
+def broadcast_engine_choice(*, all_gather=None) -> str:
+    """Host 0's calibrated neighbour-engine decision, agreed by every
+    host (VERDICT r3 #5).
+
+    The sharded neighbour phase partitions the candidate work by engine
+    -specific rules (hashed pigeonhole runs vs striped tile pairs), so
+    every host MUST run the same engine — but per-host calibration
+    constants can disagree (independent measurement windows on
+    steal-prone hosts).  One tiny DCN all_gather shares each host's
+    pick and everyone adopts host 0's, so multi-host runs use the
+    device engines whenever host 0's calibration says they win instead
+    of pinning the host engine unconditionally."""
+    from .._backend import pick_neighbor_engine
+
+    if all_gather is None:
+        all_gather = default_all_gather
+    mine = _ENGINE_CODES[pick_neighbor_engine(shardable_only=True)]
+    (codes,) = all_gather([np.asarray([mine], np.int64)])
+    return _ENGINE_NAMES[int(np.asarray(codes[0]).ravel()[0])]
+
+
 def merge_edge_lists(pa, pb, *, all_gather=None):
     """Gather per-host partial neighbour-pair lists into the global edge
     list every host needs for clustering.

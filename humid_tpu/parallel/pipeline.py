@@ -407,6 +407,16 @@ def _compute_sharded(
         # neighbour work is O(U/P) instead of every host redundantly
         # searching the full table.
         nb.setdefault("shard", (p, n_proc))
+        if (not edit and "strategy" not in nb
+                and not os.environ.get("HUMID_TPU_STRATEGY")):
+            # All hosts must run the same engine; adopt host 0's
+            # calibrated decision (VERDICT r3 #5) instead of pinning
+            # the host engine.  Env/explicit strategy wins (assumed
+            # identical across hosts, as documented).
+            from .multihost import broadcast_engine_choice
+
+            nb["strategy"] = broadcast_engine_choice(
+                all_gather=all_gather)
         pa_l, pb_l = find_neighbor_pairs(
             uniq, distance, metric="edit" if edit else "hamming",
             word_length=word_length, **nb

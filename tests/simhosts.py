@@ -12,6 +12,8 @@ shapes the pipeline issues:
                contribute (humid_tpu/parallel/pipeline.py).
 """
 
+import os
+
 import numpy as np
 
 
@@ -37,6 +39,11 @@ def make_sim_gather(files, total, n_hosts, *, word_length=24, distance=1,
         return per
 
     def all_gather(arrs):
+        if len(arrs) == 1:
+            # Engine-choice broadcast (multihost.broadcast_engine_choice):
+            # simulated hosts share one process, so every host's pick is
+            # the caller's own.
+            return [[np.asarray(arrs[0])] * n_hosts]
         per = host_tables()
         if len(arrs) == 3:
             return [[t[slot] for t in per] for slot in range(3)]
@@ -47,6 +54,15 @@ def make_sim_gather(files, total, n_hosts, *, word_length=24, distance=1,
         for p in range(n_hosts):
             nb = dict(neighbor_opts or {})
             nb.setdefault("shard", (p, n_hosts))
+            if not edit and "strategy" not in nb and not os.environ.get(
+                    "HUMID_TPU_STRATEGY"):
+                # Mirror the driver: every host adopts the broadcast
+                # engine decision (parallel/pipeline.py).
+                from humid_tpu.parallel.multihost import (
+                    broadcast_engine_choice)
+
+                nb["strategy"] = broadcast_engine_choice(
+                    all_gather=all_gather)
             pa, pb = find_neighbor_pairs(
                 uniq_g, distance, metric="edit" if edit else "hamming",
                 word_length=word_length, **nb)

@@ -51,13 +51,20 @@ def test_auto_picks_runs_on_host_backend():
 _DEVICE_WINS = {
     "unique_host_ns": 100.0, "unique_device_ns": 10.0,
     "neighbors_runs_ns": 1000.0, "neighbors_bucketed_ns": 100.0,
+    "neighbors_runs_device_ns": 2000.0,
     "cc_host_ns": 100.0, "cc_device_ns": 10.0,
 }
 _HOST_WINS = {
     "unique_host_ns": 10.0, "unique_device_ns": 100.0,
     "neighbors_runs_ns": 100.0, "neighbors_bucketed_ns": 1000.0,
+    "neighbors_runs_device_ns": 2000.0,
     "cc_host_ns": 10.0, "cc_device_ns": 100.0,
 }
+_RUNS_DEVICE_WINS = dict(
+    _DEVICE_WINS, neighbors_runs_device_ns=50.0)
+_MESH_WINS = dict(
+    _DEVICE_WINS, neighbors_sharded_ns=20.0,
+    neighbors_runs_device_ns=50.0)
 
 
 def _set_profile(monkeypatch, colocated, calib=None, forced=None):
@@ -79,6 +86,38 @@ def test_auto_picks_bucketed_when_calibration_favors_device(monkeypatch):
     assert nbmod.LAST_DECISION["strategy"] == "bucketed"
     np.testing.assert_array_equal(ra, ba)
     np.testing.assert_array_equal(rb, bb)
+
+
+def test_auto_picks_runs_device_when_it_measures_fastest(monkeypatch):
+    """The device run-sweep engine is a first-class routing target
+    (VERDICT r3 #1): same pairs, picked when its constant is the min."""
+    uniq = _rand_packed(6000, seed=8)
+    ra, rb = find_neighbor_pairs(uniq, 1, word_length=24, strategy="runs")
+    _set_profile(monkeypatch, True, _RUNS_DEVICE_WINS)
+    da, db = find_neighbor_pairs(uniq, 1, word_length=24, strategy="auto")
+    assert nbmod.LAST_DECISION["strategy"] == "runs_device"
+    np.testing.assert_array_equal(ra, da)
+    np.testing.assert_array_equal(rb, db)
+
+
+def test_auto_picks_mesh_engine_when_it_measures_fastest(monkeypatch):
+    """With >1 co-located chip the bucketed mesh search competes as a
+    calibrated engine and auto routes to it (VERDICT r3 #6)."""
+    uniq = _rand_packed(6000, seed=9)
+    ra, rb = find_neighbor_pairs(uniq, 1, word_length=24, strategy="runs")
+    _set_profile(monkeypatch, True, _MESH_WINS)
+    ma, mb = find_neighbor_pairs(uniq, 1, word_length=24, strategy="auto")
+    assert nbmod.LAST_DECISION["strategy"] == "sharded_bucketed"
+    np.testing.assert_array_equal(ra, ma)
+    np.testing.assert_array_equal(rb, mb)
+
+
+def test_shardable_only_excludes_mesh_engine(monkeypatch):
+    """Host shards broadcast a SHARD-honoring engine: the mesh search
+    ignores the host work partition, so it is excluded there."""
+    _set_profile(monkeypatch, True, _MESH_WINS)
+    assert B.pick_neighbor_engine() == "sharded_bucketed"
+    assert B.pick_neighbor_engine(shardable_only=True) == "runs_device"
 
 
 def test_auto_keeps_runs_when_calibration_favors_host(monkeypatch):

@@ -225,6 +225,58 @@ def test_runs_matches_dense(m, length):
     np.testing.assert_array_equal(b1, b2)
 
 
+@pytest.mark.parametrize("m", [1, 2, 3])
+@pytest.mark.parametrize("length", [20, 24, 33])
+def test_runs_device_matches_dense(m, length):
+    """Device offset-shift in-run evaluation (VERDICT r3 #1) finds
+    exactly the dense pair set, incl. 3-lane words."""
+    from humid_tpu.ops.runs_device import runs_device_pairs
+    rng = np.random.default_rng(80 + 7 * m + length)
+    pool, _ = _rand_words(rng, 12, length)
+    codes = pool[rng.integers(0, 12, 1500)].copy()
+    for _ in range(m):
+        sel = rng.random(1500) < 0.5
+        codes[np.flatnonzero(sel), rng.integers(0, length, int(sel.sum()))] = (
+            rng.integers(0, 4, int(sel.sum()))
+        )
+    packed = W.pack_words(codes)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(packed)
+    a1, b1 = runs_device_pairs(uniq, m, word_length=length)
+    a2, b2 = find_neighbor_pairs(uniq, m, strategy="dense",
+                                 word_length=length)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_runs_device_mid_and_big_runs():
+    """Runs longer than the device sweep depth split between the host
+    mid-run enumeration and the big-run device tile scan; the union
+    must still equal the dense pair set."""
+    from humid_tpu.ops.runs_device import runs_device_pairs
+    rng = np.random.default_rng(93)
+    length = 16
+    # Mixed run lengths in partition 0: a giant shared prefix for a
+    # third of the words (big-run path at run_cap=64), mid prefixes of
+    # ~20 (host mid enumeration at d_cap=4), short tail (device sweep).
+    base = rng.integers(0, 4, 8).astype(np.uint8)
+    mids = rng.integers(0, 4, (12, 8)).astype(np.uint8)
+    codes = np.empty((900, length), np.uint8)
+    codes[:300, :8] = base
+    codes[300:540, :8] = mids[rng.integers(0, 12, 240)]
+    codes[540:, :8] = rng.integers(0, 4, (360, 8))
+    codes[:, 8:] = rng.integers(0, 4, (900, 8))
+    packed = W.pack_words(codes)
+    from humid_tpu.ops import unique_words
+    uniq, _, _, _ = unique_words(packed)
+    a1, b1 = runs_device_pairs(uniq, 1, word_length=length, d_cap=4,
+                               run_cap=64, tile=256)
+    a2, b2 = find_neighbor_pairs(uniq, 1, strategy="dense",
+                                 word_length=length)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
 def test_runs_big_run_device_fallback():
     """Runs longer than run_cap go through the masked device tile scan;
     the union must still equal the dense pair set."""

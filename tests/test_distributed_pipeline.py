@@ -217,6 +217,54 @@ def test_distributed_gz_spans_fast_path(tmp_path):
         assert a == b, f"{f} content differs"
 
 
+def test_distributed_device_engine_broadcast(tmp_path, monkeypatch):
+    """Injected calibration that favors a device engine routes the
+    SHARDED neighbour phase through it via the host-0 broadcast
+    (VERDICT r3 #5) — multi-host runs no longer pin the host engine —
+    and the outputs stay byte-identical to the single-host run."""
+    import humid_tpu._backend as B
+    from humid_tpu.parallel.multihost import broadcast_engine_choice
+
+    gen_dataset(np.random.default_rng(41), str(tmp_path), n_reads=800,
+                n_files=2, umi_style="underscore")
+    files = [str(tmp_path / f"file{i}.fastq") for i in range(2)]
+
+    ref_dir = tmp_path / "ref"
+    run(files, dir_name=str(ref_dir), log_name=os.devnull,
+        write_dedup=True, write_annotated=True, run_stats=True)
+
+    monkeypatch.setitem(
+        B.__dict__, "_PROFILE",
+        {"backend": "cpu", "dispatch_s": 1e-4,
+         "colocated_device": True, "forced": None})
+    monkeypatch.setitem(B.__dict__, "_CALIB", {
+        "unique_host_ns": 10.0, "unique_device_ns": 100.0,
+        "neighbors_runs_ns": 1000.0, "neighbors_bucketed_ns": 500.0,
+        "neighbors_runs_device_ns": 50.0,
+        "cc_host_ns": 10.0, "cc_device_ns": 100.0,
+    })
+    assert broadcast_engine_choice(
+        all_gather=lambda arrs: [[np.asarray(a)] * 3 for a in arrs]
+    ) == "runs_device"
+
+    from humid_tpu.ops.neighbors import LAST_DECISION
+
+    sh_dir = tmp_path / "sharded"
+    # Peer hosts' sim-gather contributions follow the same broadcast
+    # decision (simhosts mirrors the driver's engine agreement).
+    _run_hosts_with_outputs(
+        files, 3, str(sh_dir), write_dedup=True, write_annotated=True,
+        run_stats=True,
+    )
+    assert LAST_DECISION["strategy"] == "runs_device"
+    assert LAST_DECISION["shard"] == (2, 3)
+
+    for f in sorted(os.listdir(ref_dir)):
+        a = (ref_dir / f).read_bytes()
+        b = (sh_dir / f).read_bytes()
+        assert a == b, f"{f} differs under the broadcast device route"
+
+
 def test_distributed_edit_outputs(tmp_path):
     """Sharded -e run matches the single-host edit pipeline's files."""
     gen_dataset(np.random.default_rng(17), str(tmp_path), n_reads=300,

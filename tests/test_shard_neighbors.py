@@ -48,7 +48,8 @@ def _union(parts):
     return _dedupe_pairs(a.astype(np.int64), b.astype(np.int64))
 
 
-@pytest.mark.parametrize("strategy", ["runs", "dense", "bucketed"])
+@pytest.mark.parametrize("strategy",
+                         ["runs", "dense", "bucketed", "runs_device"])
 @pytest.mark.parametrize("n_parts", [2, 3])
 def test_shard_union_equals_full_hamming(strategy, n_parts):
     rng = np.random.default_rng(17 * n_parts)
