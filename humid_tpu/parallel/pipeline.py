@@ -330,8 +330,20 @@ def _compute_sharded(
 ):
     """Shared compute stage of the sharded pipeline.  Returns a dict with
     the global clustering plus this host's local arrays (for the output
-    stage)."""
+    stage) and per-phase wall timings (the scaling-efficiency report's
+    raw material, VERDICT r3 #10)."""
+    import time as _time
+
     from ..pipeline import _is_gzip_file, _span_acc_new
+
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[phase] = timings.get(phase, 0.0) + (now - _t0)
+        _t0 = now
 
     n_proc = (num_processes if num_processes is not None
               else jax.process_count())
@@ -370,16 +382,19 @@ def _compute_sharded(
         if start_offsets is not None:
             for acc, off in zip(span_accs, start_offsets):
                 acc["base"] = off
+    _mark("range_setup")
     packed, filtered = pack_host_range(
         files_local, lo, hi, word_length=word_length,
         start_offsets=start_offsets, span_accs=span_accs,
     )
+    _mark("pack")
     usable = packed[~filtered]
     local_to_read = np.flatnonzero(~filtered) + lo
     uniq_l, counts_l, first_l, _ = unique_words(usable,
                                                 want_inverse=False)
     first_global = (local_to_read[first_l] if len(first_l)
                     else first_l)
+    _mark("unique_local")
 
     if all_gather is None and n_proc == 1:
         uniq, counts, first_occ = uniq_l, counts_l, first_global
@@ -395,6 +410,7 @@ def _compute_sharded(
         uniq, counts, first_occ = merge_unique_tables(
             uniq_l, counts_l, first_global, all_gather=all_gather
         )
+    _mark("unique_merge")
 
     nb = dict(neighbor_opts or {})
     p = process_id if process_id is not None else (
@@ -429,11 +445,13 @@ def _compute_sharded(
             uniq, distance, metric="edit" if edit else "hamming",
             word_length=word_length, **nb
         )
+    _mark("neighbors")
     indptr, indices = pairs_to_csr(pa, pb, len(uniq))
     from ..pipeline import cluster_dispatch
 
     cl = cluster_dispatch(counts, indptr, indices, maximum=maximum,
                           pairs=(pa, pb))
+    _mark("cluster")
     from ..pipeline import _span_tables_from_accs
 
     span_tables = _span_tables_from_accs(span_accs, hi - lo)
@@ -442,7 +460,7 @@ def _compute_sharded(
         indptr=indptr, lo=lo, hi=hi, filtered=filtered,
         usable=usable, total_records=total_records, n_proc=n_proc,
         start_offsets=start_offsets, span_tables=span_tables,
-        files_local=files_local, spill_dir=spill_dir,
+        files_local=files_local, spill_dir=spill_dir, timings=timings,
     )
 
 
@@ -569,6 +587,60 @@ def finalize_outputs(names, num_processes: int) -> None:
                 os.remove(part)
 
 
+#: Stable gather order of the per-host phase timings (the scaling
+#: report's wire format — every host must agree on it).
+_SCALING_PHASES = ("range_setup", "pack", "unique_local", "unique_merge",
+                   "neighbors", "cluster", "write_dedup",
+                   "write_annotated")
+
+#: Most recent scaling report computed by run_distributed on this host
+#: (diagnostics/tests; host 0's copy is the authoritative one).
+LAST_SCALING_REPORT: dict = {}
+
+
+def scaling_report(per_host: "np.ndarray", n_proc: int) -> dict:
+    """Scaling-efficiency summary from per-host per-phase wall timings.
+
+    ``per_host``: [n_proc, len(_SCALING_PHASES)] seconds.  For each
+    phase the critical path is the slowest host (hosts run phases in
+    lockstep around the DCN merges), so
+
+      wall          = sum over phases of max-over-hosts
+      total_work    = sum of all entries
+      efficiency    = total_work / (n_proc * wall)
+
+    — 1.0 means perfectly balanced hosts (the north star asks >= 0.8 at
+    4 hosts); imbalance or replicated work (e.g. the global cluster
+    phase every host repeats) drags it down.  Per-phase efficiencies
+    localize the drag."""
+    per_host = np.asarray(per_host, np.float64)
+    n_proc = int(n_proc)
+    phase_max = per_host.max(axis=0)
+    phase_sum = per_host.sum(axis=0)
+    wall = float(phase_max.sum())
+    total_work = float(phase_sum.sum())
+    phases = {}
+    for i, name in enumerate(_SCALING_PHASES):
+        if phase_max[i] <= 0:
+            continue
+        phases[name] = {
+            "max_s": round(float(phase_max[i]), 4),
+            "sum_s": round(float(phase_sum[i]), 4),
+            "efficiency": round(
+                float(phase_sum[i]) / (n_proc * float(phase_max[i])), 4),
+        }
+    return {
+        "n_hosts": n_proc,
+        "wall_s": round(wall, 4),
+        "total_work_s": round(total_work, 4),
+        "efficiency": round(total_work / (n_proc * wall), 4)
+        if wall > 0 else 1.0,
+        "phases": phases,
+        "per_host_s": [[round(float(v), 4) for v in row]
+                       for row in per_host],
+    }
+
+
 def run_distributed(
     files,
     *,
@@ -644,8 +716,11 @@ def run_distributed(
     dedup_names = make_file_names(list(files), dir_name, "dedup")
     ann_names = make_file_names(list(files), dir_name, "annotated")
 
+    import time as _time
+
     if write_dedup:
         t = log.start("Writing filtered results")
+        _tw = _time.perf_counter()
         sel = rep_reads[(rep_reads >= lo) & (rep_reads < hi)] - lo
         if st["span_tables"] is not None:
             from ..pipeline import _write_selected_spans_to
@@ -657,9 +732,11 @@ def run_distributed(
             _write_range_selected(files_local, _part_names(dedup_names, p),
                                   sel, lo, hi, batch_records,
                                   start_offsets=st["start_offsets"])
+        st["timings"]["write_dedup"] = _time.perf_counter() - _tw
         log.end(t)
     if write_annotated:
         t = log.start("Writing annotated results")
+        _tw = _time.perf_counter()
         if st["span_tables"] is not None and all(
                 tb[2] is not None for tb in st["span_tables"]):
             from ..pipeline import _write_annotated_spans
@@ -670,7 +747,31 @@ def run_distributed(
             _write_range_annotated(files_local, _part_names(ann_names, p),
                                    cluster_of_local, lo, hi, batch_records,
                                    start_offsets=st["start_offsets"])
+        st["timings"]["write_annotated"] = _time.perf_counter() - _tw
         log.end(t)
+    # Scaling-efficiency report (VERDICT r3 #10): exchange per-host
+    # per-phase timings over the existing gather and summarize.  One
+    # command away on real multi-host hardware:
+    #   HUMID_TPU_SCALING_REPORT=1 python -m humid_tpu --coordinator ...
+    if n_proc > 1 and (all_gather is not None
+                       or jax.process_count() == n_proc):
+        from .multihost import default_all_gather
+
+        gather = all_gather if all_gather is not None else \
+            default_all_gather
+        mine = np.array([st["timings"].get(k, 0.0)
+                         for k in _SCALING_PHASES], np.float64)
+        (rows,) = gather([mine])
+        report = scaling_report(np.stack(
+            [np.asarray(r, np.float64) for r in rows]), n_proc)
+        LAST_SCALING_REPORT.clear()
+        LAST_SCALING_REPORT.update(report)
+        if p == 0 and os.environ.get("HUMID_TPU_SCALING_REPORT"):
+            import json as _json
+            import sys as _sys
+
+            print("humid_tpu scaling report: "
+                  + _json.dumps(report), file=_sys.stderr)
     if st["spill_dir"]:
         import shutil
 

@@ -265,6 +265,46 @@ def test_distributed_device_engine_broadcast(tmp_path, monkeypatch):
         assert a == b, f"{f} differs under the broadcast device route"
 
 
+def test_scaling_report_arithmetic():
+    """The efficiency summary's arithmetic (VERDICT r3 #10): wall =
+    sum of per-phase maxima, efficiency = total work / (hosts * wall)."""
+    from humid_tpu.parallel.pipeline import (_SCALING_PHASES,
+                                             scaling_report)
+
+    per_host = np.zeros((2, len(_SCALING_PHASES)))
+    ip = {n: i for i, n in enumerate(_SCALING_PHASES)}
+    per_host[0, ip["pack"]] = 2.0
+    per_host[1, ip["pack"]] = 4.0        # imbalance: max 4, sum 6
+    per_host[:, ip["neighbors"]] = 1.0   # balanced: max 1, sum 2
+    per_host[:, ip["cluster"]] = 0.5     # replicated work
+    rep = scaling_report(per_host, 2)
+    assert rep["wall_s"] == 4.0 + 1.0 + 0.5
+    assert rep["total_work_s"] == 6.0 + 2.0 + 1.0
+    assert rep["efficiency"] == round(9.0 / (2 * 5.5), 4)
+    assert rep["phases"]["pack"]["efficiency"] == round(6 / 8, 4)
+    assert rep["phases"]["neighbors"]["efficiency"] == 1.0
+    assert "range_setup" not in rep["phases"]  # zero phases dropped
+
+
+def test_run_distributed_emits_scaling_report(tmp_path):
+    """The sharded driver gathers per-host timings and records the
+    report; phases cover compute and writes."""
+    from humid_tpu.parallel.pipeline import LAST_SCALING_REPORT
+
+    gen_dataset(np.random.default_rng(53), str(tmp_path), n_reads=400,
+                n_files=1, umi_style="none")
+    files = [str(tmp_path / "file0.fastq")]
+    _run_hosts_with_outputs(files, 2, str(tmp_path / "out"),
+                            write_dedup=True, write_annotated=True)
+    rep = dict(LAST_SCALING_REPORT)
+    assert rep["n_hosts"] == 2
+    assert 0.0 < rep["efficiency"] <= 1.0
+    assert rep["wall_s"] > 0
+    assert {"pack", "neighbors", "cluster",
+            "write_dedup"} <= set(rep["phases"])
+    assert len(rep["per_host_s"]) == 2
+
+
 def test_distributed_edit_outputs(tmp_path):
     """Sharded -e run matches the single-host edit pipeline's files."""
     gen_dataset(np.random.default_rng(17), str(tmp_path), n_reads=300,
