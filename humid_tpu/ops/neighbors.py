@@ -712,9 +712,8 @@ def find_neighbor_pairs(
         )
     if strategy in ("sharded", "sharded_bucketed"):
         if metric == "edit":
-            # The edit metric rides the dense ring (banded-Levenshtein
-            # tiles); unshifted pigeonhole buckets do not bound edit
-            # distance, so the bucketed mesh search cannot serve it.
+            # Unshifted pigeonhole buckets do not bound edit distance,
+            # so the bucketed mesh search cannot serve it.
             if strategy == "sharded_bucketed":
                 raise ValueError(
                     "sharded_bucketed supports only the hamming metric "
@@ -722,6 +721,20 @@ def find_neighbor_pairs(
                     "use strategy='sharded'")
             if word_length is None:
                 raise ValueError("sharded edit requires word_length")
+            # Subquadratic first: the (segment, shift) merge joins
+            # sharded over the mesh (VERDICT r3 #7); degenerate key
+            # spaces fall back to the dense O(U^2/D) edit ring — the
+            # same ladder the host edit engine uses.
+            if max_dist >= 1 and u > runs_threshold:
+                from ..parallel import sharded_edit_pairs_shifted
+
+                try:
+                    return sharded_edit_pairs_shifted(
+                        packed, max_dist, word_length=word_length,
+                        tile=tile, cap_row=cap_row, cap_total=cap_total,
+                        join_cap=join_cap)
+                except JoinCapExceeded:
+                    pass
             from ..parallel import sharded_neighbor_pairs
 
             return sharded_neighbor_pairs(

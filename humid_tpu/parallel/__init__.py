@@ -1,5 +1,6 @@
 from .mesh import data_mesh, shard_rows, replicate
 from .neighbors import (
+    sharded_edit_pairs_shifted,
     sharded_neighbor_pairs,
     sharded_neighbor_pairs_bucketed,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "data_mesh",
     "shard_rows",
     "replicate",
+    "sharded_edit_pairs_shifted",
     "sharded_neighbor_pairs",
     "sharded_neighbor_pairs_bucketed",
     "distributed_components",

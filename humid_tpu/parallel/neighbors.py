@@ -38,7 +38,8 @@ from jax import shard_map
 from ..ops.neighbors import scan_tile_pairs, _round_up
 from .mesh import DATA_AXIS, data_mesh, pad_to_shards
 
-__all__ = ["sharded_neighbor_pairs", "sharded_neighbor_pairs_bucketed"]
+__all__ = ["sharded_neighbor_pairs", "sharded_neighbor_pairs_bucketed",
+           "sharded_edit_pairs_shifted"]
 
 
 def _ring_pairs_local(local, u, max_dist, *, tile: int, cap_row: int,
@@ -412,6 +413,295 @@ def sharded_neighbor_pairs_bucketed(
         gb = gmaps[si][b_h[si, :t]]
         parts_a.append(np.minimum(ga, gb))
         parts_b.append(np.maximum(ga, gb))
+    if not parts_a:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return _dedupe_pairs(np.concatenate(parts_a), np.concatenate(parts_b))
+
+
+def _cross_local(pka, pkb, ida, idb, pairs, ua, ub, max_dist, *,
+                 tile: int, cap_row: int, cap_total: int, metric: str,
+                 word_length: int, max_dist_static: int, col_base: int):
+    """shard_map body of the cross-stack (A x B) sharded scan: each
+    shard's A/B packed rows are unpacked locally, and only its own
+    tile-pair list is scanned with group-id masking.  ``col_base`` is a
+    static offset >= the A stack length so the (min, max) normalization
+    keeps A-side indices below B-side ones (the caller maps each side
+    through its own gather map)."""
+    from ..ops.neighbors import _device_rep
+
+    rows = _device_rep(pka, metric, word_length)
+    cols = _device_rep(pkb, metric, word_length)
+    out_a = jnp.full((cap_total,), -1, jnp.int32)
+    out_b = jnp.full((cap_total,), -1, jnp.int32)
+    t = jnp.bool_(True)
+    (out_a, out_b, total), counts = scan_tile_pairs(
+        rows, cols, pairs[0], ua[0], ub[0], max_dist,
+        upper_only=jnp.bool_(False), enabled=t,
+        row_base=jnp.int32(0), col_base=jnp.int32(col_base),
+        state=(out_a, out_b, jnp.int32(0)),
+        tile=tile, cap_row=cap_row, metric=metric,
+        max_dist_static=max_dist_static, word_length=word_length,
+        row_ids=ida, col_ids=idb,
+    )
+    return out_a, out_b, total[None], counts
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "cap_row", "cap_total", "metric", "word_length",
+    "max_dist_static", "col_base", "mesh"))
+def _cross_pairs(pka, pkb, ida, idb, pairs, ua, ub, max_dist, *,
+                 tile: int, cap_row: int, cap_total: int, metric: str,
+                 word_length: int, max_dist_static: int, col_base: int,
+                 mesh):
+    fn = shard_map(
+        functools.partial(
+            _cross_local, tile=tile, cap_row=cap_row,
+            cap_total=cap_total, metric=metric, word_length=word_length,
+            max_dist_static=max_dist_static, col_base=col_base,
+        ),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS),) * 7 + (P(),),
+        out_specs=(P(DATA_AXIS),) * 4,
+        check_vma=False,
+    )
+    return fn(pka, pkb, ida, idb, pairs, ua, ub, max_dist)
+
+
+def sharded_edit_pairs_shifted(
+    packed: np.ndarray,
+    max_dist: int,
+    *,
+    word_length: int,
+    mesh=None,
+    tile: int = 512,
+    cap_row: int = 16,
+    cap_total: int | None = None,
+    join_cap: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Subquadratic multi-chip EDIT-distance neighbour search: the
+    (segment, shift) merge joins of the host shifted-segment engine
+    (humid_tpu.ops.neighbors.find_edit_pairs_shifted) sharded over the
+    device mesh (VERDICT r3 #7).
+
+    Partition lemma with indels: an alignment within m edits leaves one
+    of the m+1 contiguous query segments untouched, appearing exactly at
+    its position offset by an indel balance d in [-m, m].  For every
+    (segment, shift), the equal-key GROUPS of (canonical keys) x
+    (shifted keys) hold all candidates; whole groups are assigned to
+    shards (heaviest-first snake on |A|x|B|), and each chip runs the
+    banded-Levenshtein tile scan over ONLY the cross tiles its groups
+    span, with group-id masking — the verification happens in the same
+    device pass, no collective traffic during the scan.  Cross-join
+    duplicates and self-pairs are removed host-side.
+
+    Same contract as find_neighbor_pairs (a < b int64, sorted).
+    Replaces the O(U^2/D) dense mesh edit ring (findEditNeighbours,
+    humid.cc:140-158) with work proportional to the candidate count.
+    Degenerate key spaces exceeding ``join_cap`` raise
+    :class:`humid_tpu.ops.neighbors.JoinCapExceeded` (callers fall back
+    to the dense ring).
+    """
+    from ..ops.neighbors import (JoinCapExceeded, _dedupe_pairs,
+                                 _pad_pairs, _segment_keys_at,
+                                 _sorted_run_counts)
+    from ..ops.unique import _stable_argsort_u64
+    from .. import words as W
+
+    mesh = mesh or data_mesh()
+    d_sh = mesh.devices.size
+    u, w = packed.shape
+    if u <= 1 or max_dist == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if join_cap is None:
+        from .._util import avail_bytes
+
+        join_cap = max(1 << 26, avail_bytes() // 4 // 16)
+
+    n_seg = max_dist + 1
+    bounds = [word_length * s // n_seg for s in range(n_seg + 1)]
+    codes = np.ascontiguousarray(
+        W.unpack_words(packed, word_length).astype(np.uint8))
+
+    # --- host prep: per-(segment, shift) equal-key groups ---
+    # Each group is (a_start, a_len) in the canonical sort order and
+    # (b_start, b_len) in the shifted sort order; candidates = |A|x|B|.
+    ga_ord: list[np.ndarray] = []   # per-join canonical sort order
+    gb_ord: list[np.ndarray] = []   # per-join shifted sort order
+    g_join: list[np.ndarray] = []   # group -> join index
+    g_as, g_al, g_bs, g_bl = [], [], [], []
+    n_join = 0
+    for s in range(n_seg):
+        lo, hi = bounds[s], bounds[s + 1]
+        ka = _segment_keys_at(packed, word_length, lo, hi, codes)
+        oa = _stable_argsort_u64(ka)
+        for dd in range(-max_dist, max_dist + 1):
+            if lo + dd < 0 or hi + dd > word_length:
+                continue
+            if dd == 0:
+                kb, ob = ka, oa
+            else:
+                kb = _segment_keys_at(packed, word_length, lo + dd,
+                                      hi + dd, codes)
+                ob = _stable_argsort_u64(kb)
+            va, ca = _sorted_run_counts(ka[oa])
+            vb, cb = _sorted_run_counts(kb[ob])
+            pos = np.searchsorted(va, vb)
+            pos_c = np.minimum(pos, max(len(va) - 1, 0))
+            m = ((pos < len(va)) & (va[pos_c] == vb) if len(va)
+                 else np.zeros(len(vb), bool))
+            need = int((ca[pos_c[m]] * cb[m]).sum())
+            if need > join_cap:
+                raise JoinCapExceeded(
+                    f"sharded shifted-segment join (segment {s}, shift "
+                    f"{dd}) needs {need} candidates (> join_cap="
+                    f"{join_cap}); use the dense edit ring")
+            if not m.any():
+                continue
+            a_starts = np.cumsum(ca) - ca
+            b_starts = np.cumsum(cb) - cb
+            sel_b = np.flatnonzero(m)
+            sel_a = pos[sel_b]
+            g_as.append(a_starts[sel_a])
+            g_al.append(ca[sel_a])
+            g_bs.append(b_starts[sel_b])
+            g_bl.append(cb[sel_b])
+            g_join.append(np.full(len(sel_b), n_join, np.int32))
+            ga_ord.append(oa)
+            gb_ord.append(ob)
+            n_join += 1
+    if not g_as:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    g_as = np.concatenate(g_as)
+    g_al = np.concatenate(g_al)
+    g_bs = np.concatenate(g_bs)
+    g_bl = np.concatenate(g_bl)
+    g_join = np.concatenate(g_join)
+    n_groups = len(g_as)
+
+    # Heaviest-first snake assignment over |A|x|B| (cf. the bucketed
+    # Hamming mesh search — balance only; results are shard-independent).
+    weights = g_al * g_bl
+    rank = np.argsort(-weights, kind="stable")
+    posn = np.empty(n_groups, np.int64)
+    posn[rank] = np.arange(n_groups)
+    lane = posn % d_sh
+    shard = np.where((posn // d_sh) % 2 == 0, lane, d_sh - 1 - lane)
+
+    tile = min(tile, 512)  # edit tiles are VPU-bound; match _resolve_metric
+    rows_a_tot = np.bincount(shard, weights=g_al, minlength=d_sh)
+    rows_b_tot = np.bincount(shard, weights=g_bl, minlength=d_sh)
+    b_a = min(tile, _round_up(max(int(rows_a_tot.max()), 1), 256))
+    b_b = min(tile, _round_up(max(int(rows_b_tot.max()), 1), 256))
+    b = max(b_a, b_b)
+    nt_a = 1 << (max(-(-_round_up(int(rows_a_tot.max()), b) // b), 1)
+                 - 1).bit_length()
+    nt_b = 1 << (max(-(-_round_up(int(rows_b_tot.max()), b) // b), 1)
+                 - 1).bit_length()
+    r_pad_a, r_pad_b = nt_a * b, nt_b * b
+
+    def _expand(starts, lens):
+        tot = int(lens.sum())
+        cum = np.cumsum(lens)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            cum - lens, lens)
+        return np.repeat(starts, lens) + within
+
+    gmap_a = np.full((d_sh, r_pad_a), -1, np.int64)
+    gmap_b = np.full((d_sh, r_pad_b), -1, np.int64)
+    rows_a = np.zeros((d_sh * r_pad_a, w), packed.dtype)
+    rows_b = np.zeros((d_sh * r_pad_b, w), packed.dtype)
+    # Padding ids: DISTINCT negative ranges per side so A-padding never
+    # equals B-padding.
+    ida = -np.arange(1, d_sh * r_pad_a + 1, dtype=np.int32)
+    idb = -np.arange(d_sh * r_pad_a + 1,
+                     d_sh * r_pad_a + d_sh * r_pad_b + 1, dtype=np.int32)
+    ua = np.zeros(d_sh, np.int32)
+    ub = np.zeros(d_sh, np.int32)
+    tile_lists: list[np.ndarray] = []
+    for si in range(d_sh):
+        mine = rank[shard[rank] == si]
+        if not len(mine):
+            tile_lists.append(np.zeros((0, 2), np.int32))
+            continue
+        al, bl = g_al[mine], g_bl[mine]
+        ta, tb = int(al.sum()), int(bl.sum())
+        ua[si], ub[si] = ta, tb
+        src_a = _expand(g_as[mine], al)
+        src_b = _expand(g_bs[mine], bl)
+        jn_a = np.repeat(g_join[mine], al)
+        jn_b = np.repeat(g_join[mine], bl)
+        idx_a = np.empty(ta, np.int64)
+        idx_b = np.empty(tb, np.int64)
+        for jn in np.unique(g_join[mine]):
+            m = jn_a == jn
+            idx_a[m] = ga_ord[jn][src_a[m]]
+            m = jn_b == jn
+            idx_b[m] = gb_ord[jn][src_b[m]]
+        gmap_a[si, :ta] = idx_a
+        gmap_b[si, :tb] = idx_b
+        rows_a[si * r_pad_a:si * r_pad_a + ta] = packed[idx_a]
+        rows_b[si * r_pad_b:si * r_pad_b + tb] = packed[idx_b]
+        gids = np.arange(len(mine), dtype=np.int32)
+        ida[si * r_pad_a:si * r_pad_a + ta] = np.repeat(gids, al)
+        idb[si * r_pad_b:si * r_pad_b + tb] = np.repeat(gids, bl)
+        # Cross tiles each group spans: (A tiles) x (B tiles).
+        offs_a = np.cumsum(al) - al
+        offs_b = np.cumsum(bl) - bl
+        ta0, ta1 = offs_a // b, (offs_a + al - 1) // b
+        tb0, tb1 = offs_b // b, (offs_b + bl - 1) // b
+        one = (ta0 == ta1) & (tb0 == tb1)
+        tp = set(zip(ta0[one].tolist(), tb0[one].tolist()))
+        for k in np.flatnonzero(~one):
+            for i in range(int(ta0[k]), int(ta1[k]) + 1):
+                for j in range(int(tb0[k]), int(tb1[k]) + 1):
+                    tp.add((i, j))
+        tile_lists.append(np.array(sorted(tp), np.int32).reshape(-1, 2))
+
+    t_max = max(len(t) for t in tile_lists)
+    t_pad = 1 << max(t_max - 1, 0).bit_length()
+    pairs_all = np.zeros((d_sh, t_pad, 3), np.int32)
+    for si, tl in enumerate(tile_lists):
+        padded = _pad_pairs(tl)
+        pairs_all[si, :len(padded)] = padded[:t_pad]
+
+    if cap_total is None:
+        cap_total = 1 << max(18, (8 * (u // d_sh + 1)).bit_length())
+    cap_row = min(cap_row, b)
+
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    dev = [jax.device_put(x, sharding) for x in
+           (rows_a, rows_b, ida, idb, pairs_all, ua, ub)]
+
+    while True:
+        out_a, out_b, totals, counts = _cross_pairs(
+            *dev, jnp.int32(max_dist),
+            tile=b, cap_row=cap_row, cap_total=cap_total, metric="edit",
+            word_length=word_length, max_dist_static=int(max_dist),
+            col_base=r_pad_a, mesh=mesh,
+        )
+        counts_h, totals_h = jax.device_get((counts, totals))
+        row_max = int(counts_h[:, 1].max(initial=0))
+        if row_max > cap_row:
+            cap_row = min(1 << (row_max - 1).bit_length(), b)
+            continue
+        if int(totals_h.max(initial=0)) > cap_total:
+            cap_total = 1 << int(totals_h.max()).bit_length()
+            continue
+        break
+
+    a_h = np.asarray(out_a).reshape(d_sh, cap_total)
+    b_h = np.asarray(out_b).reshape(d_sh, cap_total)
+    parts_a, parts_b = [], []
+    for si in range(d_sh):
+        t = int(totals_h[si])
+        if not t:
+            continue
+        ga = gmap_a[si][a_h[si, :t]]
+        gb = gmap_b[si][b_h[si, :t] - r_pad_a]
+        keep = ga != gb  # a word can meet itself under a shifted key
+        if keep.any():
+            parts_a.append(np.minimum(ga[keep], gb[keep]))
+            parts_b.append(np.maximum(ga[keep], gb[keep]))
     if not parts_a:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     return _dedupe_pairs(np.concatenate(parts_a), np.concatenate(parts_b))

@@ -62,7 +62,7 @@ def test_sharded_edit_pairs_match_single_device(n_dev, m):
 
 def test_strategy_sharded_edit_dispatch():
     """find_neighbor_pairs(strategy='sharded', metric='edit') routes to
-    the mesh ring; sharded_bucketed + edit is rejected."""
+    a mesh engine; sharded_bucketed + edit is rejected."""
     rng = np.random.default_rng(31)
     codes = _dataset(rng, 300, 16)
     uniq, _, _, _ = unique_words(W.pack_words(codes))
@@ -75,6 +75,46 @@ def test_strategy_sharded_edit_dispatch():
     with pytest.raises(ValueError, match="sharded_bucketed"):
         find_neighbor_pairs(uniq, 1, metric="edit", word_length=16,
                             strategy="sharded_bucketed")
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 3, 8])
+@pytest.mark.parametrize("m", [1, 2])
+def test_sharded_shifted_edit_match_single_device(n_dev, m):
+    """-e on the mesh, subquadratic (VERDICT r3 #7): the sharded
+    (segment, shift) merge joins equal the dense edit scan."""
+    from humid_tpu.parallel import sharded_edit_pairs_shifted
+
+    rng = np.random.default_rng(500 + 10 * n_dev + m)
+    codes = _dataset(rng, 500, 21, pool=24)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(n_dev)
+    a1, b1 = sharded_edit_pairs_shifted(uniq, m, word_length=21,
+                                        mesh=mesh, cap_row=4)
+    a2, b2 = find_neighbor_pairs(uniq, m, metric="edit", word_length=21,
+                                 strategy="dense")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_sharded_shifted_edit_join_cap_falls_back_to_ring():
+    """Degenerate key spaces exceed join_cap: the 'sharded' strategy
+    falls back to the dense edit ring and stays correct."""
+    from humid_tpu.ops.neighbors import JoinCapExceeded
+    from humid_tpu.parallel import sharded_edit_pairs_shifted
+
+    rng = np.random.default_rng(41)
+    codes = _dataset(rng, 400, 16, pool=4)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    with pytest.raises(JoinCapExceeded):
+        sharded_edit_pairs_shifted(uniq, 1, word_length=16,
+                                   mesh=data_mesh(2), join_cap=8)
+    a1, b1 = find_neighbor_pairs(uniq, 1, metric="edit", word_length=16,
+                                 strategy="sharded", join_cap=8,
+                                 runs_threshold=64)
+    a2, b2 = find_neighbor_pairs(uniq, 1, metric="edit", word_length=16,
+                                 strategy="dense")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
 
 
 def test_sharded_pairs_overflow_retry():
