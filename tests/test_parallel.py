@@ -96,6 +96,38 @@ def test_sharded_shifted_edit_match_single_device(n_dev, m):
     np.testing.assert_array_equal(b1, b2)
 
 
+@pytest.mark.parametrize("n_dev", [1, 2, 3, 5, 8])
+@pytest.mark.parametrize("m", [1, 2])
+def test_pallas_rdma_ring_matches_single_device(n_dev, m):
+    """The kernel-level ICI ring (pltpu.make_async_remote_copy, RDMA of
+    block s+1 overlapped with compute on block s — SURVEY §2.5 /
+    VERDICT r3 #4) equals the single-device pair list (interpret mode
+    on the virtual mesh)."""
+    from humid_tpu.parallel import sharded_neighbor_pairs_pallas_ring
+
+    rng = np.random.default_rng(700 + 10 * n_dev + m)
+    codes = _dataset(rng, 800, 24, pool=80)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(n_dev)
+    a1, b1 = sharded_neighbor_pairs_pallas_ring(
+        uniq, m, word_length=24, mesh=mesh, cap_row=4)
+    a2, b2 = find_neighbor_pairs(uniq, m, strategy="dense",
+                                 word_length=24, impl="xor")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_pallas_rdma_ring_block_cap():
+    from humid_tpu.parallel import sharded_neighbor_pairs_pallas_ring
+
+    rng = np.random.default_rng(3)
+    codes = _dataset(rng, 3000, 24, pool=2800)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    with pytest.raises(ValueError, match="block_cap"):
+        sharded_neighbor_pairs_pallas_ring(
+            uniq, 1, word_length=24, mesh=data_mesh(1), block_cap=1024)
+
+
 def test_sharded_shifted_edit_join_cap_falls_back_to_ring():
     """Degenerate key spaces exceed join_cap: the 'sharded' strategy
     falls back to the dense edit ring and stays correct."""
