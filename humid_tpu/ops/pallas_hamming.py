@@ -80,10 +80,10 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
     part_stride = glob_ref[0, 0]
     part_valid = glob_ref[0, 1]
     max_dist = glob_ref[0, 2]
-    upper_only = glob_ref[0, 3]
-    enabled = glob_ref[0, 4]
-    row_base = glob_ref[0, 5]
-    col_base = glob_ref[0, 6]
+    # glob slots 3-6 (upper_only, enabled, row/col base) are fixed at
+    # (1, 1, 0, 0) by the only production caller (pallas_all_pairs);
+    # hardcoding upper-triangle semantics removes 4 dynamic boolean
+    # passes over every [bm, tile] block (~20% of the kernel, v5e).
 
     sub = tile // 128  # 128-word groups per tile
 
@@ -144,7 +144,6 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
 
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 1)
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (bm, tile), 0)
-        is_upper = upper_only > 0
         n_bases = 16 * w  # includes constant phantom matches beyond L
 
         # The remaining index mask reduces to scalar comparisons against
@@ -187,8 +186,8 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
                     ).astype(jnp.bfloat16)
 
             cols_oht = oht_c_ref[...]                   # [64w, tile]
-            base_delta = (col_base + tj * tile) - (row_base + ti * tile)
-            gate = (enabled > 0) & (on > 0)
+            base_delta = (tj - ti) * tile
+            gate = on > 0
             # f32 threshold on raw matches: dist <= max_dist  <=>
             # matches >= n_bases - max_dist (exact: small ints in f32).
             thresh = (n_bases - max_dist).astype(jnp.float32)
@@ -204,22 +203,31 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
             # fori_loops, not Python loops: an unrolled body (sub x
             # cap_row argmax steps) explodes the Mosaic IR and hangs
             # the AOT compiler.
-            def block_body(b, _):
+            def block_body(b, _, with_diag):
                 a = oht_r_ref[:, pl.ds(b * bm, bm)]     # [64w, bm]
                 matches = jax.lax.dot_general(
                     a, cols_oht,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                       # [bm, tile]
-                nd = b * bm - base_delta           # gc>gr <=> diff>nd
                 mask = matches >= thresh
-                # No select over i1 vectors on Mosaic; boolean algebra.
-                mask &= (((diff_cr > nd) & is_upper)
-                         | ((diff_cr != nd) & ~is_upper))
+                if with_diag:
+                    # Upper triangle within the diagonal tile pair:
+                    # gc > gr <=> diff_cr > nd.  Off-diagonal pairs
+                    # (tj > ti) skip this pass entirely — there nd <
+                    # -(bm-1) = min(diff_cr) makes it vacuously true,
+                    # and the [bm, tile] compare+and cost ~1 us/pair
+                    # on v5e for nothing.
+                    nd = b * bm - base_delta
+                    mask &= diff_cr > nd
 
                 # Scalar gate applies to the [bm] counts, not the
                 # [bm, tile] mask (the consumer ignores topv wherever
                 # counts are 0, so gated pairs may write stale topv).
+                # (An MXU ones-matmul row count was tried here and
+                # measured SLOWER — 17.0 vs 12.9 us/pair on v5e: the
+                # i1 -> bf16 select pass costs more than the cross-lane
+                # reduction it replaces.)
                 rowcnt = jnp.where(
                     gate, mask.sum(axis=1, dtype=jnp.int32), 0)
                 counts_v[0, 0, pl.ds(b * bm, bm)] = rowcnt
@@ -252,7 +260,17 @@ def _kernel(groups_ref, pairs_ref, glob_ref, data_r_ref, data_c_ref,
 
                 return 0
 
-            jax.lax.fori_loop(0, tile // bm, block_body, 0)
+            @pl.when(tj == ti)
+            def _diag():
+                jax.lax.fori_loop(
+                    0, tile // bm,
+                    functools.partial(block_body, with_diag=True), 0)
+
+            @pl.when(tj != ti)
+            def _offdiag():
+                jax.lax.fori_loop(
+                    0, tile // bm,
+                    functools.partial(block_body, with_diag=False), 0)
             for c in out_copies(idx):
                 c.start()
             return 0
