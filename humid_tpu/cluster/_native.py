@@ -13,9 +13,13 @@ import numpy as np
 from . import _ccluster
 
 
-def cluster(counts, indptr, indices, maximum):
+def cluster(counts, indptr, indices, maximum, parallel=False):
     """Native CSR clustering; mirrors the pure-Python reference in
-    humid_tpu/cluster/exact.py (semantics of cluster.cc)."""
+    humid_tpu/cluster/exact.py (semantics of cluster.cc).
+
+    ``parallel`` runs the component-parallel variant (union-find the
+    components, the exact sequential algorithm per component under
+    OpenMP, global renumber by seed rank) — bit-identical output."""
     u = len(counts)
     labels = np.zeros(u, dtype=np.int64)
     cap = max(u, 1)
@@ -23,7 +27,9 @@ def cluster(counts, indptr, indices, maximum):
     max_count = np.empty(cap, dtype=np.int64)
     size = np.empty(cap, dtype=np.int64)
     if u:
-        k = _ccluster.cluster_into(
+        fn = (_ccluster.cluster_parallel_into if parallel
+              else _ccluster.cluster_into)
+        k = fn(
             counts, indptr, indices, bool(maximum),
             labels, max_leaf, max_count, size,
         )

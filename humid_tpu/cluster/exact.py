@@ -52,6 +52,17 @@ class ClusterResult:
         return len(self.size)
 
 
+#: auto-selection gate for the component-parallel native variant.  Its
+#: serial union-find + grouping prologue costs ~3 extra O(u+E) sweeps,
+#: so it only wins when many cores amortize the per-component phase:
+#: measured on the 4-core dev host it LOSES (87 vs 48 ns/unique at 2.9M
+#: uniques — BASELINE.md round-4), so auto requires a genuinely
+#: many-core host on top of a size floor.  Explicit ``parallel=True``
+#: (or HUMID_TPU_CLUSTER=parallel) always honors the caller.
+_PARALLEL_MIN_U = 1 << 17
+_PARALLEL_MIN_CORES = 16
+
+
 def cluster_exact(
     counts: np.ndarray,
     indptr: np.ndarray,
@@ -59,15 +70,33 @@ def cluster_exact(
     *,
     maximum: bool = False,
     use_native: bool = True,
+    parallel: bool | None = None,
 ) -> ClusterResult:
     """Cluster unique words given exact-duplicate ``counts`` and CSR
-    adjacency (ascending neighbour lists)."""
+    adjacency (ascending neighbour lists).
+
+    ``parallel=None`` auto-selects the component-parallel native variant
+    (bit-identical; clusters in distinct connected components cannot
+    interact, so they run concurrently and renumber by seed rank —
+    VERDICT r3 #8) above ``_PARALLEL_MIN_U`` nodes."""
     counts = np.ascontiguousarray(counts, dtype=np.int64)
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int64)
     if use_native and _native is not None:
+        if parallel is None:
+            import os
+
+            env = os.environ.get("HUMID_TPU_CLUSTER", "auto")
+            if env == "parallel":
+                parallel = True
+            elif env in ("seq", "sequential"):
+                parallel = False
+            else:
+                parallel = (len(counts) >= _PARALLEL_MIN_U
+                            and (os.cpu_count() or 1)
+                            >= _PARALLEL_MIN_CORES)
         labels, max_leaf, max_count, size = _native.cluster(
-            counts, indptr, indices, bool(maximum)
+            counts, indptr, indices, bool(maximum), parallel=parallel
         )
         return ClusterResult(labels, max_leaf, max_count, size)
     if maximum:

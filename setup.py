@@ -33,7 +33,8 @@ setup(
         Extension(
             "humid_tpu.cluster._ccluster",
             sources=["csrc/cluster.cpp"],
-            extra_compile_args=["-O3", "-std=c++17"],
+            extra_compile_args=["-O3", "-std=c++17", "-fopenmp"],
+            extra_link_args=["-fopenmp"],
         ),
         Extension(
             "humid_tpu.io._cfastqio",

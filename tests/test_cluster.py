@@ -126,6 +126,54 @@ def test_python_vs_native_paths_agree():
             np.testing.assert_array_equal(a.size, b.size)
 
 
+def test_component_parallel_matches_oracle_and_sequential():
+    """The component-parallel native route (VERDICT r3 #8) is
+    bit-identical to the sequential walk AND the literal-recursion
+    oracle, both methods, including the reference chain scenario."""
+    counts = np.array([2, 4, 8, 10, 3], np.int64)
+    neigh = [[1], [0, 2], [1, 3], [2, 4], [3]]
+    indptr, indices = _csr(neigh)
+    res = cluster_exact(counts, indptr, indices, maximum=False,
+                        parallel=True)
+    assert res.labels.tolist() == [1, 1, 1, 2, 2]
+    assert res.max_leaf.tolist() == [2, 3]
+
+    rng = np.random.default_rng(23)
+    for trial in range(20):
+        n = int(rng.integers(2, 150))
+        counts, neigh = _random_graph(rng, n)
+        indptr, indices = _csr(neigh)
+        for maximum in (False, True):
+            par = cluster_exact(counts, indptr, indices,
+                                maximum=maximum, parallel=True)
+            seq = cluster_exact(counts, indptr, indices,
+                                maximum=maximum, parallel=False)
+            labels, clusters = _oracle_cluster(counts, neigh, maximum)
+            assert par.labels.tolist() == labels, (trial, maximum)
+            for fld in ("labels", "max_leaf", "max_count", "size"):
+                np.testing.assert_array_equal(
+                    getattr(par, fld), getattr(seq, fld),
+                    err_msg=f"{trial} {maximum} {fld}")
+
+
+def test_component_parallel_interleaved_seed_order():
+    """Cluster ids from different components interleave by seed rank:
+    component {0,2} seeds clusters at 0 and 2, component {1,3} at 1 —
+    global ids must follow 0 < 1 < 2 regardless of component order."""
+    # node0 count 1, node2 count 9 (not absorbable from 0: climb 1->9?
+    # 9 >= 2*1 so hill-climb JUMPS to 2... choose counts to split).
+    counts = np.array([5, 7, 2, 3], np.int64)
+    neigh = [[2], [3], [0], [1]]  # components {0,2}, {1,3}
+    indptr, indices = _csr(neigh)
+    seq = cluster_exact(counts, indptr, indices, parallel=False)
+    par = cluster_exact(counts, indptr, indices, parallel=True)
+    np.testing.assert_array_equal(seq.labels, par.labels)
+    np.testing.assert_array_equal(seq.max_leaf, par.max_leaf)
+    # seed order: 0 (cluster 1, absorbs 2: 5 >= 4), 1 (cluster 2,
+    # absorbs 3: 7 >= 6) — interleaving check.
+    assert seq.labels.tolist() == [1, 2, 1, 2]
+
+
 def test_deep_chain_no_stack_overflow():
     # The reference segfaults on deep clusters (docs/troubleshooting.rst);
     # the iterative implementation must not.
