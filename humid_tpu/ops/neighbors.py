@@ -742,6 +742,18 @@ def find_neighbor_pairs(
                 metric="edit", word_length=word_length)
         if metric != "hamming":
             raise ValueError(f"sharded strategy: unknown metric {metric!r}")
+        if impl == "pallas_ring":
+            # Kernel-level ICI comm path (SURVEY §2.5): the whole ring
+            # runs inside one Pallas kernel per shard, RDMA of block
+            # s+1 overlapped with compute on block s
+            # (parallel/pallas_ring.py).
+            if word_length is None:
+                raise ValueError("pallas_ring impl requires word_length")
+            from ..parallel import sharded_neighbor_pairs_pallas_ring
+
+            return sharded_neighbor_pairs_pallas_ring(
+                packed, max_dist, word_length=word_length,
+                cap_row=cap_row)
         # "sharded" auto-upgrades to the pigeonhole-bucketed mesh search
         # when it applies (subquadratic per-chip work); the dense ring
         # remains for distance 0 / unknown word length / explicit choice.

@@ -117,6 +117,20 @@ def test_pallas_rdma_ring_matches_single_device(n_dev, m):
     np.testing.assert_array_equal(b1, b2)
 
 
+def test_pallas_rdma_ring_strategy_dispatch():
+    """find_neighbor_pairs(strategy='sharded', impl='pallas_ring')
+    routes through the RDMA ring kernel."""
+    rng = np.random.default_rng(19)
+    codes = _dataset(rng, 600, 24, pool=60)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    a1, b1 = find_neighbor_pairs(uniq, 1, word_length=24,
+                                 strategy="sharded", impl="pallas_ring")
+    a2, b2 = find_neighbor_pairs(uniq, 1, word_length=24,
+                                 strategy="dense", impl="xor")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
 def test_pallas_rdma_ring_block_cap():
     from humid_tpu.parallel import sharded_neighbor_pairs_pallas_ring
 
