@@ -869,6 +869,20 @@ except ImportError:  # pragma: no cover - extension not built
     _unique_u64_native = None
 
 
+def _identity_runs(key: np.ndarray):
+    """Run structure of an ALREADY-SORTED key array — partition 0's
+    segment key is the word PREFIX and the unique table is ascending,
+    so its stable sort order is the identity and the radix sort can be
+    skipped (one adjacent-compare pass instead, ~3x cheaper)."""
+    n = len(key)
+    new_run = np.empty(n, bool)
+    new_run[0] = True
+    np.not_equal(key[1:], key[:-1], out=new_run[1:])
+    run_start = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_start, n))
+    return np.arange(n, dtype=np.int64), run_start, run_len
+
+
 def _partition_runs(key: np.ndarray):
     """Sorted order + equal-key run structure for one pigeonhole
     partition.
@@ -1003,7 +1017,11 @@ def find_neighbor_pairs_runs(
     cand_stat = [0] * n_seg
 
     def _one_partition(p):
-        order, run_start, run_len = _partition_runs(keys[p])
+        # Partition 0 is already in sorted order (prefix key of the
+        # ascending unique table): skip its radix sort.
+        order, run_start, run_len = (
+            _identity_runs(keys[0]) if p == 0
+            else _partition_runs(keys[p]))
         small = (run_len >= 2) & (run_len <= run_cap)
         if shard is not None:
             run_keys = keys[p][order[run_start]]
@@ -1308,7 +1326,9 @@ def find_edit_pairs_shifted(
     for s in range(n_seg):
         lo, hi = bounds[s], bounds[s + 1]
         ka = _segment_keys_at(packed, word_length, lo, hi, codes)
-        oa = _stable_argsort_u64(ka)
+        # Segment 0's canonical key is the word prefix: identity order.
+        oa = (np.arange(u, dtype=np.int64) if s == 0
+              else _stable_argsort_u64(ka))
         for d in range(-max_dist, max_dist + 1):
             if lo + d < 0 or hi + d > word_length:
                 continue
@@ -1447,10 +1467,16 @@ def find_neighbor_pairs_bucketed(
 
     def _prep_partition(p):
         key = keys[p]
-        order = _stable_argsort_u64(key)
+        if p == 0:
+            # Prefix key of the ascending unique table: identity order.
+            order = np.arange(u, dtype=np.int64)
+            kperm = key
+            dperm = packed
+        else:
+            order = _stable_argsort_u64(key)
+            kperm = key[order]
+            dperm = packed[order]
         orders[p] = order
-        kperm = key[order]
-        dperm = packed[order]
         # Dense int32 run ids (key equality == run-id equality), offset
         # into a per-partition id range.
         new_run = np.empty(u, bool)
