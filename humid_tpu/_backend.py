@@ -114,7 +114,11 @@ def _calib_key() -> str:
     import jax
 
     kind = jax.devices()[0].device_kind
-    return f"v{_CALIB_VERSION}|{kind}|ncpu={os.cpu_count()}"
+    # Local device count is part of the key: the mesh engine is only
+    # measured (and routable) with >1 co-located chip, so a cache row
+    # from a different topology must not be reused.
+    return (f"v{_CALIB_VERSION}|{kind}|ncpu={os.cpu_count()}"
+            f"|ndev={len(jax.local_devices())}")
 
 
 def _gen_probe_words(n: int, word_length: int = 24, seed: int = 0):
