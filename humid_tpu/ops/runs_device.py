@@ -129,17 +129,6 @@ def _bitmap_positions(bits_np: np.ndarray, n: int) -> np.ndarray:
     return np.flatnonzero(bools)
 
 
-def _identity_runs(key: np.ndarray):
-    """Run structure of an ALREADY-SORTED key array (no sort needed)."""
-    n = len(key)
-    new_run = np.empty(n, bool)
-    new_run[0] = True
-    np.not_equal(key[1:], key[:-1], out=new_run[1:])
-    run_start = np.flatnonzero(new_run)
-    run_len = np.diff(np.append(run_start, n))
-    return np.arange(n, dtype=np.int64), run_start, run_len
-
-
 def _host_run_pairs(packed, word64, order, starts, lens, max_dist):
     """Host enumeration + Hamming filter of the in-run pairs of the
     given runs (the host engine's native path, reused for the few
@@ -205,7 +194,7 @@ def runs_device_pairs(
     """
     from .neighbors import (
         LAST_DECISION, _big_run_pairs, _combined_u64, _dedupe_pairs,
-        _owned_mask, _partition_runs, _segment_run_ids,
+        _identity_runs, _owned_mask, _partition_runs, _segment_run_ids,
         find_neighbor_pairs)
 
     u, w = packed.shape

@@ -45,6 +45,7 @@ def test_distributed_cli_matches_single_host(tmp_path, n_proc):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["HUMID_TPU_SCALING_REPORT"] = "1"
     # The coordination service must not inherit any TPU plugin state.
     env.pop("XLA_FLAGS", None)
     procs = []
@@ -67,6 +68,15 @@ def test_distributed_cli_matches_single_host(tmp_path, n_proc):
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, err.decode()[-2000:]
+    # The scaling report rode the real DCN gather and host 0 printed it.
+    import json as _json
+
+    line = next(ln for ln in outs[0][2].decode().splitlines()
+                if ln.startswith("humid_tpu scaling report:"))
+    rep = _json.loads(line.split(":", 1)[1])
+    assert rep["n_hosts"] == n_proc
+    assert 0.0 < rep["efficiency"] <= 1.0
+    assert len(rep["per_host_s"]) == n_proc
 
     for f in sorted(os.listdir(ref_dir)):
         a = (ref_dir / f).read_bytes()
