@@ -180,11 +180,16 @@ def _measure_engines() -> dict:
         uniq, 1, strategy="runs_device", word_length=wl))
     # Mesh engine: only meaningful with >1 co-located chip (on a single
     # chip the sharded path is the bucketed path plus collective
-    # overhead, so it is skipped and never routed to).
+    # overhead, so it is skipped and never routed to).  Single-process
+    # only: the probe's shard_map runs over data_mesh() = ALL devices,
+    # and in a multi-host job a lazily triggered calibration on one host
+    # would execute a global collective its peers never enter
+    # (deadlock).  Multi-host runs adopt host 0's engine decision via
+    # broadcast_engine_choice, so the mesh row is simply absent there.
     import jax
 
     t_ns = None
-    if len(jax.local_devices()) > 1:
+    if len(jax.local_devices()) > 1 and jax.process_count() == 1:
         t_ns = best(lambda: find_neighbor_pairs(
             uniq, 1, strategy="sharded_bucketed", word_length=wl))
 
@@ -247,7 +252,22 @@ def engine_constants(refresh: bool = False) -> dict | None:
         _CALIB = cache[key]
         return _CALIB
     _CALIB = _measure_engines()
-    cache[key] = _CALIB
+    _save_calib(_CALIB)
+    return _CALIB
+
+
+def _save_calib(entry: dict) -> None:
+    """Persist this machine's calibration entry, merging (never
+    clobbering) other device kinds' / topologies' rows."""
+    import json
+
+    path = _calib_path()
+    try:
+        with open(path) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        cache = {}
+    cache[_calib_key()] = entry
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.{os.getpid()}.tmp"
@@ -256,7 +276,6 @@ def engine_constants(refresh: bool = False) -> dict | None:
         os.replace(tmp, path)
     except OSError:
         pass  # read-only home: keep the in-process calibration
-    return _CALIB
 
 
 #: neighbour engines eligible for auto-routing, keyed by the
@@ -280,8 +299,21 @@ def _noise_guarded(c: dict, ks: list[str]) -> dict:
     noise = float(c.get("spread", 0.0))
     margin = (vals[1] - vals[0]) / max(vals[0], 1e-9)
     age_s = time.time() - float(c.get("ts", 0.0))
-    if margin < noise and age_s > 3600.0:
-        return engine_constants(refresh=True)
+    if margin >= noise or age_s <= 3600.0:
+        return c
+    # Engines GENUINELY tied within this host's noise would otherwise
+    # re-pay the multi-second probe in every process started >1h after
+    # the last one, forever: a refresh that still measures a tie stamps
+    # ``tied_ts`` and suppresses further noise refreshes for 30 days
+    # (either engine is fine while they tie).
+    if time.time() - float(c.get("tied_ts", 0.0)) < 30 * 86400.0:
+        return c
+    c = engine_constants(refresh=True)
+    vals = sorted(float(c[k]) for k in ks if k in c)
+    if len(vals) >= 2 and ((vals[1] - vals[0]) / max(vals[0], 1e-9)
+                           < float(c.get("spread", 0.0))):
+        c["tied_ts"] = time.time()
+        _save_calib(c)
     return c
 
 

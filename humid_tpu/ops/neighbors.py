@@ -873,8 +873,15 @@ def _identity_runs(key: np.ndarray):
     """Run structure of an ALREADY-SORTED key array — partition 0's
     segment key is the word PREFIX and the unique table is ascending,
     so its stable sort order is the identity and the radix sort can be
-    skipped (one adjacent-compare pass instead, ~3x cheaper)."""
+    skipped (one adjacent-compare pass instead, ~3x cheaper).
+
+    The sortedness assumption is load-bearing (a permuted table would
+    silently lose pairs), so it is VERIFIED — one more vectorized
+    compare pass, still far cheaper than the sort — and non-ascending
+    input falls back to the full sort."""
     n = len(key)
+    if not np.all(key[1:] >= key[:-1]):
+        return _partition_runs(key)
     new_run = np.empty(n, bool)
     new_run[0] = True
     np.not_equal(key[1:], key[:-1], out=new_run[1:])
@@ -927,6 +934,38 @@ def _run_pairs_fallback(order, starts, lens):
     if not outs_a:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
+def enumerate_run_pairs(packed, word64, order, starts, lens, max_dist):
+    """In-run candidate enumeration + Hamming filter for the given
+    equal-key runs: fused native path (enumerate+XOR+popcount in one C
+    pass) when the word fits 64 bits, native enumeration + vectorized
+    host filter otherwise, pure-numpy fallback without the extension.
+    Returns (a, b, n_candidates) with a < b NOT yet guaranteed sorted/
+    deduped.  Shared by the host runs engine and the runs_device
+    mid-run path so the two ladders cannot diverge."""
+    t_cand = int((lens * (lens - 1) // 2).sum())
+    if t_cand == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, 0
+    ss = np.ascontiguousarray(starts)
+    sl = np.ascontiguousarray(lens)
+    order = np.ascontiguousarray(order)
+    if word64 is not None and _run_pairs_hamming_native is not None:
+        oa = np.empty(t_cand, np.int64)
+        ob = np.empty(t_cand, np.int64)
+        n_out = _run_pairs_hamming_native(word64, order, ss, sl,
+                                          int(max_dist), oa, ob)
+        return oa[:n_out].copy(), ob[:n_out].copy(), t_cand
+    if _run_pairs_native is not None:
+        oa = np.empty(t_cand, np.int64)
+        ob = np.empty(t_cand, np.int64)
+        n_out = _run_pairs_native(order, ss, sl, oa, ob)
+        ca, cb = oa[:n_out], ob[:n_out]
+    else:
+        ca, cb = _run_pairs_fallback(order, ss, sl)
+    a, b = _filter_hamming_host(packed, ca, cb, max_dist)
+    return a, b, t_cand
 
 
 def _filter_hamming_host(packed, a, b, max_dist):
@@ -1027,29 +1066,10 @@ def find_neighbor_pairs_runs(
             run_keys = keys[p][order[run_start]]
             owned = _owned_mask(run_keys, shard, salt_idx=p)
             small &= owned
-        ss = np.ascontiguousarray(run_start[small])
-        sl = np.ascontiguousarray(run_len[small])
-        t_cand = int((sl * (sl - 1) // 2).sum())
+        pa, pb, t_cand = enumerate_run_pairs(
+            packed, word64, order, run_start[small], run_len[small],
+            max_dist)
         cand_stat[p] = t_cand
-        if t_cand == 0:
-            pa = pb = np.zeros(0, np.int64)
-        elif word64 is not None and _run_pairs_hamming_native is not None:
-            oa = np.empty(t_cand, np.int64)
-            ob = np.empty(t_cand, np.int64)
-            n_out = _run_pairs_hamming_native(
-                word64, np.ascontiguousarray(order), ss, sl,
-                int(max_dist), oa, ob)
-            pa, pb = oa[:n_out].copy(), ob[:n_out].copy()
-        else:
-            if _run_pairs_native is not None:
-                oa = np.empty(t_cand, np.int64)
-                ob = np.empty(t_cand, np.int64)
-                n_out = _run_pairs_native(
-                    np.ascontiguousarray(order), ss, sl, oa, ob)
-                ca, cb = oa[:n_out], ob[:n_out]
-            else:
-                ca, cb = _run_pairs_fallback(order, ss, sl)
-            pa, pb = _filter_hamming_host(packed, ca, cb, max_dist)
         parts_a[p] = pa
         parts_b[p] = pb
         if (run_len > run_cap).any():
@@ -1326,8 +1346,10 @@ def find_edit_pairs_shifted(
     for s in range(n_seg):
         lo, hi = bounds[s], bounds[s + 1]
         ka = _segment_keys_at(packed, word_length, lo, hi, codes)
-        # Segment 0's canonical key is the word prefix: identity order.
-        oa = (np.arange(u, dtype=np.int64) if s == 0
+        # Segment 0's canonical key is the word prefix: identity order
+        # (verified — a permuted table would silently lose pairs).
+        oa = (np.arange(u, dtype=np.int64)
+              if s == 0 and np.all(ka[1:] >= ka[:-1])
               else _stable_argsort_u64(ka))
         for d in range(-max_dist, max_dist + 1):
             if lo + d < 0 or hi + d > word_length:
@@ -1467,8 +1489,9 @@ def find_neighbor_pairs_bucketed(
 
     def _prep_partition(p):
         key = keys[p]
-        if p == 0:
-            # Prefix key of the ascending unique table: identity order.
+        if p == 0 and np.all(key[1:] >= key[:-1]):
+            # Prefix key of the ascending unique table: identity order
+            # (verified — a permuted table would silently lose pairs).
             order = np.arange(u, dtype=np.int64)
             kperm = key
             dperm = packed

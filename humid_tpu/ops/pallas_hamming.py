@@ -27,8 +27,12 @@ cap_row, cap_total) and are reused across datasets.
 
 Scalar operands:
   pairs [nb, 3] int32 — (tile_i, tile_j, on); disabled rows emit nothing.
-  glob  [1, 8] int32 — part_stride, part_valid, max_dist, upper_only,
-                       enabled, row_base, col_base, unused.
+  glob  [1, 8] int32 — part_stride, part_valid, max_dist; slots 3-7 are
+    RESERVED/IGNORED (the kernel hardcodes upper-triangle semantics with
+    zero row/col bases — its only production caller's configuration;
+    legacy callers passing upper_only=0 or nonzero bases would silently
+    get upper-triangle behavior, so there are none — use the XLA tile
+    path for general pair scans).
     Rows r with (r % part_stride) >= part_valid are padding and never
     match (the fused pigeonhole driver stacks several permuted copies of
     the data; each partition occupies part_stride rows of which the

@@ -129,36 +129,6 @@ def _bitmap_positions(bits_np: np.ndarray, n: int) -> np.ndarray:
     return np.flatnonzero(bools)
 
 
-def _host_run_pairs(packed, word64, order, starts, lens, max_dist):
-    """Host enumeration + Hamming filter of the in-run pairs of the
-    given runs (the host engine's native path, reused for the few
-    mid-length runs the device sweep does not cover)."""
-    from .neighbors import (_filter_hamming_host, _run_pairs_fallback,
-                            _run_pairs_hamming_native, _run_pairs_native)
-
-    t_cand = int((lens * (lens - 1) // 2).sum())
-    if t_cand == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    ss = np.ascontiguousarray(starts)
-    sl = np.ascontiguousarray(lens)
-    if word64 is not None and _run_pairs_hamming_native is not None:
-        oa = np.empty(t_cand, np.int64)
-        ob = np.empty(t_cand, np.int64)
-        n_out = _run_pairs_hamming_native(
-            word64, np.ascontiguousarray(order), ss, sl, int(max_dist),
-            oa, ob)
-        return oa[:n_out].copy(), ob[:n_out].copy()
-    if _run_pairs_native is not None:
-        oa = np.empty(t_cand, np.int64)
-        ob = np.empty(t_cand, np.int64)
-        n_out = _run_pairs_native(np.ascontiguousarray(order), ss, sl,
-                                  oa, ob)
-        ca, cb = oa[:n_out], ob[:n_out]
-    else:
-        ca, cb = _run_pairs_fallback(order, ss, sl)
-    return _filter_hamming_host(packed, ca, cb, max_dist)
-
-
 def runs_device_pairs(
     packed: np.ndarray,
     max_dist: int,
@@ -195,7 +165,7 @@ def runs_device_pairs(
     from .neighbors import (
         LAST_DECISION, _big_run_pairs, _combined_u64, _dedupe_pairs,
         _identity_runs, _owned_mask, _partition_runs, _segment_run_ids,
-        find_neighbor_pairs)
+        enumerate_run_pairs, find_neighbor_pairs)
 
     u, w = packed.shape
     if u <= 1 or max_dist == 0:
@@ -220,6 +190,7 @@ def runs_device_pairs(
     all_big_rows = [0] * n_seg
     cand_stat = 0
     len_hist = np.zeros(d_cap + 2, np.int64)  # rows by min(len-1, d_cap+1)
+    owned_runs: list[np.ndarray | None] = []  # per-run ownership, reused
     for p in range(n_seg):
         if p == 0:
             order, run_start, run_len = _identity_runs(keys[0])
@@ -233,18 +204,21 @@ def runs_device_pairs(
         if len(sl):
             cand_stat += int((sl * (sl - 1) // 2).sum())
             np.add.at(len_hist, np.minimum(sl - 1, d_cap + 1), sl)
+        owned = None
         if shard is not None:
-            run_keys = keys[p][order[run_start]]
-            owned = _owned_mask(run_keys, shard, salt_idx=p)
+            # One O(runs) key gather + hash per partition, reused by the
+            # device mask, the big-run filter, and the mid-run loop.
+            owned = _owned_mask(keys[p][order[run_start]], shard,
+                                salt_idx=p)
             owned_rows[p, :u] = np.repeat(owned.astype(np.uint8), run_len)
+        owned_runs.append(owned)
         big = run_len > run_cap
         if big.any():
             # Dense-fallback decision must match the host engine's (and
             # be identical across shard parts): PRE-ownership row count.
             all_big_rows[p] = int(run_len[big].sum())
-            if shard is not None:
-                run_keys = keys[p][order[run_start]]
-                big &= _owned_mask(run_keys, shard, salt_idx=p)
+            if owned is not None:
+                big &= owned
             if big.any():
                 big_parts.append(
                     (p, order, run_start[big].copy(), run_len[big].copy()))
@@ -280,11 +254,10 @@ def runs_device_pairs(
     for p in range(n_seg):
         run_start, run_len = structs[p]
         mid = (run_len > d_max + 1) & (run_len <= run_cap)
-        if shard is not None and mid.any():
-            run_keys = keys[p][orders[p][run_start]]
-            mid &= _owned_mask(run_keys, shard, salt_idx=p)
+        if owned_runs[p] is not None:
+            mid &= owned_runs[p]
         if mid.any():
-            ma, mb = _host_run_pairs(
+            ma, mb, _ = enumerate_run_pairs(
                 packed, word64, orders[p], run_start[mid], run_len[mid],
                 max_dist)
             parts_a.append(ma)

@@ -528,6 +528,7 @@ def sharded_edit_pairs_shifted(
     ga_ord: list[np.ndarray] = []   # per-join canonical sort order
     gb_ord: list[np.ndarray] = []   # per-join shifted sort order
     g_join: list[np.ndarray] = []   # group -> join index
+    g_self: list[np.ndarray] = []   # group is a shift-0 self-join
     g_as, g_al, g_bs, g_bl = [], [], [], []
     n_join = 0
     for s in range(n_seg):
@@ -544,6 +545,33 @@ def sharded_edit_pairs_shifted(
                                       hi + dd, codes)
                 ob = _stable_argsort_u64(kb)
             va, ca = _sorted_run_counts(ka[oa])
+            if dd == 0:
+                # Self-join: A and B sides are the SAME sorted order.
+                # Candidates = unordered in-run pairs (c*(c-1)/2 — the
+                # host engine's _join_size accounting; c^2 would trip
+                # the cap ~2x early), and singleton groups contribute
+                # only the self-pair, so they are dropped outright
+                # instead of padding every shard with the full table.
+                need = int((ca * (ca - 1) // 2).sum())
+                if need > join_cap:
+                    raise JoinCapExceeded(
+                        f"sharded shifted-segment join (segment {s}, "
+                        f"shift 0) needs {need} candidates (> join_cap="
+                        f"{join_cap}); use the dense edit ring")
+                a_starts = np.cumsum(ca) - ca
+                sel = np.flatnonzero(ca >= 2)
+                if not len(sel):
+                    continue
+                g_as.append(a_starts[sel])
+                g_al.append(ca[sel])
+                g_bs.append(a_starts[sel])
+                g_bl.append(ca[sel])
+                g_join.append(np.full(len(sel), n_join, np.int32))
+                g_self.append(np.ones(len(sel), bool))
+                ga_ord.append(oa)
+                gb_ord.append(ob)
+                n_join += 1
+                continue
             vb, cb = _sorted_run_counts(kb[ob])
             pos = np.searchsorted(va, vb)
             pos_c = np.minimum(pos, max(len(va) - 1, 0))
@@ -566,6 +594,7 @@ def sharded_edit_pairs_shifted(
             g_bs.append(b_starts[sel_b])
             g_bl.append(cb[sel_b])
             g_join.append(np.full(len(sel_b), n_join, np.int32))
+            g_self.append(np.zeros(len(sel_b), bool))
             ga_ord.append(oa)
             gb_ord.append(ob)
             n_join += 1
@@ -576,11 +605,13 @@ def sharded_edit_pairs_shifted(
     g_bs = np.concatenate(g_bs)
     g_bl = np.concatenate(g_bl)
     g_join = np.concatenate(g_join)
+    g_self = np.concatenate(g_self)
     n_groups = len(g_as)
 
-    # Heaviest-first snake assignment over |A|x|B| (cf. the bucketed
-    # Hamming mesh search — balance only; results are shard-independent).
-    weights = g_al * g_bl
+    # Heaviest-first snake assignment over the true candidate counts
+    # (upper triangle for self-joins; cf. the bucketed Hamming mesh
+    # search — balance only; results are shard-independent).
+    weights = np.where(g_self, (g_al * (g_al - 1)) // 2, g_al * g_bl)
     rank = np.argsort(-weights, kind="stable")
     posn = np.empty(n_groups, np.int64)
     posn[rank] = np.arange(n_groups)
@@ -623,6 +654,14 @@ def sharded_edit_pairs_shifted(
         if not len(mine):
             tile_lists.append(np.zeros((0, 2), np.int32))
             continue
+        # Self-join groups FIRST, in the same order on both sides: their
+        # al == bl, so the A/B pack offsets advance in lockstep and each
+        # self group sits at IDENTICAL offsets — element i < j then
+        # implies tile(i) <= tile(j), so scanning only its upper-triangle
+        # tile pairs still covers every unordered pair once (~2x fewer
+        # tile scans on the heaviest, shift-0, joins).
+        mine = np.concatenate([mine[g_self[mine]], mine[~g_self[mine]]])
+        selfm = g_self[mine]
         al, bl = g_al[mine], g_bl[mine]
         ta, tb = int(al.sum()), int(bl.sum())
         ua[si], ub[si] = ta, tb
@@ -652,8 +691,12 @@ def sharded_edit_pairs_shifted(
         one = (ta0 == ta1) & (tb0 == tb1)
         tp = set(zip(ta0[one].tolist(), tb0[one].tolist()))
         for k in np.flatnonzero(~one):
+            j0 = int(tb0[k])
             for i in range(int(ta0[k]), int(ta1[k]) + 1):
-                for j in range(int(tb0[k]), int(tb1[k]) + 1):
+                # Self groups: upper-triangle tiles only (see layout
+                # note above; ta0 == tb0 and ta1 == tb1 for them).
+                for j in range(max(j0, i) if selfm[k] else j0,
+                               int(tb1[k]) + 1):
                     tp.add((i, j))
         tile_lists.append(np.array(sorted(tp), np.int32).reshape(-1, 2))
 

@@ -423,6 +423,23 @@ def _compute_sharded(
         # neighbour work is O(U/P) instead of every host redundantly
         # searching the full table.
         nb.setdefault("shard", (p, n_proc))
+        if edit and "join_cap" not in nb:
+            # The shifted-segment join_cap defaults from THIS host's
+            # free memory — but the JoinCapExceeded fallback switches
+            # the candidate-partitioning scheme (shifted joins -> dense
+            # stripes), so hosts MUST take it together or the union of
+            # their differently-partitioned contributions misses pairs.
+            # Agree on the minimum cap over DCN (the pre-counted join
+            # sizes are already shard-independent).
+            from .multihost import default_all_gather
+            from .._util import avail_bytes
+
+            gather = (all_gather if all_gather is not None
+                      else default_all_gather)
+            mine = max(1 << 26, avail_bytes() // 4 // 16)
+            (caps,) = gather([np.asarray([mine], np.int64)])
+            nb["join_cap"] = min(
+                int(np.asarray(c).ravel()[0]) for c in caps)
         if (not edit and "strategy" not in nb
                 and not os.environ.get("HUMID_TPU_STRATEGY")):
             # All hosts must run the same engine; adopt host 0's

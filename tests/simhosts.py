@@ -40,10 +40,21 @@ def make_sim_gather(files, total, n_hosts, *, word_length=24, distance=1,
 
     def all_gather(arrs):
         if len(arrs) == 1:
-            # Engine-choice broadcast (multihost.broadcast_engine_choice):
-            # simulated hosts share one process, so every host's pick is
-            # the caller's own.
-            return [[np.asarray(arrs[0])] * n_hosts]
+            # Two distinct single-array gathers exist; dispatch on dtype
+            # so a future third caller fails loudly instead of being
+            # silently mis-served.  Both replicate the caller's own
+            # array (simulated hosts share one process):
+            #   int64 scalar  -> engine-choice broadcast
+            #                    (multihost.broadcast_engine_choice)
+            #   float row     -> scaling-report timings gather
+            #                    (parallel/pipeline.run_distributed;
+            #                    per-host rows are replicas in sim, so
+            #                    only the report arithmetic is exercised)
+            a0 = np.asarray(arrs[0])
+            assert (a0.dtype.kind in "iu" and a0.size == 1) or \
+                a0.dtype.kind == "f", \
+                f"unrecognized single-array gather: {a0.dtype} {a0.shape}"
+            return [[a0] * n_hosts]
         per = host_tables()
         if len(arrs) == 3:
             return [[t[slot] for t in per] for slot in range(3)]
