@@ -224,3 +224,66 @@ def test_unique_auto_device_when_calibration_favors_device(monkeypatch):
     forced_host = unique_words(packed)
     for h, d in zip(host, forced_host):
         np.testing.assert_array_equal(h, d)
+
+
+def test_noise_guard_tied_backoff(monkeypatch, tmp_path):
+    """Engines tied within measured noise re-measure ONCE; a refresh
+    that still measures a tie stamps ``tied_ts`` and later processes
+    skip the probe instead of re-paying it every hour forever."""
+    import time as _time
+
+    monkeypatch.setenv("HUMID_TPU_CALIB_PATH", str(tmp_path / "c.json"))
+    tied = {"neighbors_runs_ns": 100.0, "neighbors_bucketed_ns": 105.0,
+            "spread": 1.0}  # margin 5% << spread 100%
+    calls = []
+
+    def fake_measure():
+        calls.append(1)
+        return dict(tied, ts=_time.time())
+
+    monkeypatch.setattr(B, "_measure_engines", fake_measure)
+    stale = dict(tied, ts=0.0)
+    monkeypatch.setitem(B.__dict__, "_CALIB", stale)
+    ks = ["neighbors_runs_ns", "neighbors_bucketed_ns"]
+    c = B._noise_guarded(stale, ks)
+    assert calls == [1] and "tied_ts" in c
+    # A later process loads the (again stale) tied entry: no re-measure.
+    later = dict(c, ts=0.0)
+    assert B._noise_guarded(later, ks) is later
+    assert calls == [1]
+
+
+def test_noise_guard_fresh_or_clear_margin_skips_refresh(monkeypatch):
+    """No refresh while the measurement is fresh OR the margin beats the
+    measured noise."""
+    import time as _time
+
+    def boom():  # pragma: no cover - must not be called
+        raise AssertionError("unexpected re-measurement")
+
+    monkeypatch.setattr(B, "_measure_engines", boom)
+    ks = ["neighbors_runs_ns", "neighbors_bucketed_ns"]
+    fresh_tied = {"neighbors_runs_ns": 100.0,
+                  "neighbors_bucketed_ns": 105.0, "spread": 1.0,
+                  "ts": _time.time()}
+    assert B._noise_guarded(fresh_tied, ks) is fresh_tied
+    stale_clear = {"neighbors_runs_ns": 100.0,
+                   "neighbors_bucketed_ns": 2000.0, "spread": 1.0,
+                   "ts": 0.0}
+    assert B._noise_guarded(stale_clear, ks) is stale_clear
+
+
+def test_mesh_probe_skipped_multiprocess(monkeypatch, tmp_path):
+    """The mesh-engine probe runs a shard_map over ALL devices — a
+    global collective — so multi-host processes must never launch it
+    lazily (deadlock hazard); the row is simply absent there."""
+    import jax
+
+    monkeypatch.setenv("HUMID_TPU_CALIB_PATH", str(tmp_path / "c.json"))
+    monkeypatch.setitem(B.__dict__, "_CALIB", None)
+    monkeypatch.setattr(
+        B, "_gen_probe_words",
+        lambda n, word_length=24, seed=0: _rand_packed(4096, word_length))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    c = B.engine_constants()
+    assert c is not None and "neighbors_sharded_ns" not in c

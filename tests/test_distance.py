@@ -560,3 +560,22 @@ def test_edit_degenerate_join_falls_back_to_dense():
     with pytest.raises(ValueError, match="join_cap"):
         find_neighbor_pairs(uniq, 1, metric="edit", word_length=length,
                             strategy="runs", join_cap=64)
+
+
+def test_identity_runs_guards_unsorted_input():
+    """The partition-0 sort skip assumes an ascending key array; a
+    permuted input must fall back to the real sort instead of silently
+    losing pairs."""
+    from humid_tpu.ops.neighbors import _identity_runs, _partition_runs
+
+    key = np.array([5, 3, 3, 9, 1, 3], np.uint64)
+    order, starts, lens = _identity_runs(key)
+    o2, s2, l2 = _partition_runs(key)
+    np.testing.assert_array_equal(order, o2)
+    np.testing.assert_array_equal(starts, s2)
+    np.testing.assert_array_equal(lens, l2)
+    skey = np.sort(key)
+    order, starts, lens = _identity_runs(skey)
+    np.testing.assert_array_equal(order, np.arange(len(skey)))
+    np.testing.assert_array_equal(starts, [0, 1, 4, 5])
+    np.testing.assert_array_equal(lens, [1, 3, 1, 1])

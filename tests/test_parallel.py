@@ -353,3 +353,24 @@ def test_dryrun_full_step_wide_mesh(n_dev):
     )
     assert out.returncode == 0, out.stderr.decode()[-2000:]
     assert f"mesh={n_dev}x1".encode() in out.stdout
+
+
+@pytest.mark.parametrize("n_dev", [1, 3])
+def test_sharded_shifted_edit_giant_self_join(n_dev):
+    """A shift-0 self-join group larger than one tile exercises the
+    upper-triangle tile layout (self groups packed first at identical
+    A/B offsets)."""
+    from humid_tpu.parallel import sharded_edit_pairs_shifted
+
+    rng = np.random.default_rng(77)
+    codes = rng.integers(0, 4, size=(700, 21)).astype(np.uint8)
+    codes[:, :10] = 1  # shared m=1 segment-0 -> one giant self-join run
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    assert len(uniq) > 512  # spans >1 tile at the 512 edit tile size
+    mesh = data_mesh(n_dev)
+    a1, b1 = sharded_edit_pairs_shifted(uniq, 1, word_length=21,
+                                        mesh=mesh, cap_row=4)
+    a2, b2 = find_neighbor_pairs(uniq, 1, metric="edit", word_length=21,
+                                 strategy="dense")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
