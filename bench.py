@@ -266,6 +266,10 @@ def main() -> int:
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / base_rps, 2),
+        # The denominator, so an odd ratio is decomposable: the baseline
+        # is MEASURED (2 runs of baseline/humid_ref) and shares this
+        # host's steal — its quiet-window range at 1M is 188-252k.
+        "baseline_reads_per_sec": round(base_rps, 1),
         "backend": jax.default_backend(),
         # Where the neighbour phase actually ran: strategy "runs" is the
         # host engine; "bucketed"/"dense"/"sharded*" are device engines
