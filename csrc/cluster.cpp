@@ -29,6 +29,76 @@ struct Frame {
   int64_t ptr;
 };
 
+struct SeedResult {
+  int64_t ml, mc, size;
+};
+
+// One cluster grown from ``seed`` under id ``cid`` — the single
+// definition of the reference's per-seed semantics, shared by the
+// sequential and component-parallel drivers so the two engines cannot
+// diverge (their outputs are contractually bit-identical).
+SeedResult cluster_one_seed(const int64_t* counts, const int64_t* indptr,
+                            const int64_t* indices, bool maximum,
+                            int64_t seed, int64_t cid, int64_t* labels,
+                            std::vector<Frame>& stack) {
+  int64_t ml = -1, mc = 0, size = 0;
+
+  int64_t root = seed;
+  if (!maximum) {
+    // Hill climb: jump to the FIRST unassigned neighbour with
+    // count >= 2*current and restart the scan (cluster.cc:39-51).
+    int64_t i = indptr[root], end = indptr[root + 1];
+    while (i < end) {
+      const int64_t nb = indices[i++];
+      if (labels[nb] == 0 && counts[nb] >= 2 * counts[root]) {
+        root = nb;
+        i = indptr[root];
+        end = indptr[root + 1];
+      }
+    }
+    // updateMaxCount_ once, on the local max only (cluster.cc:84-85).
+    ml = root;
+    mc = counts[root];
+  }
+
+  // Pre-order descent.  maximum: absorb every unassigned neighbour and
+  // track the strict max (cluster.cc:72-80).  directional: absorb
+  // unassigned neighbours with current.count >= 2*neighbour.count
+  // (cluster.cc:58-69).
+  labels[root] = cid;
+  size += counts[root];
+  if (maximum && counts[root] > mc) {
+    mc = counts[root];
+    ml = root;
+  }
+  stack.clear();
+  stack.push_back({root, indptr[root]});
+  while (!stack.empty()) {
+    Frame& top = stack.back();
+    if (top.ptr == indptr[top.node + 1]) {
+      stack.pop_back();
+      continue;
+    }
+    const int64_t cur = top.node;
+    const int64_t nb = indices[top.ptr++];
+    if (labels[nb] != 0) continue;
+    if (maximum) {
+      labels[nb] = cid;
+      size += counts[nb];
+      if (counts[nb] > mc) {
+        mc = counts[nb];
+        ml = nb;
+      }
+      stack.push_back({nb, indptr[nb]});
+    } else if (counts[cur] >= 2 * counts[nb]) {
+      labels[nb] = cid;
+      size += counts[nb];
+      stack.push_back({nb, indptr[nb]});
+    }
+  }
+  return {ml, mc, size};
+}
+
 int64_t cluster_impl(const int64_t* counts, const int64_t* indptr,
                      const int64_t* indices, int64_t u, bool maximum,
                      int64_t* labels, int64_t* max_leaf, int64_t* max_count,
@@ -38,65 +108,12 @@ int64_t cluster_impl(const int64_t* counts, const int64_t* indptr,
   stack.reserve(64);
   for (int64_t seed = 0; seed < u; ++seed) {
     if (labels[seed] != 0) continue;
-    const int64_t cid = k + 1;  // ids start at 1 (humid.cc:177)
-    int64_t ml = -1, mc = 0, size = 0;
-
-    int64_t root = seed;
-    if (!maximum) {
-      // Hill climb: jump to the FIRST unassigned neighbour with
-      // count >= 2*current and restart the scan (cluster.cc:39-51).
-      int64_t i = indptr[root], end = indptr[root + 1];
-      while (i < end) {
-        const int64_t nb = indices[i++];
-        if (labels[nb] == 0 && counts[nb] >= 2 * counts[root]) {
-          root = nb;
-          i = indptr[root];
-          end = indptr[root + 1];
-        }
-      }
-      // updateMaxCount_ once, on the local max only (cluster.cc:84-85).
-      ml = root;
-      mc = counts[root];
-    }
-
-    // Pre-order descent.  maximum: absorb every unassigned neighbour and
-    // track the strict max (cluster.cc:72-80).  directional: absorb
-    // unassigned neighbours with current.count >= 2*neighbour.count
-    // (cluster.cc:58-69).
-    labels[root] = cid;
-    size += counts[root];
-    if (maximum && counts[root] > mc) {
-      mc = counts[root];
-      ml = root;
-    }
-    stack.clear();
-    stack.push_back({root, indptr[root]});
-    while (!stack.empty()) {
-      Frame& top = stack.back();
-      if (top.ptr == indptr[top.node + 1]) {
-        stack.pop_back();
-        continue;
-      }
-      const int64_t cur = top.node;
-      const int64_t nb = indices[top.ptr++];
-      if (labels[nb] != 0) continue;
-      if (maximum) {
-        labels[nb] = cid;
-        size += counts[nb];
-        if (counts[nb] > mc) {
-          mc = counts[nb];
-          ml = nb;
-        }
-        stack.push_back({nb, indptr[nb]});
-      } else if (counts[cur] >= 2 * counts[nb]) {
-        labels[nb] = cid;
-        size += counts[nb];
-        stack.push_back({nb, indptr[nb]});
-      }
-    }
-    max_leaf[k] = ml;
-    max_count[k] = mc;
-    size_out[k] = size;
+    // ids start at 1 (humid.cc:177)
+    const SeedResult r = cluster_one_seed(counts, indptr, indices, maximum,
+                                          seed, k + 1, labels, stack);
+    max_leaf[k] = r.ml;
+    max_count[k] = r.mc;
+    size_out[k] = r.size;
     ++k;
   }
   return k;
@@ -181,57 +198,13 @@ int64_t cluster_parallel_impl(const int64_t* counts, const int64_t* indptr,
         const int64_t seed = comp_nodes[si];
         if (labels[seed] != 0) continue;
         const int64_t slot = comp_off[c] + k_local;
-        const int64_t cid = slot + 1;
-        int64_t ml = -1, mc = 0, size = 0;
-        int64_t root = seed;
-        if (!maximum) {
-          int64_t i = indptr[root], end = indptr[root + 1];
-          while (i < end) {
-            const int64_t nb = indices[i++];
-            if (labels[nb] == 0 && counts[nb] >= 2 * counts[root]) {
-              root = nb;
-              i = indptr[root];
-              end = indptr[root + 1];
-            }
-          }
-          ml = root;
-          mc = counts[root];
-        }
-        labels[root] = cid;
-        size += counts[root];
-        if (maximum && counts[root] > mc) {
-          mc = counts[root];
-          ml = root;
-        }
-        stack.clear();
-        stack.push_back({root, indptr[root]});
-        while (!stack.empty()) {
-          Frame& top = stack.back();
-          if (top.ptr == indptr[top.node + 1]) {
-            stack.pop_back();
-            continue;
-          }
-          const int64_t cur = top.node;
-          const int64_t nb = indices[top.ptr++];
-          if (labels[nb] != 0) continue;
-          if (maximum) {
-            labels[nb] = cid;
-            size += counts[nb];
-            if (counts[nb] > mc) {
-              mc = counts[nb];
-              ml = nb;
-            }
-            stack.push_back({nb, indptr[nb]});
-          } else if (counts[cur] >= 2 * counts[nb]) {
-            labels[nb] = cid;
-            size += counts[nb];
-            stack.push_back({nb, indptr[nb]});
-          }
-        }
+        const SeedResult r = cluster_one_seed(
+            counts, indptr, indices, maximum, seed, slot + 1, labels,
+            stack);
         slot_seed[slot] = seed;
-        slot_ml[slot] = ml;
-        slot_mc[slot] = mc;
-        slot_sz[slot] = size;
+        slot_ml[slot] = r.ml;
+        slot_mc[slot] = r.mc;
+        slot_sz[slot] = r.size;
         ++k_local;
       }
       comp_k[c] = k_local;

@@ -383,7 +383,14 @@ __attribute__((target("avx2,bmi2")))
 void encode_pack_simd(const uint8_t* ch, Py_ssize_t n, Py_ssize_t L,
                       uint32_t* lanes, Py_ssize_t W, uint8_t* filt) {
   // Rows whose last 16-byte lane load would run past the buffer end are
-  // handled by the scalar tail.
+  // handled by the scalar tail.  L == 0 (word width zero, e.g. -n 0)
+  // means zero-byte rows: nothing to encode, and the division below
+  // would be by zero — the scalar path handles it (as a no-op over
+  // zero-width rows).
+  if (L == 0) {
+    encode_pack_scalar(ch, 0, n, L, lanes, W, filt);
+    return;
+  }
   const Py_ssize_t overrun = 16 * W - L;  // >= 0 since W = ceil(L/16)
   const Py_ssize_t slack_rows = (overrun + L - 1) / L;
   const Py_ssize_t n_fast = n > slack_rows ? n - slack_rows : 0;

@@ -55,40 +55,23 @@ struct RawArena {
   }
 };
 
-// Returns false if scratch allocation failed (caller raises MemoryError).
-bool radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
-                       uint64_t* sorted_keys = nullptr) {
-  thread_local RawArena a_k0, a_k1, a_i0, a_i1;
-  uint64_t* kbuf0 = static_cast<uint64_t*>(a_k0.ensure(n * 8));
-  uint64_t* kbuf1 = static_cast<uint64_t*>(a_k1.ensure(n * 8));
-  int64_t* ibuf0 = static_cast<int64_t*>(a_i0.ensure(n * 8));
-  int64_t* ibuf1 = static_cast<int64_t*>(a_i1.ensure(n * 8));
-  if (n > 0 && (!kbuf0 || !kbuf1 || !ibuf0 || !ibuf1)) return false;
-  uint64_t orall = 0, andall = ~0ull;
-#if defined(_OPENMP)
-#pragma omp parallel for reduction(|:orall) reduction(&:andall)
-#endif
-  for (Py_ssize_t i = 0; i < n; ++i) {
-    kbuf0[i] = keys[i];
-    ibuf0[i] = i;
-    orall |= keys[i];
-    andall &= keys[i];
-  }
-  int nt = 1;
-#if defined(_OPENMP)
-  nt = omp_get_max_threads();
-#endif
-  const Py_ssize_t chunk = (n + nt - 1) / nt;
+// Parallel LSD radix passes over (keys, payload) with empty-digit pass
+// skipping — the SINGLE definition shared by radix_argsort_u64 (int64
+// payload) and unique_packed (uint32 payload), so histogram/prefix/
+// scatter fixes land in both.  Ping-pongs the src/dst pointers; the
+// sorted data ends in *ksrc/*isrc.  Stability: digit-major exclusive
+// prefix over (digit, thread) keeps earlier input chunks first within a
+// digit, and each pass is a stable scatter.  Chunk index loops (not
+// omp_get_thread_num chunking): correct even if the runtime delivers a
+// team smaller than nt.
+template <typename Idx>
+void radix_passes_u64(uint64_t*& ksrc, uint64_t*& kdst, Idx*& isrc,
+                      Idx*& idst, Py_ssize_t n, int nt, Py_ssize_t chunk,
+                      uint64_t orall, uint64_t andall) {
   std::vector<int64_t> hist(static_cast<size_t>(nt) * 256);
-  uint64_t* ksrc = kbuf0;
-  uint64_t* kdst = kbuf1;
-  int64_t* isrc = ibuf0;
-  int64_t* idst = ibuf1;
   for (int p = 0; p < 8; ++p) {
     const int shift = 8 * p;
     if (((orall >> shift) & 0xff) == ((andall >> shift) & 0xff)) continue;
-    // Chunk index loops (not omp_get_thread_num chunking): correct even
-    // if the runtime delivers a team smaller than nt.
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static, 1)
 #endif
@@ -101,9 +84,6 @@ bool radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
         ++h[(ksrc[i] >> shift) & 0xff];
       }
     }
-    // Digit-major exclusive prefix over (digit, thread): all threads'
-    // digit-d slots precede every thread's digit-(d+1) slots, and within
-    // a digit lower thread ids (earlier input chunks) come first.
     int64_t run = 0;
     for (int d = 0; d < 256; ++d) {
       for (int t = 0; t < nt; ++t) {
@@ -129,6 +109,37 @@ bool radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
     std::swap(ksrc, kdst);
     std::swap(isrc, idst);
   }
+}
+
+// Returns false if scratch allocation failed (caller raises MemoryError).
+bool radix_argsort_u64(const uint64_t* keys, int64_t* order, Py_ssize_t n,
+                       uint64_t* sorted_keys = nullptr) {
+  thread_local RawArena a_k0, a_k1, a_i0, a_i1;
+  uint64_t* kbuf0 = static_cast<uint64_t*>(a_k0.ensure(n * 8));
+  uint64_t* kbuf1 = static_cast<uint64_t*>(a_k1.ensure(n * 8));
+  int64_t* ibuf0 = static_cast<int64_t*>(a_i0.ensure(n * 8));
+  int64_t* ibuf1 = static_cast<int64_t*>(a_i1.ensure(n * 8));
+  if (n > 0 && (!kbuf0 || !kbuf1 || !ibuf0 || !ibuf1)) return false;
+  uint64_t orall = 0, andall = ~0ull;
+#if defined(_OPENMP)
+#pragma omp parallel for reduction(|:orall) reduction(&:andall)
+#endif
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    kbuf0[i] = keys[i];
+    ibuf0[i] = i;
+    orall |= keys[i];
+    andall &= keys[i];
+  }
+  int nt = 1;
+#if defined(_OPENMP)
+  nt = omp_get_max_threads();
+#endif
+  const Py_ssize_t chunk = (n + nt - 1) / nt;
+  uint64_t* ksrc = kbuf0;
+  uint64_t* kdst = kbuf1;
+  int64_t* isrc = ibuf0;
+  int64_t* idst = ibuf1;
+  radix_passes_u64(ksrc, kdst, isrc, idst, n, nt, chunk, orall, andall);
   std::memcpy(order, isrc, static_cast<size_t>(n) * sizeof(int64_t));
   if (sorted_keys) {
     std::memcpy(sorted_keys, ksrc,
@@ -372,49 +383,8 @@ PyObject* unique_packed(PyObject* /*self*/, PyObject* args) {
     uint32_t* isrc = i0;
     uint32_t* idst = i1;
     if (n >= kRadixMin) {
-      std::vector<int64_t> hist(static_cast<size_t>(nt) * 256);
-      for (int p = 0; p < 8; ++p) {
-        const int shift = 8 * p;
-        if (((orall >> shift) & 0xff) == ((andall >> shift) & 0xff)) {
-          continue;
-        }
-#if defined(_OPENMP)
-#pragma omp parallel for schedule(static, 1)
-#endif
-        for (int t = 0; t < nt; ++t) {
-          const Py_ssize_t lo = t * chunk;
-          const Py_ssize_t hi = std::min(n, lo + chunk);
-          int64_t* h = &hist[static_cast<size_t>(t) * 256];
-          std::memset(h, 0, 256 * sizeof(int64_t));
-          for (Py_ssize_t i = lo; i < hi; ++i) {
-            ++h[(ksrc[i] >> shift) & 0xff];
-          }
-        }
-        int64_t run = 0;
-        for (int d = 0; d < 256; ++d) {
-          for (int t = 0; t < nt; ++t) {
-            int64_t& slot = hist[static_cast<size_t>(t) * 256 + d];
-            const int64_t c = slot;
-            slot = run;
-            run += c;
-          }
-        }
-#if defined(_OPENMP)
-#pragma omp parallel for schedule(static, 1)
-#endif
-        for (int t = 0; t < nt; ++t) {
-          const Py_ssize_t lo = t * chunk;
-          const Py_ssize_t hi = std::min(n, lo + chunk);
-          int64_t* h = &hist[static_cast<size_t>(t) * 256];
-          for (Py_ssize_t i = lo; i < hi; ++i) {
-            const int64_t pos = h[(ksrc[i] >> shift) & 0xff]++;
-            kdst[pos] = ksrc[i];
-            idst[pos] = isrc[i];
-          }
-        }
-        std::swap(ksrc, kdst);
-        std::swap(isrc, idst);
-      }
+      radix_passes_u64(ksrc, kdst, isrc, idst, n, nt, chunk, orall,
+                       andall);
     } else {
       // Small inputs: stable comparison sort of the index payload.
       std::stable_sort(isrc, isrc + n, [ksrc](uint32_t a, uint32_t b) {

@@ -134,9 +134,9 @@ class FastqBatch:
         return b"\n".join(self.line_bytes(i, j) for j in range(4)) + b"\n"
 
 
-def _frame(buf: np.ndarray, base: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+def _frame(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     """Find complete 4-line records in ``buf``.  Returns (starts, ends,
-    consumed_bytes) where starts/ends are [n,4] spans."""
+    consumed_bytes) where starts/ends are buffer-relative [n,4] spans."""
     if _frame_native is not None:
         return _frame_native(buf)
     nl = np.flatnonzero(buf == _NEWLINE)

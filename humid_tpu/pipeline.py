@@ -76,7 +76,8 @@ def _batch_words(batches, nt_to_take, header_umi_size):
         col = 0
         if header_umi_size > 0:
             chars[:, :header_umi_size] = W.extract_umi_matrix(
-                batches[0].name_matrix(), header_umi_size
+                b0.name_matrix(), header_umi_size,
+                lens=b0.ends[:, 0] - b0.starts[:, 0],
             )
             col = header_umi_size
         for b, k in zip(batches, nt_to_take):
@@ -92,7 +93,8 @@ def _batch_words(batches, nt_to_take, header_umi_size):
     umi_chars = None
     if header_umi_size > 0:
         umi_chars = W.extract_umi_matrix(
-            batches[0].name_matrix(), header_umi_size
+            batches[0].name_matrix(), header_umi_size,
+            lens=batches[0].ends[:, 0] - batches[0].starts[:, 0],
         )
     seq_chars = [b.seq_prefix(k) for b, k in zip(batches, nt_to_take)]
     codes, filtered = W.build_words(umi_chars, seq_chars)
@@ -161,7 +163,11 @@ def _pass1_overlapped(files, nt_to_take, header_umi_size, batch_records,
         else:
             keys = _combine_key64(packed)
             gidx = np.arange(base, base + len(packed), dtype=np.int64)
+        # Skip the span math for files whose accumulator is already
+        # invalidated (CRLF / over budget) — reading acc["ok"] from the
+        # pool is GIL-safe, and _span_stitch would only discard it.
         spans = ([_span_batch_part(b, a["hdr_parts"] is not None)
+                  if a["ok"] else None
                   for b, a in zip(batches, span_accs)]
                  if span_accs is not None else None)
         return keys, gidx, spans
@@ -274,7 +280,7 @@ def _span_stitch(part, acc: dict) -> None:
     skipping the second framing scan entirely (the raw bytes equal the
     canonical 4-line record exactly when LF-only — same output as
     build_records)."""
-    if not acc["ok"]:
+    if part is None or not acc["ok"]:
         return
     rel, total, ok, hdr = part
     if not ok:
@@ -348,7 +354,10 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
                                         header_umi_size)
         spans = None
         if span_accs is not None:
+            # acc["ok"] read from the pool is GIL-safe; once a file's
+            # accumulator is invalidated its span math is dead work.
             spans = [_span_batch_part(b, a["hdr_parts"] is not None)
+                     if a["ok"] else None
                      for b, a in zip(batches, span_accs)]
         return packed, filtered, spans
 
@@ -473,8 +482,11 @@ def run(
             cache = None  # force the span path end to end
         from ._util import avail_bytes
 
+        # 8 B/record span, +4 B/record header length in annotate mode —
+        # so the 1/32-of-available cap holds for both modes.
+        per_rec = 12 if write_annotated else 8
         budget = max(1 << 20,
-                     avail_bytes() // (32 * max(len(files), 1)) // 8)
+                     avail_bytes() // (32 * max(len(files), 1)) // per_rec)
         span_accs = [_span_acc_new(budget, with_hdr=write_annotated)
                      for _ in files]
 

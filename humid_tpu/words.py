@@ -127,12 +127,21 @@ def extract_umi_batch(names: list[bytes], umi_size: int) -> np.ndarray:
     width = max((len(x) for x in names), default=0)
     width = max(width, 1)
     mat = _rows_to_matrix(names, width, fill=0)  # 0 = NUL padding
-    return extract_umi_matrix(mat, umi_size)
+    lens = np.fromiter((min(len(x), width) for x in names),
+                       dtype=np.int64, count=n)
+    return extract_umi_matrix(mat, umi_size, lens=lens)
 
 
-def extract_umi_matrix(mat: np.ndarray, umi_size: int) -> np.ndarray:
+def extract_umi_matrix(mat: np.ndarray, umi_size: int,
+                       lens: np.ndarray | None = None) -> np.ndarray:
     """Vectorized ``extract_umi`` + cut/pad-with-N over a NUL-padded header
     matrix.  Returns a [N, umi_size] uint8 ASCII matrix.
+
+    ``lens``: true per-row string lengths.  Without them the row end is
+    inferred as one past the LAST non-NUL byte — exact unless a real
+    header ends in NUL bytes; counting non-NUL bytes instead would shift
+    the end for any INTERIOR NUL and extract a wrong UMI.  Callers with
+    framing spans pass the real lengths.
 
     Mirrors fastq.cc:72-93 (``_`` tried before ``:``), fastq.cc:122-129
     (cut/pad to ``umi_size`` with 'N').
@@ -146,9 +155,12 @@ def extract_umi_matrix(mat: np.ndarray, umi_size: int) -> np.ndarray:
     is_space = mat == ord(" ")
     has_space = is_space.any(axis=1)
     first_space = np.where(has_space, is_space.argmax(axis=1), width)
-    # Clip to actual string length (NUL padding is never a space).
-    lens = (mat != 0).sum(axis=1) if n else np.zeros(0, np.int64)
-    # NUL can only appear as padding; treat string end as min(first_space, len)
+    if lens is None:
+        nz = mat != 0
+        lens = np.where(nz.any(axis=1),
+                        width - nz[:, ::-1].argmax(axis=1), 0)
+    else:
+        lens = np.minimum(np.asarray(lens, np.int64), width)
     end = np.minimum(first_space, lens)
 
     in_prefix = col[None, :] < end[:, None]

@@ -49,6 +49,9 @@ CASES = [
     (300, 1, "none", False, ["-m", "3"], {}),  # configs[3]: sweep to 3
     (300, 1, "none", False, ["-n", "16"], {}),
     (200, 1, "none", False, ["-n", "80"], {"read_len": 90}),  # 5 lanes
+    # -n 0: every word is empty -> one cluster (used to SIGFPE in the
+    # SIMD encoder's slack-row division).
+    (200, 1, "none", False, ["-n", "0"], {}),
     # Edge cases: short/ragged reads filtered by N padding, unequal file
     # lengths (stop at shortest), heavy N contamination, word longer than
     # the reads (everything filtered).
@@ -69,7 +72,7 @@ CASES = [
 
 @pytest.mark.parametrize("case", CASES, ids=[
     "single", "paired_umi", "colon_gz", "threefile", "m2", "max", "m0",
-    "m3", "n16", "n80", "ragged_n", "unequal", "word_gt_read",
+    "m3", "n16", "n80", "n0", "ragged_n", "unequal", "word_gt_read",
     "max_m2_ragged", "edit", "edit_max_ragged", "edit_m2",
 ])
 def test_golden_outputs_match(case, humid_ref, tmp_path):

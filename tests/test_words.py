@@ -181,3 +181,29 @@ def test_umi_batch_matches_scalar():
         for row, h in zip(batch, headers):
             expected = W.make_string_size(W.extract_umi(h), umi_size)
             assert row.tobytes().decode() == expected, (h, umi_size)
+
+
+def test_extract_umi_batch_interior_nul_matches_scalar():
+    """Interior NUL bytes in a header must not shift the inferred string
+    end (NULs are also the matrix padding): the vectorized extractor
+    threads true lengths and matches the scalar oracle byte for byte."""
+    names = [b"@\x00r_ACGT", b"@r2_GGTA extra", b"@x\x00y:TTTT",
+             b"@plain", b"@z_AC\x00T"]
+    got = W.extract_umi_batch(names, 4)
+    for nm, row in zip(names, got):
+        want = (W.extract_umi(nm.decode("latin1")) + "NNNN")[:4]
+        assert row.tobytes().decode("latin1") == want, nm
+
+
+def test_encode_pack_zero_width_words():
+    """word_length 0 (-n 0): every read packs to the same empty word —
+    native and numpy paths agree, nothing crashes (the SIMD encoder used
+    to SIGFPE on L == 0)."""
+    try:
+        from humid_tpu.io._fastqio import encode_pack
+    except ImportError:
+        pytest.skip("native extension not built")
+    chars = np.zeros((5, 0), np.uint8)
+    lanes, filtered = encode_pack(chars)
+    assert lanes.shape == (5, 1) and not lanes.any()
+    assert not filtered.any()
