@@ -86,8 +86,14 @@ def main(argv: list[str] | None = None) -> int:
             # tables; each would silently cluster only its own range.
             build_parser().error(
                 "--num-processes > 1 requires --coordinator")
-        init_distributed(args.coordinator, args.num_processes,
-                         args.process_id)
+        try:
+            init_distributed(args.coordinator, args.num_processes,
+                             args.process_id)
+        except ValueError as exc:
+            # Underspecified cluster config (jax raises ValueError, e.g.
+            # a coordinator with no --num-processes and no auto-detect
+            # env): a user diagnostic, not a traceback.
+            build_parser().error(str(exc))
         try:
             run_distributed(
                 args.files,

@@ -127,7 +127,7 @@ def cluster_max_from_components(
 
     counts = np.ascontiguousarray(counts, dtype=np.int64)
     u = len(counts)
-    cid, k = renumber_components(cc_labels)      # [U] 1-based, seed order
+    cid, k, seeds = renumber_components(cc_labels)  # ids, k, comp minima
     if k == 0:
         z = np.zeros(0, np.int64)
         return ClusterResult(np.zeros(0, np.int64), z, z, z)
@@ -143,9 +143,8 @@ def cluster_max_from_components(
     np.minimum.at(max_leaf, g[is_max], np.flatnonzero(is_max))
     tied = np.flatnonzero(n_max > 1)
     if len(tied):
-        # Seeds are the component minima == the cc label values.
-        seeds = np.full(k, u, np.int64)
-        np.minimum.at(seeds, g, np.arange(u, dtype=np.int64))
+        # seeds (from renumber_components) are the component minima ==
+        # the cc label values — no extra scatter pass needed.
         tied_set = max_count[tied]
         for comp, mc in zip(tied.tolist(), tied_set.tolist()):
             seed = int(seeds[comp])

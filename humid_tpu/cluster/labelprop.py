@@ -69,8 +69,12 @@ def connected_components_device(
     return np.asarray(labels)
 
 
-def renumber_components(labels: np.ndarray) -> tuple[np.ndarray, int]:
+def renumber_components(labels: np.ndarray) -> tuple[np.ndarray, int,
+                                                     np.ndarray]:
     """Map component labels (min-index) to 1-based cluster ids in ascending
-    label order == reference seed order.  Returns (ids [U], num_clusters)."""
+    label order == reference seed order.  Returns (ids [U], num_clusters,
+    seeds [num_clusters]) — the seeds ARE the sorted unique label values
+    (each component's minimum node index), so callers need no extra
+    scatter pass to recover them."""
     uniq, inv = np.unique(labels, return_inverse=True)
-    return (inv + 1).astype(np.int64), len(uniq)
+    return (inv + 1).astype(np.int64), len(uniq), uniq.astype(np.int64)

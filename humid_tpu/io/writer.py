@@ -150,15 +150,6 @@ class FastqWriter:
         self._f = open(path, "wb")
         self._wrote = False
 
-    def write_bytes(self, data: bytes) -> None:
-        """Write raw record bytes (compressed into a member for gz)."""
-        if not data:
-            return
-        if self.is_gz:
-            data = gzip.compress(data, self.compression, mtime=0)
-        self._f.write(data)
-        self._wrote = True
-
     def write_payload(self, payload) -> None:
         """Write an already-finalized payload: ``bytes`` are assumed to
         be a complete gzip member (or raw bytes for plain files); numpy

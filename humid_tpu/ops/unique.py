@@ -91,7 +91,7 @@ def unique_words(packed: np.ndarray, want_inverse: bool = True,
             np.zeros((0, w), np.uint32),
             np.zeros(0, np.int64),
             np.zeros(0, np.int64),
-            np.zeros(0, np.int64),
+            np.zeros(0, np.int64) if want_inverse else None,
         )
     import os as _os
 

@@ -31,8 +31,11 @@ import jax
 def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:
-    """Initialize jax.distributed (no-op if already initialized or
-    single-process)."""
+    """Initialize jax.distributed (no-op if already initialized).
+
+    Missing/inconsistent configuration (e.g. a coordinator with no
+    process count and no cluster auto-detection) raises ValueError from
+    jax — callers surface it as a user diagnostic (cli.main)."""
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,

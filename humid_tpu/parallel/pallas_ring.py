@@ -319,13 +319,19 @@ def sharded_neighbor_pairs_pallas_ring(
             if not len(rows):
                 continue
             q = (me + s) % d
-            for r in rows:
-                k = int(cnt[r])
-                cols = topv_h[me, s, :k, r]
-                ga = np.full(k, me * b + r, np.int64)
-                gb = q * b + cols.astype(np.int64)
-                parts_a.append(np.minimum(ga, gb))
-                parts_b.append(np.maximum(ga, gb))
+            # Vectorized ragged gather: row r contributes its first
+            # cnt[r] topv slots (one repeat + within-row iota instead of
+            # a Python loop allocating per-row arrays).
+            k = cnt[rows].astype(np.int64)
+            cum = np.cumsum(k)
+            within = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+                cum - k, k)
+            r_rep = np.repeat(rows, k)
+            cols = topv_h[me, s, within, r_rep]
+            ga = me * b + r_rep.astype(np.int64)
+            gb = q * b + cols.astype(np.int64)
+            parts_a.append(np.minimum(ga, gb))
+            parts_b.append(np.maximum(ga, gb))
     if not parts_a:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     a = np.concatenate(parts_a)

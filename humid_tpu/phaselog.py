@@ -57,11 +57,30 @@ class PhaseLog:
         self._f.write(text)
         self._f.flush()
 
+    def fail(self, start: float) -> None:
+        """Close a phase that raised: honest log line, and the profiler
+        TraceAnnotation is exited (leaving it entered would mis-attribute
+        every later kernel to the dead phase)."""
+        dt = time.time() - start
+        self._f.write("failed.\n")
+        self._f.flush()
+        if self._annotation is not None:
+            self._annotation.__exit__(None, None, None)
+            self._annotation = None
+        if self._current is not None:
+            self.timings.append((self._current, dt))
+            self._current = None
+
     @contextmanager
     def phase(self, message: str):
         t = self.start(message)
-        yield
-        self.end(t)
+        try:
+            yield
+        except BaseException:
+            self.fail(t)
+            raise
+        else:
+            self.end(t)
 
     def close(self) -> None:
         self._f.close()
