@@ -1601,6 +1601,9 @@ def pairs_to_csr(
     src = src[order]
     dst = dst[order]
     indptr = np.zeros(num_nodes + 1, dtype=np.int64)
-    np.add.at(indptr, src + 1, 1)
+    if len(src):
+        # bincount beats np.add.at's buffered fancy-index accumulate by
+        # ~an order of magnitude on WGS-scale edge lists.
+        indptr[1:] = np.bincount(src, minlength=num_nodes)
     np.cumsum(indptr, out=indptr)
     return indptr, dst

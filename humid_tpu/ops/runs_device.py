@@ -173,6 +173,18 @@ def runs_device_pairs(
 
     n_seg = max_dist + 1
     keys = _segment_run_ids(packed, word_length, n_seg)
+    if not np.all(keys[0][1:] >= keys[0][:-1]):
+        # Defensive (mirrors _identity_runs' verified shortcut): the
+        # device sweep HARDCODES identity order for partition 0, so a
+        # non-ascending unique table — contract violation, but silent
+        # wrong pairs if assumed — delegates to the host engine, which
+        # sorts every partition.
+        from .neighbors import find_neighbor_pairs_runs
+
+        return find_neighbor_pairs_runs(
+            packed, max_dist, word_length=word_length, run_cap=run_cap,
+            tile=tile, cap_row=cap_row, cap_total=cap_total, impl=impl,
+            shard=shard)
     word64 = _combined_u64(packed) if w <= 2 else None
 
     n = _quantize_n(u)
@@ -202,7 +214,8 @@ def runs_device_pairs(
         small = (run_len >= 2) & (run_len <= run_cap)
         sl = run_len[small]
         if len(sl):
-            cand_stat += int((sl * (sl - 1) // 2).sum())
+            # len_hist stays PRE-ownership so the adaptive d_max (a
+            # compiled-program static) is identical on every shard part.
             np.add.at(len_hist, np.minimum(sl - 1, d_cap + 1), sl)
         owned = None
         if shard is not None:
@@ -212,6 +225,11 @@ def runs_device_pairs(
                                 salt_idx=p)
             owned_rows[p, :u] = np.repeat(owned.astype(np.uint8), run_len)
         owned_runs.append(owned)
+        # Reported candidates are POST-ownership (this part's work),
+        # matching the host engine's accounting.
+        slo = run_len[small & owned] if owned is not None else sl
+        if len(slo):
+            cand_stat += int((slo * (slo - 1) // 2).sum())
         big = run_len > run_cap
         if big.any():
             # Dense-fallback decision must match the host engine's (and

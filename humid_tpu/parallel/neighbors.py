@@ -235,6 +235,26 @@ def _bucketed_pairs(packed, ids, pairs, urows, max_dist, *, tile: int,
     return fn(packed, ids, pairs, urows, max_dist)
 
 
+def _expand_runs(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate [start, start+len) ranges into one index vector —
+    shared ragged-gather helper of both mesh drivers."""
+    tot = int(lens.sum())
+    cum = np.cumsum(lens)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(cum - lens, lens)
+    return np.repeat(starts, lens) + within
+
+
+def _snake_assign(weights: np.ndarray, d: int):
+    """Heaviest-first boustrophedon deal of work items over ``d`` shards
+    (approximates least-loaded greedy without a heap; balance only — the
+    scan result is shard-independent).  Returns (rank, shard_of_item)."""
+    rank = np.argsort(-weights, kind="stable")
+    posn = np.empty(len(weights), np.int64)
+    posn[rank] = np.arange(len(weights))
+    lane = posn % d
+    return rank, np.where((posn // d) % 2 == 0, lane, d - 1 - lane)
+
+
 def sharded_neighbor_pairs_bucketed(
     packed: np.ndarray,
     max_dist: int,
@@ -245,6 +265,7 @@ def sharded_neighbor_pairs_bucketed(
     cap_row: int = 16,
     cap_total: int | None = None,
     impl: str | None = None,
+    run_cap: int = 2048,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Subquadratic multi-chip neighbour search: pigeonhole runs sharded
     over the device mesh.
@@ -300,17 +321,23 @@ def sharded_neighbor_pairs_bucketed(
     n_runs = len(r_len)
     if n_runs == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if int(r_len[r_len > run_cap].sum()) > u:
+        # Degenerate data (e.g. one template with scattered
+        # substitutions): giant equal-key runs cover most of the table
+        # in SEVERAL partitions, so the bucketed layout would stack ~d
+        # near-full copies of the table (host + device memory blowup)
+        # and serialize the quadratic scan on whichever chips own the
+        # giants.  The dense ring does O(U^2/d) uniformly — the same
+        # fallback rule as the host runs engine's dense route
+        # (find_neighbor_pairs_runs' sum(all_big_rows) > u).
+        return sharded_neighbor_pairs(
+            packed, max_dist, mesh=mesh, tile=tile, cap_row=cap_row,
+            cap_total=cap_total, metric="hamming",
+            word_length=word_length)
 
-    # Heaviest-first snake assignment: rank runs by descending pair count
-    # and deal them boustrophedon over the shards — approximates the
-    # least-loaded greedy without a per-run heap (assignment affects
-    # balance only; the scan result is shard-independent).
+    # Heaviest-first snake assignment by descending pair count.
     weights = r_len * (r_len - 1) // 2
-    rank = np.argsort(-weights, kind="stable")
-    posn = np.empty(n_runs, np.int64)
-    posn[rank] = np.arange(n_runs)
-    lane = posn % d
-    shard = np.where((posn // d) % 2 == 0, lane, d - 1 - lane)
+    rank, shard = _snake_assign(weights, d)
 
     shard_tot = np.bincount(shard, weights=r_len, minlength=d)
     max_rows = int(shard_tot.max())
@@ -320,13 +347,6 @@ def sharded_neighbor_pairs_bucketed(
     nt = -(-_round_up(max_rows, b) // b)
     nt = 1 << (nt - 1).bit_length()
     r_pad = nt * b
-
-    def _expand(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-        """Concatenate [start, start+len) ranges into one index vector."""
-        tot = int(lens.sum())
-        cum = np.cumsum(lens)
-        within = np.arange(tot, dtype=np.int64) - np.repeat(cum - lens, lens)
-        return np.repeat(starts, lens) + within
 
     gmaps = np.full((d, r_pad), -1, np.int64)
     rows_all = np.zeros((d * r_pad, w), packed.dtype)
@@ -344,7 +364,7 @@ def sharded_neighbor_pairs_bucketed(
             continue
         # Row gather: expand each run's sorted-order range; destinations
         # are contiguous because offsets are the cumsum of run lengths.
-        src_pos = _expand(r_start[mine], l_si)
+        src_pos = _expand_runs(r_start[mine], l_si)
         src_part = np.repeat(part_id[mine], l_si)
         idx = np.empty(tot, np.int64)
         for p in range(n_seg):
@@ -535,6 +555,9 @@ def sharded_edit_pairs_shifted(
         lo, hi = bounds[s], bounds[s + 1]
         ka = _segment_keys_at(packed, word_length, lo, hi, codes)
         oa = _stable_argsort_u64(ka)
+        # Canonical-side run counts depend only on the segment: hoist
+        # out of the shift loop (2m redundant O(U) passes otherwise).
+        va, ca = _sorted_run_counts(ka[oa])
         for dd in range(-max_dist, max_dist + 1):
             if lo + dd < 0 or hi + dd > word_length:
                 continue
@@ -544,7 +567,6 @@ def sharded_edit_pairs_shifted(
                 kb = _segment_keys_at(packed, word_length, lo + dd,
                                       hi + dd, codes)
                 ob = _stable_argsort_u64(kb)
-            va, ca = _sorted_run_counts(ka[oa])
             if dd == 0:
                 # Self-join: A and B sides are the SAME sorted order.
                 # Candidates = unordered in-run pairs (c*(c-1)/2 — the
@@ -609,14 +631,9 @@ def sharded_edit_pairs_shifted(
     n_groups = len(g_as)
 
     # Heaviest-first snake assignment over the true candidate counts
-    # (upper triangle for self-joins; cf. the bucketed Hamming mesh
-    # search — balance only; results are shard-independent).
+    # (upper triangle for self-joins).
     weights = np.where(g_self, (g_al * (g_al - 1)) // 2, g_al * g_bl)
-    rank = np.argsort(-weights, kind="stable")
-    posn = np.empty(n_groups, np.int64)
-    posn[rank] = np.arange(n_groups)
-    lane = posn % d_sh
-    shard = np.where((posn // d_sh) % 2 == 0, lane, d_sh - 1 - lane)
+    rank, shard = _snake_assign(weights, d_sh)
 
     tile = min(tile, 512)  # edit tiles are VPU-bound; match _resolve_metric
     rows_a_tot = np.bincount(shard, weights=g_al, minlength=d_sh)
@@ -629,13 +646,6 @@ def sharded_edit_pairs_shifted(
     nt_b = 1 << (max(-(-_round_up(int(rows_b_tot.max()), b) // b), 1)
                  - 1).bit_length()
     r_pad_a, r_pad_b = nt_a * b, nt_b * b
-
-    def _expand(starts, lens):
-        tot = int(lens.sum())
-        cum = np.cumsum(lens)
-        within = np.arange(tot, dtype=np.int64) - np.repeat(
-            cum - lens, lens)
-        return np.repeat(starts, lens) + within
 
     gmap_a = np.full((d_sh, r_pad_a), -1, np.int64)
     gmap_b = np.full((d_sh, r_pad_b), -1, np.int64)
@@ -665,8 +675,8 @@ def sharded_edit_pairs_shifted(
         al, bl = g_al[mine], g_bl[mine]
         ta, tb = int(al.sum()), int(bl.sum())
         ua[si], ub[si] = ta, tb
-        src_a = _expand(g_as[mine], al)
-        src_b = _expand(g_bs[mine], bl)
+        src_a = _expand_runs(g_as[mine], al)
+        src_b = _expand_runs(g_bs[mine], bl)
         jn_a = np.repeat(g_join[mine], al)
         jn_b = np.repeat(g_join[mine], bl)
         idx_a = np.empty(ta, np.int64)

@@ -579,3 +579,27 @@ def test_identity_runs_guards_unsorted_input():
     np.testing.assert_array_equal(order, np.arange(len(skey)))
     np.testing.assert_array_equal(starts, [0, 1, 4, 5])
     np.testing.assert_array_equal(lens, [1, 3, 1, 1])
+
+
+def test_runs_device_unsorted_table_delegates_to_host():
+    """A non-ascending unique table violates the contract the device
+    sweep's identity-order partition 0 hardcodes; runs_device must
+    delegate to the (sorting) host engine instead of silently emitting
+    wrong pairs."""
+    from humid_tpu.ops.runs_device import runs_device_pairs
+    from humid_tpu.ops import unique_words
+
+    rng = np.random.default_rng(321)
+    pool, _ = _rand_words(rng, 10, 24)
+    codes = pool[rng.integers(0, 10, 800)].copy()
+    sel = rng.random(800) < 0.5
+    codes[np.flatnonzero(sel), rng.integers(0, 24, int(sel.sum()))] = (
+        rng.integers(0, 4, int(sel.sum())))
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    perm = rng.permutation(len(uniq))
+    shuffled = uniq[perm]
+    a1, b1 = runs_device_pairs(shuffled, 1, word_length=24)
+    a2, b2 = find_neighbor_pairs(shuffled, 1, strategy="dense",
+                                 word_length=24)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)

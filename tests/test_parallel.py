@@ -374,3 +374,24 @@ def test_sharded_shifted_edit_giant_self_join(n_dev):
                                  strategy="dense")
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_sharded_bucketed_degenerate_falls_back_to_ring():
+    """One template with scattered substitutions: giant equal-key runs
+    cover the table in several partitions, so the bucketed mesh layout
+    (which would stack near-full table copies per shard) must take the
+    dense-ring fallback — same rule as the host engine's dense route —
+    and stay correct."""
+    rng = np.random.default_rng(55)
+    base = rng.integers(0, 4, 24).astype(np.uint8)
+    codes = np.tile(base, (700, 1))
+    codes[np.arange(700), rng.integers(0, 24, 700)] = rng.integers(
+        0, 4, 700)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    mesh = data_mesh(4)
+    a1, b1 = sharded_neighbor_pairs_bucketed(
+        uniq, 2, word_length=24, mesh=mesh, cap_row=8, run_cap=16)
+    a2, b2 = find_neighbor_pairs(uniq, 2, strategy="dense",
+                                 word_length=24, impl="xor")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
