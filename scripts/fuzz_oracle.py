@@ -1,0 +1,89 @@
+"""Wide randomized end-to-end fuzz vs the string oracle.
+
+Runs the same config fuzz as tests/test_pipeline.py::
+test_fuzz_random_config_matches_oracle over MANY more seeds — a hunt
+campaign, not a CI gate (the in-tree test keeps 20 fixed seeds).  Any
+divergence from the oracle's byte-level outputs or stats is a
+correctness bug in the pipeline (or, historically, in the oracle —
+either way worth finding before a user does).
+
+Usage: python scripts/fuzz_oracle.py [n_configs] [start_seed]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import traceback
+from pathlib import Path
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    n_cfg = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from test_pipeline import _check_case
+
+    failures = []
+    for i in range(n_cfg):
+        seed = seed0 + i
+        rng = np.random.default_rng(seed)
+        n_files = int(rng.integers(1, 4))
+        cfg = dict(
+            n_files=n_files,
+            umi_style=["none", "underscore", "colon"][
+                int(rng.integers(0, 3))],
+            gz=bool(rng.integers(0, 2)),
+            distance=int(rng.integers(0, 4)),
+            word_length=int(rng.integers(0, 40)),
+            edit=bool(rng.integers(0, 4) == 0),
+            maximum=bool(rng.integers(0, 2)),
+            ragged=bool(rng.integers(0, 2)),
+            unequal=bool(rng.integers(0, 2)) and n_files > 1,
+            n_reads=int(rng.integers(50, 500)),
+            batch_records=int(rng.choice([64, 1 << 10, 1 << 19])),
+        )
+        span = bool(rng.integers(0, 2))
+        env_backup = os.environ.get("HUMID_TPU_SPAN_CACHE")
+        if span:
+            os.environ["HUMID_TPU_SPAN_CACHE"] = "1"
+        elif "HUMID_TPU_SPAN_CACHE" in os.environ:
+            del os.environ["HUMID_TPU_SPAN_CACHE"]
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                _check_case(Path(d), rng, **cfg)
+            status = "ok"
+        except Exception:
+            failures.append((seed, cfg, span, traceback.format_exc()))
+            status = "FAIL"
+        finally:
+            if env_backup is not None:
+                os.environ["HUMID_TPU_SPAN_CACHE"] = env_backup
+            elif "HUMID_TPU_SPAN_CACHE" in os.environ:
+                del os.environ["HUMID_TPU_SPAN_CACHE"]
+        if status == "FAIL" or (i + 1) % 25 == 0:
+            print(f"[{i + 1}/{n_cfg}] seed={seed} {status}", flush=True)
+
+    if failures:
+        print(f"\n{len(failures)} FAILURES:")
+        for seed, cfg, span, tb in failures:
+            print(f"--- seed={seed} span={span} cfg={cfg}\n{tb}")
+        return 1
+    print(f"all {n_cfg} configs match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
