@@ -105,8 +105,9 @@ def steal_probe() -> float:
     return time.perf_counter() - t0
 
 
-def measure_baseline(fq: str, n_reads: int) -> float:
-    """Single-core reference-semantics reads/s (baseline/humid_ref)."""
+def measure_baseline(fq: str, n_reads: int, distance: int = 1) -> float:
+    """Single-core reference-semantics reads/s (baseline/humid_ref),
+    on the same dataset AND flags as the timed pipeline."""
     import shutil
     import subprocess
 
@@ -127,8 +128,8 @@ def measure_baseline(fq: str, n_reads: int) -> float:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            subprocess.run([exe, "-d", out, fq], check=True,
-                           capture_output=True)
+            subprocess.run([exe, "-m", str(distance), "-d", out, fq],
+                           check=True, capture_output=True)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         return n_reads / best
@@ -192,7 +193,13 @@ def main() -> int:
     os.makedirs(BENCH_DIR, exist_ok=True)
     fq = os.path.join(BENCH_DIR, f"bench_{args.reads}.fastq")
     if not os.path.exists(fq):
-        gen_dataset(fq, args.reads)
+        # Generate to a temp name and rename: an interrupted generation
+        # must not leave a truncated file the cache check would reuse
+        # (reads_per_sec would divide the full requested count by a
+        # partial run's time).
+        tmp = f"{fq}.tmp.{os.getpid()}"
+        gen_dataset(tmp, args.reads)
+        os.replace(tmp, fq)
     files = [fq]
 
     out_dir = os.path.join(BENCH_DIR, "out")
@@ -237,14 +244,16 @@ def main() -> int:
         else:
             dt = min(dt, d)
             since_improve += 1
-        if n_runs >= 7 and (
-            since_improve >= 4
-            or time.perf_counter() - t_bench > budget
-        ):
+        # Convergence needs >= 7 samples; the wall-clock budget may cut
+        # sampling off earlier (>= 3) so a contended or CPU-fallback
+        # host does not grind through every sample regardless.
+        over_budget = time.perf_counter() - t_bench > budget
+        if (n_runs >= 7 and since_improve >= 4) or (
+                n_runs >= 3 and over_budget):
             break
 
     rps = args.reads / dt
-    base_rps = measure_baseline(fq, args.reads)
+    base_rps = measure_baseline(fq, args.reads, args.distance)
     import jax
 
     phases = {

@@ -59,13 +59,18 @@ def gzip_decompress(data: bytes) -> bytes | None:
         return None
     parts = []
     view = memoryview(data)
+    out = None  # reused across members: a fresh 4x-remaining bytearray
+    # per member would make many-member (bgzip/pigz-style, or our own
+    # batch-per-member writer) files quadratic in zero-fill alone.
     while len(view):
         # ISIZE (uncompressed size mod 2^32) from the member trailer gives
         # the exact buffer size for single-member files — no grow-retry
         # double decompression.
         isize = int.from_bytes(data[-4:], "little")
         guess = isize if len(parts) == 0 and isize >= len(view) else 0
-        out = bytearray(max(guess, 4 * len(view), 1 << 20))
+        need = max(guess, min(4 * len(view), 64 << 20), 1 << 20)
+        if out is None or len(out) < need:
+            out = bytearray(need)
         while True:
             try:
                 consumed, written = _cfastqio.gzip_decompress_member(

@@ -29,7 +29,10 @@ def gen_uniques(u: int, word_length: int = 24, dup: int = 8,
     from humid_tpu.ops import unique_words
 
     rng = np.random.default_rng(seed)
-    n = u * 2
+    # n = 2u yields only ~0.69u uniques (pool of n/dup + ~0.45u distinct
+    # mutants); oversample ~1.5x then slice so the advertised --sizes
+    # points are actually measured at those unique counts.
+    n = u * 3
     pool = rng.integers(0, 4, size=(n // dup, word_length)).astype(np.uint8)
     codes = pool[rng.integers(0, len(pool), n)].copy()
     mut = rng.random(n) < 0.3
@@ -37,6 +40,10 @@ def gen_uniques(u: int, word_length: int = 24, dup: int = 8,
         rng.integers(0, 4, int(mut.sum()))
     )
     uniq, _, _, _ = unique_words(W.pack_words(codes))
+    if len(uniq) > u:
+        # Uniform subsample keeps the table sorted (required contract).
+        keep = np.sort(rng.choice(len(uniq), u, replace=False))
+        uniq = uniq[keep]
     return uniq
 
 
