@@ -74,7 +74,17 @@ class FastqIn {
     out->clear();
     char buf[4096];
     for (;;) {
-      if (!gzgets(f_, buf, sizeof(buf))) return !out->empty();
+      if (!gzgets(f_, buf, sizeof(buf))) {
+        int errnum = 0;
+        gzerror(f_, &errnum);
+        if (errnum != Z_OK && errnum != Z_STREAM_END) {
+          // A truncated/corrupt .gz must not masquerade as clean EOF
+          // (silently deduping a prefix would mask corruption).
+          fprintf(stderr, "gzip read error (%d)\n", errnum);
+          exit(2);
+        }
+        return !out->empty();
+      }
       out->append(buf);
       if (!out->empty() && out->back() == '\n') {
         out->pop_back();
@@ -409,6 +419,10 @@ class Out {
       g_ = gzopen(path.c_str(), "wb4");
     else
       f_ = fopen(path.c_str(), "wb");
+    if (!g_ && !f_) {  // unwritable -d: fail loudly, not on fwrite(null)
+      fprintf(stderr, "cannot open %s for writing\n", path.c_str());
+      exit(2);
+    }
   }
   ~Out() {
     if (g_) gzclose(g_);
@@ -474,17 +488,27 @@ bool read_tuple(std::vector<FastqIn*>& ins, std::vector<Record>* tuple) {
 
 int main(int argc, char** argv) {
   Args a;
+  auto need_operand = [&](int i) {
+    if (i + 1 >= argc) {
+      fprintf(stderr, "%s requires an operand\n", argv[i]);
+      exit(2);
+    }
+  };
   for (int i = 1; i < argc; ++i) {
     std::string s = argv[i];
-    if (s == "-n")
+    if (s == "-n") {
+      need_operand(i);
       a.n = atoi(argv[++i]);
-    else if (s == "-m")
+    } else if (s == "-m") {
+      need_operand(i);
       a.m = atoi(argv[++i]);
-    else if (s == "-l")
+    } else if (s == "-l") {
+      need_operand(i);
       a.log = argv[++i];
-    else if (s == "-d")
+    } else if (s == "-d") {
+      need_operand(i);
       a.dir = argv[++i];
-    else if (s == "-s")
+    } else if (s == "-s")
       a.stats = true;
     else if (s == "-q")
       a.dedup = !a.dedup;

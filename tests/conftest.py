@@ -4,10 +4,13 @@ import os
 # initializes a backend.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Strip any inherited device-count flag (a leftover =1 from another tool
+# would silently shrink the documented 8-device mesh), then force 8.
+_flags = " ".join(f for f in _flags.split()
+                  if "xla_force_host_platform_device_count" not in f)
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 # The axon TPU plugin (tunneled single chip) overrides JAX_PLATFORMS; force
 # the CPU backend explicitly or the whole suite silently runs on the remote

@@ -66,7 +66,7 @@ def gen_dataset(
             files_records[f].append((name, seq))
 
     if unequal_lengths and n_files > 1:
-        files_records[-1] = files_records[-1][: n_reads - 3]
+        files_records[-1] = files_records[-1][: max(n_reads - 3, 1)]
 
     paths = []
     for f in range(n_files):

@@ -181,7 +181,8 @@ def oracle_run(
     n_files = len(files_records)
     n_tuples = min(len(f) for f in files_records)
 
-    umi_len = len(oracle_extract_umi(files_records[0][0][0]))
+    umi_len = (len(oracle_extract_umi(files_records[0][0][0]))
+               if files_records[0] else 0)
     header_umi_size, nt_to_take = oracle_pre_compute(
         umi_len, n_files, word_length
     )

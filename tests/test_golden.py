@@ -77,7 +77,12 @@ CASES = [
 ])
 def test_golden_outputs_match(case, humid_ref, tmp_path):
     n_reads, n_files, umi_style, gz, extra, gen_kw = case
-    rng = np.random.default_rng(hash(str(case)) % (2**32))
+    # Stable per-case seed: Python's str hash is salted per process, so
+    # hash() would regenerate DIFFERENT data every run and make a golden
+    # failure irreproducible.
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(str(case).encode()))
     data = tmp_path / "data"
     data.mkdir()
     gen_dataset(rng, str(data), n_reads=n_reads, n_files=n_files,
