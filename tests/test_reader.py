@@ -139,3 +139,22 @@ def test_skip_to_record_offsets(tmp_path):
     g = tmp_path / "x.fastq.gz"
     g.write_bytes(_gzip.compress(raw))
     assert skip_to_record(str(g), 3) is None
+
+
+def test_gzip_decompress_many_members():
+    """Many-member gz (bgzip/pigz-style, or this framework's own
+    batch-per-member outputs) decompresses correctly — and the reused
+    output buffer keeps it linear (was quadratic in zero-fill)."""
+    import gzip as _gzip
+
+    try:
+        from humid_tpu.io._fastqio import gzip_decompress
+    except ImportError:
+        pytest.skip("native extension not built")
+    payloads = [bytes([65 + (i % 4)]) * (1000 + 37 * (i % 7))
+                for i in range(300)]
+    data = b"".join(_gzip.compress(p, 1) for p in payloads)
+    out = gzip_decompress(data)
+    if out is None:
+        pytest.skip("libdeflate not built in")
+    assert out == b"".join(payloads)
