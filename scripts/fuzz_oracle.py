@@ -23,6 +23,12 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Virtual 8-device mesh so the randomized sharded* strategies exercise
+# real multi-shard paths (same setup as tests/conftest.py).
+_flags = " ".join(f for f in os.environ.get("XLA_FLAGS", "").split()
+                  if "xla_force_host_platform_device_count" not in f)
+os.environ["XLA_FLAGS"] = (
+    _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np  # noqa: E402
 
@@ -41,6 +47,7 @@ def main() -> int:
         seed = seed0 + i
         rng = np.random.default_rng(seed)
         n_files = int(rng.integers(1, 4))
+        edit = bool(rng.integers(0, 4) == 0)
         cfg = dict(
             n_files=n_files,
             umi_style=["none", "underscore", "colon"][
@@ -48,7 +55,7 @@ def main() -> int:
             gz=bool(rng.integers(0, 2)),
             distance=int(rng.integers(0, 4)),
             word_length=int(rng.integers(0, 40)),
-            edit=bool(rng.integers(0, 4) == 0),
+            edit=edit,
             maximum=bool(rng.integers(0, 2)),
             ragged=bool(rng.integers(0, 2)),
             unequal=bool(rng.integers(0, 2)) and n_files > 1,
@@ -56,23 +63,42 @@ def main() -> int:
             batch_records=int(rng.choice([64, 1 << 10, 1 << 19])),
         )
         span = bool(rng.integers(0, 2))
-        env_backup = os.environ.get("HUMID_TPU_SPAN_CACHE")
+        # Engine-equivalence dimension: force a random strategy; every
+        # engine must reproduce the oracle byte-for-byte.  (The
+        # pigeonhole mesh search is Hamming-only.)
+        strategies = ([None, "runs", "dense", "bucketed", "runs_device",
+                       "sharded", "sharded_bucketed"]
+                      if not edit else [None, "dense", "sharded"])
+        strategy = strategies[int(rng.integers(0, len(strategies)))]
+        # Degenerate-data dimension: tiny pools make giant equal-key
+        # runs, driving the big-run / dense / join-cap fallback ladders.
+        if rng.integers(0, 4) == 0:
+            cfg["pool_size"] = int(rng.choice([1, 2, 4]))
+        env_backup = {k: os.environ.get(k)
+                      for k in ("HUMID_TPU_SPAN_CACHE",
+                                "HUMID_TPU_STRATEGY")}
         if span:
             os.environ["HUMID_TPU_SPAN_CACHE"] = "1"
-        elif "HUMID_TPU_SPAN_CACHE" in os.environ:
-            del os.environ["HUMID_TPU_SPAN_CACHE"]
+        else:
+            os.environ.pop("HUMID_TPU_SPAN_CACHE", None)
+        if strategy is not None:
+            os.environ["HUMID_TPU_STRATEGY"] = strategy
+        else:
+            os.environ.pop("HUMID_TPU_STRATEGY", None)
         try:
             with tempfile.TemporaryDirectory() as d:
                 _check_case(Path(d), rng, **cfg)
             status = "ok"
         except Exception:
-            failures.append((seed, cfg, span, traceback.format_exc()))
+            failures.append((seed, dict(cfg, strategy=strategy), span,
+                             traceback.format_exc()))
             status = "FAIL"
         finally:
-            if env_backup is not None:
-                os.environ["HUMID_TPU_SPAN_CACHE"] = env_backup
-            elif "HUMID_TPU_SPAN_CACHE" in os.environ:
-                del os.environ["HUMID_TPU_SPAN_CACHE"]
+            for k, v in env_backup.items():
+                if v is not None:
+                    os.environ[k] = v
+                else:
+                    os.environ.pop(k, None)
         if status == "FAIL" or (i + 1) % 25 == 0:
             print(f"[{i + 1}/{n_cfg}] seed={seed} {status}", flush=True)
 

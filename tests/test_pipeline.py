@@ -37,14 +37,14 @@ def _expected_annotated(files_records, ids, f, n_tuples):
 def _check_case(tmp_path, rng, *, n_files=1, umi_style="none", gz=False,
                 distance=1, word_length=24, edit=False, maximum=False,
                 ragged=False, unequal=False, n_reads=250,
-                batch_records=1 << 19):
+                batch_records=1 << 19, pool_size=40):
     src = tmp_path / "in"
     out = tmp_path / "out"
     os.makedirs(src, exist_ok=True)
     paths, files_records = gen_dataset(
         rng, str(src), n_reads=n_reads, n_files=n_files, umi_style=umi_style,
         gz=gz, ragged=ragged, unequal_lengths=unequal,
-        read_len=18 if edit else 30,
+        read_len=18 if edit else 30, pool_size=pool_size,
     )
     res = run(
         list(paths),
