@@ -74,9 +74,15 @@ def main() -> int:
         # runs, driving the big-run / dense / join-cap fallback ladders.
         if rng.integers(0, 4) == 0:
             cfg["pool_size"] = int(rng.choice([1, 2, 4]))
+        # The overlapped pass-1 (sorted key runs on the packing pool +
+        # fused k-way merge) is the recommended many-core production
+        # setting and a complete alternate unique-counting
+        # implementation — fuzz it too.
+        overlap = bool(rng.integers(0, 3) == 0)
         env_backup = {k: os.environ.get(k)
                       for k in ("HUMID_TPU_SPAN_CACHE",
-                                "HUMID_TPU_STRATEGY")}
+                                "HUMID_TPU_STRATEGY",
+                                "HUMID_TPU_OVERLAP_UNIQUE")}
         if span:
             os.environ["HUMID_TPU_SPAN_CACHE"] = "1"
         else:
@@ -85,12 +91,17 @@ def main() -> int:
             os.environ["HUMID_TPU_STRATEGY"] = strategy
         else:
             os.environ.pop("HUMID_TPU_STRATEGY", None)
+        if overlap:
+            os.environ["HUMID_TPU_OVERLAP_UNIQUE"] = "1"
+        else:
+            os.environ.pop("HUMID_TPU_OVERLAP_UNIQUE", None)
         try:
             with tempfile.TemporaryDirectory() as d:
                 _check_case(Path(d), rng, **cfg)
             status = "ok"
         except Exception:
-            failures.append((seed, dict(cfg, strategy=strategy), span,
+            failures.append((seed, dict(cfg, strategy=strategy,
+                                        overlap=overlap), span,
                              traceback.format_exc()))
             status = "FAIL"
         finally:
