@@ -308,7 +308,12 @@ def _noise_guarded(c: dict, ks: list[str]) -> dict:
     # (either engine is fine while they tie).
     if time.time() - float(c.get("tied_ts", 0.0)) < 30 * 86400.0:
         return c
-    c = engine_constants(refresh=True)
+    c2 = engine_constants(refresh=True)
+    if c2 is None:
+        # HUMID_TPU_CALIBRATION was toggled off between calls: keep the
+        # cached constants rather than crash on the None refresh.
+        return c
+    c = c2
     vals = sorted(float(c[k]) for k in ks if k in c)
     if len(vals) >= 2 and ((vals[1] - vals[0]) / max(vals[0], 1e-9)
                            < float(c.get("spread", 0.0))):

@@ -63,12 +63,18 @@ def gzip_decompress(data: bytes) -> bytes | None:
     # per member would make many-member (bgzip/pigz-style, or our own
     # batch-per-member writer) files quadratic in zero-fill alone.
     while len(view):
-        # ISIZE (uncompressed size mod 2^32) from the member trailer gives
+        # ISIZE (uncompressed size mod 2^32) from the FILE trailer gives
         # the exact buffer size for single-member files — no grow-retry
-        # double decompression.
+        # double decompression.  It is the LAST member's size, so for a
+        # later member it is only a guess — engaged when the 64MB-capped
+        # default would clearly be too small (a >64MB final member then
+        # skips the doubling grow-retry ladder; a wrong-member guess
+        # costs at most a bounded over-allocation, and ``out`` is reused
+        # across members so each high-water mark is paid once).
         isize = int.from_bytes(data[-4:], "little")
-        guess = isize if len(parts) == 0 and isize >= len(view) else 0
-        need = max(guess, min(4 * len(view), 64 << 20), 1 << 20)
+        default = max(min(4 * len(view), 64 << 20), 1 << 20)
+        first = len(parts) == 0 and isize >= len(view)
+        need = isize if (first or isize > default) else default
         if out is None or len(out) < need:
             out = bytearray(need)
         while True:

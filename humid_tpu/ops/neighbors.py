@@ -869,7 +869,7 @@ except ImportError:  # pragma: no cover - extension not built
     _unique_u64_native = None
 
 
-def _identity_runs(key: np.ndarray):
+def _identity_runs(key: np.ndarray, *, verified: bool = False):
     """Run structure of an ALREADY-SORTED key array — partition 0's
     segment key is the word PREFIX and the unique table is ascending,
     so its stable sort order is the identity and the radix sort can be
@@ -878,9 +878,11 @@ def _identity_runs(key: np.ndarray):
     The sortedness assumption is load-bearing (a permuted table would
     silently lose pairs), so it is VERIFIED — one more vectorized
     compare pass, still far cheaper than the sort — and non-ascending
-    input falls back to the full sort."""
+    input falls back to the full sort.  ``verified=True`` skips the
+    check when the caller already ran the identical compare (the device
+    engine's host-delegation gate, ops/runs_device.py)."""
     n = len(key)
-    if not np.all(key[1:] >= key[:-1]):
+    if not verified and not np.all(key[1:] >= key[:-1]):
         return _partition_runs(key)
     new_run = np.empty(n, bool)
     new_run[0] = True

@@ -205,7 +205,10 @@ def runs_device_pairs(
     owned_runs: list[np.ndarray | None] = []  # per-run ownership, reused
     for p in range(n_seg):
         if p == 0:
-            order, run_start, run_len = _identity_runs(keys[0])
+            # Ascending order was verified by the delegation gate above;
+            # don't repeat the O(u) compare inside _identity_runs.
+            order, run_start, run_len = _identity_runs(
+                keys[0], verified=True)
         else:
             order, run_start, run_len = _partition_runs(keys[p])
             order_rows[p - 1, :u] = order

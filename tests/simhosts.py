@@ -40,16 +40,16 @@ def make_sim_gather(files, total, n_hosts, *, word_length=24, distance=1,
 
     def all_gather(arrs):
         if len(arrs) == 1:
-            # Two distinct single-array gathers exist; dispatch on dtype
-            # so a future third caller fails loudly instead of being
-            # silently mis-served.  Both replicate the caller's own
-            # array (simulated hosts share one process):
-            #   int64 scalar  -> engine-choice broadcast
-            #                    (multihost.broadcast_engine_choice)
-            #   float row     -> scaling-report timings gather
-            #                    (parallel/pipeline.run_distributed;
-            #                    per-host rows are replicas in sim, so
-            #                    only the report arithmetic is exercised)
+            # Single-array gathers are replicated: the known callers —
+            # engine-choice broadcast (int64 scalar), join_cap agreement
+            # (int64 scalar), scaling-report timings (float row) — all
+            # gather values that are HOST-INDEPENDENT in this one-process
+            # simulation (same calibration cache, same free memory, same
+            # process), so replication is exact for them.  The dtype
+            # assert below fences off only shapes no known caller sends;
+            # a future gather of genuinely host-DEPENDENT data must be
+            # added to host_tables()-style per-host recomputation instead
+            # of relying on this replication.
             a0 = np.asarray(arrs[0])
             assert (a0.dtype.kind in "iu" and a0.size == 1) or \
                 a0.dtype.kind == "f", \

@@ -318,3 +318,23 @@ def test_distributed_edit_outputs(tmp_path):
                             write_annotated=True, run_stats=True)
     for f in sorted(os.listdir(ref_dir)):
         assert (ref_dir / f).read_bytes() == (sh_dir / f).read_bytes(), f
+
+
+def test_engine_codes_follow_registry(monkeypatch):
+    """Wire codes derive from the _NEIGHBOR_ENGINES registry (VERDICT r4
+    weak #6): a newly registered engine round-trips the broadcast
+    instead of KeyError-ing inside broadcast_engine_choice."""
+    import humid_tpu._backend as B
+    from humid_tpu.parallel import multihost as MH
+
+    fake = dict(B._NEIGHBOR_ENGINES)
+    fake["zz_fake_engine"] = "neighbors_zz_fake_ns"
+    monkeypatch.setitem(B.__dict__, "_NEIGHBOR_ENGINES", fake)
+    codes, names = MH._engine_codes()
+    assert set(codes) == set(fake)
+    assert all(names[codes[n]] == n for n in fake)
+    monkeypatch.setattr(B, "pick_neighbor_engine",
+                        lambda shardable_only=False: "zz_fake_engine")
+    got = MH.broadcast_engine_choice(
+        all_gather=lambda arrs: [[np.asarray(a)] * 2 for a in arrs])
+    assert got == "zz_fake_engine"
