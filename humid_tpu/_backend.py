@@ -98,7 +98,7 @@ def backend_profile(refresh: bool = False) -> dict:
 
 #: bump when an engine's cost profile changes materially (invalidates
 #: cached calibrations).
-_CALIB_VERSION = 3
+_CALIB_VERSION = 4
 
 _CALIB: dict | None = None
 
@@ -207,6 +207,14 @@ def _measure_engines() -> dict:
     t_cd = best(lambda: cluster_max_from_components(
         counts, indptr, indices,
         connected_components_device(pa, pb, u)))
+
+    # Fused device-resident pipeline (unique + partition sorts +
+    # sweeps all on-chip, VERDICT r4 #1): measured end-to-end from
+    # packed reads so its constant is comparable to
+    # unique_*_ns + neighbors_*_ns * (probe_u / probe_n).
+    from .ops.fused import fused_probe
+
+    t_fp = best(lambda: fused_probe(packed, wl, 1))
     return {
         "unique_host_ns": round(t_uh / len(packed) * 1e9, 2),
         "unique_device_ns": round(t_ud / len(packed) * 1e9, 2),
@@ -217,6 +225,7 @@ def _measure_engines() -> dict:
            if t_ns is not None else {}),
         "cc_host_ns": round(t_ch / u * 1e9, 2),
         "cc_device_ns": round(t_cd / u * 1e9, 2),
+        "pipeline_fused_ns": round(t_fp / len(packed) * 1e9, 2),
         # Worst relative per-sample spread (max/best - 1) across all
         # measured engines: the noise floor for routing decisions.
         "spread": round(max(spreads), 3) if spreads else 0.0,
@@ -385,6 +394,41 @@ def use_device_engine(kind: str) -> bool:
         c = engine_constants(refresh=True)
     c = _noise_guarded(c, [dev_k, host_k])
     return c[dev_k] < 0.9 * c[host_k]
+
+
+def use_fused_pipeline() -> bool:
+    """Route the whole unique->neighbours stretch through the fused
+    device-resident pipeline (ops/fused.py)?  True when forced via
+    HUMID_TPU_FUSED=1, or when the chip is co-located AND the measured
+    end-to-end constant beats the best phase-wise alternative (host or
+    device unique + best neighbour engine) with the usual 10%
+    hysteresis.  A calibration cache that predates the fused probe
+    answers False rather than re-measuring mid-run (the next natural
+    recalibration — _CALIB_VERSION bump — adds the constant)."""
+    env = os.environ.get("HUMID_TPU_FUSED", "").lower()
+    if env in ("1", "on", "fused"):
+        return True
+    if env in ("0", "off"):
+        return False
+    prof = backend_profile()
+    if prof.get("forced") is False:
+        return False
+    if not prof["colocated_device"]:
+        return False
+    c = engine_constants()
+    if c is None:  # calibration disabled: colocated alone opts in
+        return True
+    need = ("pipeline_fused_ns", "unique_host_ns", "neighbors_runs_ns",
+            "probe_n", "probe_u")
+    if any(kk not in c for kk in need):
+        return False
+    ratio = float(c["probe_u"]) / max(float(c["probe_n"]), 1.0)
+    best_unique = min(float(c["unique_host_ns"]),
+                      float(c.get("unique_device_ns", float("inf"))))
+    best_nb = min(float(c[k]) for k in _NEIGHBOR_ENGINES.values()
+                  if k in c)
+    alt = best_unique + best_nb * ratio
+    return float(c["pipeline_fused_ns"]) < 0.9 * alt
 
 
 def _reset_profile_for_tests() -> None:

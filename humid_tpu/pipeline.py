@@ -332,12 +332,15 @@ from .io.reader import is_gzip_file as _is_gzip_file  # noqa: E402
 
 def _pass1(files, nt_to_take, header_umi_size, batch_records,
            cache: list | None = None, pack_workers: int = 3,
-           span_accs: list | None = None):
+           span_accs: list | None = None, feeder=None):
     """Stream all files in lockstep; return (packed [N,W], filtered [N]).
     When ``cache`` is a list, parsed batch tuples are appended to it for
     reuse by the output pass.  When ``span_accs`` is given (one
     accumulator per file), absolute record spans are collected for the
-    span-based dedup writer.
+    span-based dedup writer.  When ``feeder`` (an
+    ops.fused.DeviceFeeder) is given, packed batches stream to the
+    device DURING framing instead of accumulating on the host — the
+    fused pipeline's h2d overlap — and the packed return value is None.
 
     Packing (UMI gather + base encode, all GIL-releasing C calls) runs on
     a small thread pool so it overlaps the reader thread's
@@ -363,9 +366,15 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
 
     def _drain(fut):
         # FIFO drain == submission order, so span stitching sees batches
-        # in stream order.
+        # in stream order (and feeder rows land at their global read
+        # index).
         packed, filtered, spans = fut.result()
-        packed_parts.append(packed)
+        if feeder is not None:
+            # The feeder holds only USABLE rows (usable index space);
+            # compact out filtered rows before upload.
+            feeder.push(packed[~filtered] if filtered.any() else packed)
+        else:
+            packed_parts.append(packed)
         filt_parts.append(filtered)
         if spans is not None:
             for part, acc in zip(spans, span_accs):
@@ -382,10 +391,13 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
                 _drain(inflight.popleft())
         while inflight:
             _drain(inflight.popleft())
-    if not packed_parts:
+    if not filt_parts:
         wl = header_umi_size + sum(nt_to_take)
-        return (np.zeros((0, W.num_lanes(wl)), np.uint32),
+        return (None if feeder is not None
+                else np.zeros((0, W.num_lanes(wl)), np.uint32),
                 np.zeros(0, bool))
+    if feeder is not None:
+        return None, np.concatenate(filt_parts)
     return np.concatenate(packed_parts), np.concatenate(filt_parts)
 
 
@@ -493,6 +505,31 @@ def run(
     import time as _time
 
     wl = header_umi_size + sum(nt_to_take)
+    # Fused device-resident route (VERDICT r4 #1): unique counting, the
+    # pigeonhole partition sorts, and the in-run Hamming sweeps all run
+    # against ONE resident HBM copy of the packed reads, streamed to the
+    # device DURING framing — decided before pass 1 so the feeder
+    # exists.  Phase-level env overrides (strategy/impl/unique) pin
+    # their phase to a specific engine and therefore exclude the fused
+    # route; HUMID_TPU_FUSED=1/0 forces it outright (_backend).
+    feeder = None
+    fused_fp = None
+    if (not edit and distance >= 1 and not neighbor_opts
+            and not os.environ.get("HUMID_TPU_STRATEGY")
+            and not os.environ.get("HUMID_TPU_IMPL")
+            and not os.environ.get("HUMID_TPU_UNIQUE")):
+        from ._backend import use_fused_pipeline
+
+        if use_fused_pipeline():
+            from .ops.fused import DeviceFeeder, fused_fits
+
+            # ~200 B per plain-FastQ record is a deliberate UNDER
+            # estimate of record size (over-estimating rows would
+            # reserve HBM the run never uses); the feeder grows by
+            # doubling if the input runs longer.
+            n_est = max(_input_bytes_estimate(files) // 200, 1 << 10)
+            if fused_fits(n_est, W.num_lanes(wl)):
+                feeder = DeviceFeeder(W.num_lanes(wl), n_est)
     # Overlapped unique counting sorts key runs on the packing pool
     # while the reader streams, leaving only a k-way merge after EOF.
     # It wins when cores outnumber the I/O pipeline (production hosts);
@@ -502,7 +539,29 @@ def run(
                   and _encode_pack is not None
                   and os.environ.get("HUMID_TPU_OVERLAP_UNIQUE") == "1")
     t = log.start("Reading data")
-    if overlapped:
+    if feeder is not None:
+        _, filtered = _pass1(files, nt_to_take, header_umi_size,
+                             batch_records, cache, span_accs=span_accs,
+                             feeder=feeder)
+        res.total = int(len(filtered))
+        res.usable = int((~filtered).sum())
+        log.end(t)
+
+        _t_uni = _time.time()
+        from .ops.fused import FusedPipeline
+
+        fused_fp = FusedPipeline(
+            feeder, res.total, filtered, word_length=wl,
+            max_dist=distance, want_inverse=write_annotated,
+            want_labels=maximum)
+        fused_fp.unique()
+        # counts/first/inverse are fetched AFTER the neighbour programs
+        # launch (below), keeping this phase to the one k sync.
+        counts = first_occ = inv_by_read = None
+        uniq = None  # the table stays on the device (sparse decode)
+        log.timings.append(
+            ("unique counting (fused)", _time.time() - _t_uni))
+    elif overlapped:
         # Pass 1 fused with unique counting: per-run sorts ride the
         # packing pool while the reader streams; only the final k-way
         # merge runs after EOF.
@@ -548,7 +607,7 @@ def run(
                 else:
                     inv_by_read[:] = inverse
         log.timings.append(("unique counting", _time.time() - _t_uni))
-    res.unique = len(uniq)
+    res.unique = fused_fp.k if fused_fp is not None else len(uniq)
     res.counts = counts
 
     # --- neighbour search (humid.cc:113-158) ---
@@ -556,19 +615,24 @@ def run(
         t = log.start("Calculating neighbours using Levenshtein distance")
     else:
         t = log.start("Calculating neighbours using Hamming distance")
-    nb = dict(neighbor_opts or {})
-    # (HUMID_TPU_STRATEGY / HUMID_TPU_IMPL env overrides are honored
-    # inside find_neighbor_pairs, so every driver — single-host,
-    # sharded, tests — sees them.)
-    pa, pb = find_neighbor_pairs(
-        uniq, distance,
-        metric="edit" if edit else "hamming",
-        word_length=word_length, **nb,
-    )
+    if fused_fp is not None:
+        pa, pb = fused_fp.neighbors()
+        counts, first_occ, inv_by_read = fused_fp.tables()
+        res.counts = counts
+    else:
+        nb = dict(neighbor_opts or {})
+        # (HUMID_TPU_STRATEGY / HUMID_TPU_IMPL env overrides are
+        # honored inside find_neighbor_pairs, so every driver —
+        # single-host, sharded, tests — sees them.)
+        pa, pb = find_neighbor_pairs(
+            uniq, distance,
+            metric="edit" if edit else "hamming",
+            word_length=word_length, **nb,
+        )
     from .ops import neighbors as _nbmod
 
     res.extra["engine"] = dict(_nbmod.LAST_DECISION)
-    indptr, indices = pairs_to_csr(pa, pb, len(uniq))
+    indptr, indices = pairs_to_csr(pa, pb, res.unique)
     res.degree = np.diff(indptr)
     log.end(t)
 
@@ -577,8 +641,18 @@ def run(
         t = log.start("Calculating maximum clusters")
     else:
         t = log.start("Calculating directional clusters")
-    cl = cluster_dispatch(counts, indptr, indices, maximum=maximum,
-                          pairs=(pa, pb))
+    if fused_fp is not None and maximum and fused_fp.has_matches:
+        # -x on the fused route: component labels come from on-device
+        # label propagation over the RESIDENT match masks (plus the
+        # host mid/big-run edges, uploaded once) — no pair re-upload;
+        # ids/size/maxCount/maxLeaf finalize bit-exactly on host.
+        from .cluster.exact import cluster_max_from_components
+
+        cc = fused_fp.device_labels()
+        cl = cluster_max_from_components(counts, indptr, indices, cc)
+    else:
+        cl = cluster_dispatch(counts, indptr, indices, maximum=maximum,
+                              pairs=(pa, pb))
     res.clusters = cl.num_clusters
     res.labels = cl.labels
     res.sizes = cl.size

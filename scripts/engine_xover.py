@@ -20,10 +20,12 @@ import numpy as np
 
 
 def gen_uniques(u: int, word_length: int = 24, dup: int = 8,
-                seed: int = 0) -> np.ndarray:
+                seed: int = 0, return_reads: bool = False):
     """Unique packed fingerprints shaped like the bench pipeline's:
     a pool of u/dup distinct words, 30% single substitutions, then
-    unique+sort — matches bench.py's dataset statistics."""
+    unique+sort — matches bench.py's dataset statistics.
+    ``return_reads`` also returns the PRE-unique packed read array (the
+    input unit of the whole-pipeline engines: fused/phasewise)."""
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
     from humid_tpu import words as W
     from humid_tpu.ops import unique_words
@@ -39,7 +41,12 @@ def gen_uniques(u: int, word_length: int = 24, dup: int = 8,
     codes[np.flatnonzero(mut), rng.integers(0, word_length, int(mut.sum()))] = (
         rng.integers(0, 4, int(mut.sum()))
     )
-    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    packed = W.pack_words(codes)
+    uniq, _, _, _ = unique_words(packed)
+    if return_reads:
+        # The read-level engines consume ALL n reads; their rows report
+        # the actual unique count of that input.
+        return uniq, packed
     if len(uniq) > u:
         # Uniform subsample keeps the table sorted (required contract).
         keep = np.sort(rng.choice(len(uniq), u, replace=False))
@@ -67,8 +74,11 @@ def main() -> int:
 
     backend = jax.default_backend()
     for u_req in args.sizes:
+        whole = [e for e in args.engines.split(",")
+                 if e in ("fused", "phasewise_device")]
+        table = [e for e in args.engines.split(",") if e not in whole]
         uniq = gen_uniques(u_req, args.word_length)[:u_req]
-        for eng in args.engines.split(","):
+        for eng in table:
             kw = dict(strategy=eng, word_length=args.word_length)
             if eng in ("bucketed", "dense"):
                 kw["impl"] = "pallas" if backend == "tpu" else None
@@ -84,6 +94,48 @@ def main() -> int:
                 "u": len(uniq), "engine": eng, "backend": backend,
                 "best_s": round(best, 4), "pairs": npairs,
                 "ns_per_unique": round(best / len(uniq) * 1e9, 1),
+            }), flush=True)
+        if not whole:
+            continue
+        # Whole-pipeline engines: packed READS in, (tables + pairs) out.
+        # "phasewise_device" is the sum VERDICT r4 #1 wants the fused row
+        # beaten by: device unique (table down) + runs_device (table +
+        # orders back up, bitmaps down).
+        from humid_tpu.ops.unique import unique_words_device
+        from humid_tpu.ops.runs_device import runs_device_pairs
+        from humid_tpu.ops.fused import fused_probe
+
+        _, reads = gen_uniques(u_req, args.word_length, return_reads=True)
+
+        def run_phasewise():
+            uq, _, _, _ = unique_words_device(reads, want_inverse=False)
+            return uq, runs_device_pairs(
+                uq, args.m, word_length=args.word_length)
+
+        def run_fused():
+            k, _, _, pr = fused_probe(reads, args.word_length, args.m)
+            return k, pr
+
+        for eng, fn in (("phasewise_device", run_phasewise),
+                        ("fused", run_fused)):
+            if eng not in whole:
+                continue
+            best = None
+            npairs = 0
+            uu = 0
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                uq, (a, b) = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                npairs = len(a)
+                uu = uq if isinstance(uq, int) else len(uq)
+            print(json.dumps({
+                "u": uu, "n_reads": len(reads), "engine": eng,
+                "backend": backend, "best_s": round(best, 4),
+                "pairs": npairs,
+                "ns_per_unique": round(best / uu * 1e9, 1),
+                "ns_per_read": round(best / len(reads) * 1e9, 1),
             }), flush=True)
     return 0
 

@@ -380,3 +380,35 @@ def test_golden_span_cache_writer(humid_ref, tmp_path, monkeypatch):
     assert names == sorted(os.listdir(out_tpu))
     for name in names:
         assert _read(out_ref / name) == _read(out_tpu / name), name
+
+
+@pytest.mark.parametrize("flags", [["-s"], ["-s", "-a", "-x"]],
+                         ids=["dedup_stats", "annot_max"])
+def test_golden_midscale_fused(flags, humid_ref, tmp_path, monkeypatch):
+    """~300k-read golden through the FORCED fused device-resident route
+    (VERDICT r4 #1): pass-1 streams packed batches to the device, the
+    unique table never leaves HBM on its way to the neighbour sweeps,
+    and (-x) labels come from on-device propagation — byte-compared
+    against the C++ baseline."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    fq = str(tmp_path / "fused.fastq")
+    bench.gen_dataset(fq, 300_000, read_len=60, seed=71)
+
+    out_ref = tmp_path / "ref"
+    out_tpu = tmp_path / "tpu"
+    out_ref.mkdir()
+    out_tpu.mkdir()
+    ref_flags = [f for f in flags if f != "-a"] + (
+        ["-a"] if "-a" in flags else [])
+    subprocess.run([humid_ref, "-d", str(out_ref), *ref_flags, fq],
+                   check=True, capture_output=True)
+    monkeypatch.setenv("HUMID_TPU_FUSED", "1")
+    from humid_tpu.cli import main
+    main(["-d", str(out_tpu), "-l", os.devnull, *flags, fq])
+
+    names = sorted(os.listdir(out_ref))
+    assert names == sorted(os.listdir(out_tpu))
+    for name in names:
+        assert _read(out_ref / name) == _read(out_tpu / name), name
