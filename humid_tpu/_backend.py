@@ -192,6 +192,13 @@ def _measure_engines() -> dict:
     if len(jax.local_devices()) > 1 and jax.process_count() == 1:
         t_ns = best(lambda: find_neighbor_pairs(
             uniq, 1, strategy="sharded_bucketed", word_length=wl))
+    # Pallas RDMA ring engine: a real-hardware kernel (interpret mode
+    # on CPU would take minutes on the probe's dense scan), single
+    # process for the same collective-deadlock reason as the mesh row.
+    t_npr = None
+    if jax.default_backend() == "tpu" and jax.process_count() == 1:
+        t_npr = best(lambda: find_neighbor_pairs(
+            uniq, 1, strategy="pallas_ring", word_length=wl))
 
     # -x clustering: host exact flood fill vs device label propagation
     # + bit-exact host finalize (the production device route in
@@ -223,6 +230,8 @@ def _measure_engines() -> dict:
         "neighbors_runs_device_ns": round(t_nrd / u * 1e9, 2),
         **({"neighbors_sharded_ns": round(t_ns / u * 1e9, 2)}
            if t_ns is not None else {}),
+        **({"neighbors_pallas_ring_ns": round(t_npr / u * 1e9, 2)}
+           if t_npr is not None else {}),
         "cc_host_ns": round(t_ch / u * 1e9, 2),
         "cc_device_ns": round(t_cd / u * 1e9, 2),
         "pipeline_fused_ns": round(t_fp / len(packed) * 1e9, 2),
@@ -294,7 +303,12 @@ _NEIGHBOR_ENGINES = {
     "bucketed": "neighbors_bucketed_ns",            # device MXU tiles
     "runs_device": "neighbors_runs_device_ns",      # device run sweeps
     "sharded_bucketed": "neighbors_sharded_ns",     # local chip mesh
+    "pallas_ring": "neighbors_pallas_ring_ns",      # RDMA ring kernel
 }
+
+#: engines that honor find_neighbor_pairs' host ``shard`` partition
+#: (the mesh engines search their full local slice instead).
+_SHARDABLE_ENGINES = {"runs", "bucketed", "runs_device"}
 
 
 def _noise_guarded(c: dict, ks: list[str]) -> dict:
@@ -359,7 +373,8 @@ def pick_neighbor_engine(shardable_only: bool = False) -> str:
     host = float(c["neighbors_runs_ns"])
     dev_engines = {s: float(c[k]) for s, k in _NEIGHBOR_ENGINES.items()
                    if s != "runs" and k in c
-                   and not (shardable_only and s == "sharded_bucketed")}
+                   and not (shardable_only
+                            and s not in _SHARDABLE_ENGINES)}
     best_dev = min(dev_engines, key=dev_engines.get)
     if forced is True:
         return best_dev

@@ -710,6 +710,22 @@ def find_neighbor_pairs(
             packed, max_dist, word_length=word_length, tile=tile,
             cap_row=cap_row, cap_total=cap_total, impl=impl, shard=shard,
         )
+    if strategy == "pallas_ring":
+        # First-class kernel-level ICI comm engine (VERDICT r4 #2): the
+        # whole mesh ring runs inside one Pallas kernel per shard, RDMA
+        # of block s+1 overlapped with compute on block s, HBM comm
+        # slots + streamed VMEM chunks so blocks are not VMEM-bounded
+        # (parallel/pallas_ring.py).  Calibrated + auto-routable via
+        # _backend._NEIGHBOR_ENGINES.
+        if metric != "hamming":
+            raise ValueError(
+                f"pallas_ring strategy: unknown metric {metric!r}")
+        if word_length is None:
+            raise ValueError("pallas_ring strategy requires word_length")
+        from ..parallel import sharded_neighbor_pairs_pallas_ring
+
+        return sharded_neighbor_pairs_pallas_ring(
+            packed, max_dist, word_length=word_length, cap_row=cap_row)
     if strategy in ("sharded", "sharded_bucketed"):
         if metric == "edit":
             # Unshifted pigeonhole buckets do not bound edit distance,
@@ -784,6 +800,22 @@ def find_neighbor_pairs(
             packed, max_dist, word_length=word_length, tile=tile,
             cap_row=cap_row, cap_total=cap_total, impl=impl, shard=shard,
         )
+
+    if (strategy == "dense" and metric == "hamming" and shard is None
+            and word_length is not None and impl is None
+            and jax.default_backend() == "tpu"):
+        # On real TPU hardware the Pallas RDMA ring kernel IS the best
+        # dense engine (measured 3.2x faster than the XLA dense tile
+        # scan at 262k uniques — BASELINE.md round 5): the one-hot
+        # build, matmuls, and extraction run in one kernel with HBM
+        # comm slots, and on a 1-device mesh the RDMA is skipped.
+        # Explicit impl (mxu/xor/pallas) or a host shard keeps the XLA
+        # tile path.
+        _note_stat("impl", "pallas_ring")
+        from ..parallel import sharded_neighbor_pairs_pallas_ring
+
+        return sharded_neighbor_pairs_pallas_ring(
+            packed, max_dist, word_length=word_length, cap_row=cap_row)
 
     metric, tile = _resolve_metric(metric, impl, word_length, tile)
     data_host: np.ndarray = packed

@@ -47,4 +47,27 @@ for f in "$D"/ref/*; do
   fi
 done
 [ $status -eq 0 ] && echo "hardware Pallas gate OK"
-exit $status
+[ $status -eq 0 ] || exit $status
+
+# Pallas RDMA ring kernel on silicon: a block far beyond the old
+# 4096-row VMEM cap streams through the HBM comm slots and must match
+# the host dense scan exactly (VERDICT r4 #2).
+PYTHONPATH="$REPO:${PYTHONPATH:-}" python - <<'EOF'
+import sys
+sys.path.insert(0, "scripts")
+import numpy as np
+from engine_xover import gen_uniques
+from humid_tpu.parallel import sharded_neighbor_pairs_pallas_ring
+from humid_tpu.parallel.mesh import data_mesh
+from humid_tpu.ops.neighbors import find_neighbor_pairs
+
+uniq = gen_uniques(40000, 24)[:40000]
+a1, b1 = sharded_neighbor_pairs_pallas_ring(
+    uniq, 1, word_length=24, mesh=data_mesh(1))
+a2, b2 = find_neighbor_pairs(uniq, 1, strategy="dense", word_length=24,
+                             impl="xor")
+assert np.array_equal(a1, a2) and np.array_equal(b1, b2), \
+    "pallas ring hardware mismatch"
+print(f"hardware RDMA-ring gate OK ({len(uniq)} rows/shard, "
+      f"{len(a1)} pairs)")
+EOF
