@@ -323,7 +323,125 @@ PyObject* cluster_into(PyObject* /*self*/, PyObject* args) {
   return PyLong_FromLongLong(static_cast<long long>(k));
 }
 
+// Ownership-masked clustering: the exact sequential walk, but only
+// seeds whose node is owned start clusters (the host-sharded cluster
+// phase, humid_tpu/parallel/cluster.py).  Ownership is per connected
+// component, and walks never leave their component, so the masked walk
+// over the FULL CSR equals the walk over the owned components' induced
+// subgraph — without building one.  Local ids are 1..k in ascending
+// owned-seed order; seeds/max_leaf are GLOBAL node indices.
+PyObject* cluster_masked_into(PyObject* /*self*/, PyObject* args) {
+  Py_buffer counts_b, indptr_b, indices_b, own_b, labels_b, seeds_b,
+      ml_b, mc_b, sz_b;
+  int maximum;
+  if (!PyArg_ParseTuple(args, "y*y*y*py*w*w*w*w*w*", &counts_b,
+                        &indptr_b, &indices_b, &maximum, &own_b,
+                        &labels_b, &seeds_b, &ml_b, &mc_b, &sz_b)) {
+    return nullptr;
+  }
+  const int64_t u = static_cast<int64_t>(counts_b.len / 8);
+  int64_t k = 0;
+  bool ok = static_cast<int64_t>(indptr_b.len / 8) == u + 1 &&
+            static_cast<int64_t>(own_b.len) == u &&
+            static_cast<int64_t>(labels_b.len / 8) == u &&
+            static_cast<int64_t>(seeds_b.len / 8) >= u &&
+            static_cast<int64_t>(ml_b.len / 8) >= u &&
+            static_cast<int64_t>(mc_b.len / 8) >= u &&
+            static_cast<int64_t>(sz_b.len / 8) >= u;
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError,
+                    "cluster_masked_into: bad buffer sizes");
+  } else {
+    Py_BEGIN_ALLOW_THREADS;
+    const int64_t* counts = static_cast<const int64_t*>(counts_b.buf);
+    const int64_t* indptr = static_cast<const int64_t*>(indptr_b.buf);
+    const int64_t* indices = static_cast<const int64_t*>(indices_b.buf);
+    const uint8_t* own = static_cast<const uint8_t*>(own_b.buf);
+    int64_t* labels = static_cast<int64_t*>(labels_b.buf);
+    int64_t* seeds = static_cast<int64_t*>(seeds_b.buf);
+    int64_t* ml = static_cast<int64_t*>(ml_b.buf);
+    int64_t* mc = static_cast<int64_t*>(mc_b.buf);
+    int64_t* sz = static_cast<int64_t*>(sz_b.buf);
+    std::vector<Frame> stack;
+    stack.reserve(64);
+    for (int64_t seed = 0; seed < u; ++seed) {
+      if (!own[seed] || labels[seed] != 0) continue;
+      const SeedResult r = cluster_one_seed(counts, indptr, indices,
+                                            maximum != 0, seed, k + 1,
+                                            labels, stack);
+      seeds[k] = seed;
+      ml[k] = r.ml;
+      mc[k] = r.mc;
+      sz[k] = r.size;
+      ++k;
+    }
+    Py_END_ALLOW_THREADS;
+  }
+  PyBuffer_Release(&counts_b);
+  PyBuffer_Release(&indptr_b);
+  PyBuffer_Release(&indices_b);
+  PyBuffer_Release(&own_b);
+  PyBuffer_Release(&labels_b);
+  PyBuffer_Release(&seeds_b);
+  PyBuffer_Release(&ml_b);
+  PyBuffer_Release(&mc_b);
+  PyBuffer_Release(&sz_b);
+  if (!ok) return nullptr;
+  return PyLong_FromLongLong(static_cast<long long>(k));
+}
+
+// Connected components from an (a, b) edge list: labels[i] = min node
+// index of i's component (union-find, path halving, union by min).
+// The prologue of cluster_parallel_impl exposed on its own — the
+// host-sharded cluster phase (humid_tpu/parallel/cluster.py) needs
+// component minima without paying a jax compile for a label
+// propagation the host can do in one O(u + E) pass.
+PyObject* components_into(PyObject* /*self*/, PyObject* args) {
+  Py_buffer a_b, b_b, labels_b;
+  if (!PyArg_ParseTuple(args, "y*y*w*", &a_b, &b_b, &labels_b)) {
+    return nullptr;
+  }
+  const int64_t e = static_cast<int64_t>(a_b.len / 8);
+  const int64_t u = static_cast<int64_t>(labels_b.len / 8);
+  if (static_cast<int64_t>(b_b.len / 8) != e) {
+    PyBuffer_Release(&a_b);
+    PyBuffer_Release(&b_b);
+    PyBuffer_Release(&labels_b);
+    PyErr_SetString(PyExc_ValueError,
+                    "components_into: edge buffers differ in length");
+    return nullptr;
+  }
+  Py_BEGIN_ALLOW_THREADS;
+  {
+    const int64_t* ea = static_cast<const int64_t*>(a_b.buf);
+    const int64_t* eb = static_cast<const int64_t*>(b_b.buf);
+    int64_t* labels = static_cast<int64_t*>(labels_b.buf);
+    std::vector<int64_t> parent(u);
+    for (int64_t i = 0; i < u; ++i) parent[i] = i;
+    for (int64_t i = 0; i < e; ++i) {
+      int64_t ra = find_root(parent, ea[i]);
+      int64_t rb = find_root(parent, eb[i]);
+      if (ra != rb) parent[ra < rb ? rb : ra] = ra < rb ? ra : rb;
+    }
+    for (int64_t i = 0; i < u; ++i) labels[i] = find_root(parent, i);
+  }
+  Py_END_ALLOW_THREADS;
+  PyBuffer_Release(&a_b);
+  PyBuffer_Release(&b_b);
+  PyBuffer_Release(&labels_b);
+  Py_RETURN_NONE;
+}
+
 PyMethodDef methods[] = {
+    {"cluster_masked_into", cluster_masked_into, METH_VARARGS,
+     "cluster_masked_into(counts, indptr, indices, maximum, own, "
+     "labels, seeds, max_leaf, max_count, size) -> k.  Exact walk over "
+     "owned-component seeds only (own: uint8 per node); labels local "
+     "1..k, seeds/max_leaf global node indices."},
+    {"components_into", components_into, METH_VARARGS,
+     "components_into(edges_a, edges_b, labels) -> None.  labels[i] = "
+     "min node index of i's connected component (all buffers int64; "
+     "labels sized u)."},
     {"cluster_into", cluster_into, METH_VARARGS,
      "cluster_into(counts, indptr, indices, maximum, labels, max_leaf, "
      "max_count, size) -> num_clusters.  All buffers int64; labels must be "

@@ -122,16 +122,20 @@ def default_all_gather(arrs):
     """Gather a list of (per-host variable-length) arrays over
     ``jax.distributed``: per-host lengths are exchanged first, arrays
     padded to the max, gathered, and trimmed back — so every host gets
-    ``[per_host_list for each array]``."""
+    ``[per_host_list for each array]``.  Lengths are exchanged PER
+    ARRAY: a call may mix differently sized arrays (the distributed
+    cluster gather sends per-node AND per-cluster arrays in one call)."""
     from jax.experimental import multihost_utils
 
     # Per-host lengths differ; process_allgather needs equal shapes,
     # so exchange lengths, pad to the max, gather, and trim back.
-    lens = np.asarray(multihost_utils.process_allgather(
-        np.asarray(len(arrs[0]), np.int64))).ravel()
-    maxlen = int(lens.max())
+    lens_all = np.asarray(multihost_utils.process_allgather(
+        np.asarray([len(a) for a in arrs], np.int64)))
+    lens_all = lens_all.reshape(-1, len(arrs))     # [P, n_arrays]
     out = []
-    for a in arrs:
+    for i, a in enumerate(arrs):
+        lens = lens_all[:, i]
+        maxlen = int(lens.max())
         if len(a) < maxlen:
             pad = np.zeros((maxlen - len(a),) + a.shape[1:],
                            a.dtype)

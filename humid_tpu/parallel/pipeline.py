@@ -35,6 +35,20 @@ from ..io import skip_to_record
 from ..pipeline import _batch_words, peek_umi_size
 from .multihost import host_record_range
 
+#: auto-gate for the host-sharded cluster phase: size floor AND host
+#: floor.  The per-host WALK is measured at ~1/P of the replicated walk
+#: (BASELINE.md round 5), but the shared terms (components + ownership
+#: + cluster-row gather + seed-rank merge, all O(u+E+k)) rival the walk
+#: itself on this 4-core/gloo-localhost box, so every measurable config
+#: here LOSES (0.75 s vs 0.21 s at 1.79M uniques, 2 procs) and the
+#: auto gate requires a regime this box cannot reach: >=4 hosts over
+#: real DCN, where walk/P shrinks and the gather costs ~ms.  That gate
+#: is arithmetic, not measurement — the measured trend and the loss
+#: decomposition are in BASELINE.md; HUMID_TPU_CLUSTER_SHARDED=1/0
+#: overrides both ways.
+_SHARDED_CLUSTER_MIN_U = 1 << 22
+_SHARDED_CLUSTER_MIN_HOSTS = 4
+
 
 def _count_records_one(path: str) -> int:
     """Record count of one FastQ (any compression): line count // 4 (the
@@ -327,6 +341,7 @@ def _compute_sharded(
     neighbor_opts: dict | None = None,
     collect_spans: bool = False,
     collect_hdr: bool = False,
+    want_labels: bool = True,
 ):
     """Shared compute stage of the sharded pipeline.  Returns a dict with
     the global clustering plus this host's local arrays (for the output
@@ -464,10 +479,33 @@ def _compute_sharded(
         )
     _mark("neighbors")
     indptr, indices = pairs_to_csr(pa, pb, len(uniq))
-    from ..pipeline import cluster_dispatch
+    # Distributed cluster phase (VERDICT r4 #3): each host walks only
+    # the connected components it owns (salted hash of the component
+    # min node), and per-cluster rows + per-node seeds merge over DCN
+    # with the seed-rank renumber — ~1/P per-host clustering work
+    # instead of every host redundantly walking the full table.  The
+    # gather pays fixed DCN latency, so small tables (where the
+    # replicated walk costs milliseconds) keep the replicated path;
+    # HUMID_TPU_CLUSTER_SHARDED=1/0 forces.
+    env_sh = os.environ.get("HUMID_TPU_CLUSTER_SHARDED")
+    use_sharded_cl = (env_sh == "1" or (
+        env_sh != "0" and len(uniq) >= _SHARDED_CLUSTER_MIN_U
+        and n_proc >= _SHARDED_CLUSTER_MIN_HOSTS))
+    if use_sharded_cl and n_proc > 1 and (
+            all_gather is not None or jax.process_count() == n_proc):
+        from .cluster import cluster_sharded
+        from .multihost import default_all_gather
 
-    cl = cluster_dispatch(counts, indptr, indices, maximum=maximum,
-                          pairs=(pa, pb))
+        cl = cluster_sharded(
+            counts, indptr, indices, pa, pb, maximum=maximum,
+            shard=(p, n_proc), want_labels=want_labels,
+            all_gather=(all_gather if all_gather is not None
+                        else default_all_gather))
+    else:
+        from ..pipeline import cluster_dispatch
+
+        cl = cluster_dispatch(counts, indptr, indices, maximum=maximum,
+                              pairs=(pa, pb))
     _mark("cluster")
     from ..pipeline import _span_tables_from_accs
 
@@ -708,6 +746,10 @@ def run_distributed(
         neighbor_opts=neighbor_opts,
         collect_spans=write_dedup or write_annotated,
         collect_hdr=write_annotated,
+        # Per-node labels only feed the annotated writer; dedup-only
+        # runs skip their gather + merge (rep_reads/stats need only the
+        # per-cluster rows).
+        want_labels=write_annotated,
     )
     log.end(t)
     cl, counts, first_occ = st["cl"], st["counts"], st["first_occ"]
@@ -722,12 +764,16 @@ def run_distributed(
     else:
         rep_reads = np.zeros(0, np.int64)
 
-    # Local per-read cluster ids (0 = filtered, humid.cc:271-278).
+    # Local per-read cluster ids (0 = filtered, humid.cc:271-278) —
+    # only the annotated writer consumes them.
     filtered = st["filtered"]
-    cluster_of_local = np.zeros(hi - lo, np.int64)
-    if len(st["usable"]):
-        inv_local = global_unique_index(st["uniq"], st["usable"])
-        cluster_of_local[np.flatnonzero(~filtered)] = cl.labels[inv_local]
+    cluster_of_local = None
+    if write_annotated:
+        cluster_of_local = np.zeros(hi - lo, np.int64)
+        if len(st["usable"]):
+            inv_local = global_unique_index(st["uniq"], st["usable"])
+            cluster_of_local[np.flatnonzero(~filtered)] = \
+                cl.labels[inv_local]
 
     os.makedirs(dir_name, exist_ok=True)
     dedup_names = make_file_names(list(files), dir_name, "dedup")

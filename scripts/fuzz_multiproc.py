@@ -86,6 +86,12 @@ def run_one(seed: int) -> dict:
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         env.pop("XLA_FLAGS", None)
+        # Randomize the distributed-cluster route: forced sharded
+        # (owned-component walks + DCN merge) vs forced replicated —
+        # both must byte-match the single-host run.
+        cfg["cluster_sharded"] = bool(rng.integers(0, 2))
+        env["HUMID_TPU_CLUSTER_SHARDED"] = (
+            "1" if cfg["cluster_sharded"] else "0")
         procs = [subprocess.Popen(
             [sys.executable, "-m", "humid_tpu",
              "--coordinator", f"127.0.0.1:{port}",

@@ -19,3 +19,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# Distributed tests run on tiny tables that sit far below the sharded
+# cluster phase's size gate; force the sharded path so its correctness
+# (owned-component walks + DCN merge) is exercised everywhere.  The
+# replicated path keeps its own explicit test
+# (test_distributed_pipeline.test_replicated_cluster_path).
+os.environ.setdefault("HUMID_TPU_CLUSTER_SHARDED", "1")

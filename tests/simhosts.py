@@ -18,7 +18,7 @@ import numpy as np
 
 
 def make_sim_gather(files, total, n_hosts, *, word_length=24, distance=1,
-                    edit=False, neighbor_opts=None):
+                    edit=False, maximum=False, neighbor_opts=None):
     from humid_tpu.ops import find_neighbor_pairs
     from humid_tpu.ops.unique import unique_words
     from humid_tpu.parallel.multihost import (
@@ -55,6 +55,26 @@ def make_sim_gather(files, total, n_hosts, *, word_length=24, distance=1,
                 a0.dtype.kind == "f", \
                 f"unrecognized single-array gather: {a0.dtype} {a0.shape}"
             return [[a0] * n_hosts]
+        if len(arrs) == 5:
+            # Distributed cluster gather (parallel/cluster.py): every
+            # simulated host's owned-component contribution, recomputed
+            # over the same merged table + edge list each real host
+            # derives (the 2-array recursion below supplies the merged
+            # pair list).
+            from humid_tpu.ops import pairs_to_csr
+            from humid_tpu.parallel.cluster import cluster_sharded_local
+            from humid_tpu.parallel.multihost import merge_edge_lists
+
+            per = host_tables()
+            uniq_g, counts_g, _ = combine_unique_tables(*[
+                [t[slot] for t in per] for slot in range(3)])
+            z = np.zeros(0, np.int64)
+            pa, pb = merge_edge_lists(z, z, all_gather=all_gather)
+            indptr, indices = pairs_to_csr(pa, pb, len(uniq_g))
+            outs = [cluster_sharded_local(
+                counts_g, indptr, indices, pa, pb, maximum=maximum,
+                shard=(q, n_hosts)) for q in range(n_hosts)]
+            return [[o[slot] for o in outs] for slot in range(5)]
         per = host_tables()
         if len(arrs) == 3:
             return [[t[slot] for t in per] for slot in range(3)]

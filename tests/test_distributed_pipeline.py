@@ -21,7 +21,8 @@ def _simulated_hosts(files, n_hosts, **kw):
     total = count_records(files[0])
     per_host = []
     for h in range(n_hosts):
-        all_gather = make_sim_gather(files, total, n_hosts)
+        all_gather = make_sim_gather(
+            files, total, n_hosts, maximum=kw.get("maximum", False))
         cl, counts, first_occ, uniq = run_sharded(
             files, total_records=total, process_id=h,
             num_processes=n_hosts, all_gather=all_gather, **kw,
@@ -74,6 +75,7 @@ def _run_hosts_with_outputs(files, n_hosts, out_dir, **kw):
         files, total, n_hosts,
         word_length=kw.get("word_length", 24),
         distance=kw.get("distance", 1), edit=kw.get("edit", False),
+        maximum=kw.get("maximum", False),
         neighbor_opts=kw.get("neighbor_opts"))
 
     for p in range(n_hosts):
@@ -338,3 +340,18 @@ def test_engine_codes_follow_registry(monkeypatch):
     got = MH.broadcast_engine_choice(
         all_gather=lambda arrs: [[np.asarray(a)] * 2 for a in arrs])
     assert got == "zz_fake_engine"
+
+
+def test_replicated_cluster_path(tmp_path, monkeypatch):
+    """HUMID_TPU_CLUSTER_SHARDED=0 (or a small table without the env
+    force) keeps the replicated cluster walk — same outputs."""
+    monkeypatch.setenv("HUMID_TPU_CLUSTER_SHARDED", "0")
+    gen_dataset(np.random.default_rng(9), str(tmp_path), n_reads=500,
+                n_files=1, umi_style="none")
+    files = [str(tmp_path / "file0.fastq")]
+    ref = run(files, dir_name=str(tmp_path / "out"),
+              log_name=os.devnull, write_dedup=False)
+    results = _simulated_hosts(files, 3)
+    for cl, counts, first_occ, uniq in results:
+        np.testing.assert_array_equal(cl.labels, ref.labels)
+        assert cl.num_clusters == ref.clusters
