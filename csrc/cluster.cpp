@@ -149,27 +149,42 @@ int64_t cluster_parallel_impl(const int64_t* counts, const int64_t* indptr,
                               const int64_t* indices, int64_t u, bool maximum,
                               int64_t* labels, int64_t* max_leaf,
                               int64_t* max_count, int64_t* size_out) {
-  // 1. Connected components.
+  // 1. Connected components.  Prologue engineering (round-5: the
+  // serial prologue was the measured reason the parallel variant lost
+  // on few-core hosts): union each unordered edge ONCE (CSR holds both
+  // directions — skipping nb < node halves the find_root work), then
+  // resolve every node's root in PARALLEL with read-only walks (the
+  // union pass's path halving keeps chains short, and nothing mutates
+  // parent afterwards, so concurrent walks are race-free).
   std::vector<int64_t> parent(u);
   for (int64_t i = 0; i < u; ++i) parent[i] = i;
   for (int64_t node = 0; node < u; ++node) {
     for (int64_t e = indptr[node]; e < indptr[node + 1]; ++e) {
+      const int64_t nb = indices[e];
+      if (nb < node) continue;  // each undirected edge once
       int64_t a = find_root(parent, node);
-      int64_t b = find_root(parent, indices[e]);
+      int64_t b = find_root(parent, nb);
       if (a != b) parent[a < b ? b : a] = a < b ? a : b;
     }
   }
-  // Dense component ids in ascending-min-node order; nodes grouped by
-  // component with a counting sort (nodes within a component ascend).
+  std::vector<int64_t> roots(u);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < u; ++i) {
+    int64_t x = i;
+    while (parent[x] != x) x = parent[x];
+    roots[i] = x;
+  }
+  // Dense component ids in ascending-min-node order (union by min =>
+  // roots[i] <= i, equality iff root); nodes grouped by component with
+  // a counting sort (nodes within a component ascend).
   std::vector<int64_t> comp_of(u);
   std::vector<int64_t> comp_sz;
   for (int64_t i = 0; i < u; ++i) {
-    int64_t r = find_root(parent, i);
-    if (r == i) {
+    if (roots[i] == i) {
       comp_of[i] = static_cast<int64_t>(comp_sz.size());
       comp_sz.push_back(0);
     } else {
-      comp_of[i] = comp_of[r];
+      comp_of[i] = comp_of[roots[i]];
     }
     ++comp_sz[comp_of[i]];
   }

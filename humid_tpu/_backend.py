@@ -310,6 +310,14 @@ _NEIGHBOR_ENGINES = {
 #: (the mesh engines search their full local slice instead).
 _SHARDABLE_ENGINES = {"runs", "bucketed", "runs_device"}
 
+#: engines whose per-unique cost is ~flat in table size — the premise
+#: of routing on one calibrated constant.  pallas_ring is deliberately
+#: absent: its dense O(u^2) cost would extrapolate a small-probe win
+#: into a large-table disaster, so it is reached via the dense route's
+#: measured auto-upgrade (ops/neighbors.py) and explicit strategy, not
+#: the flat-constant pick.
+_LINEAR_ENGINES = {"runs", "bucketed", "runs_device", "sharded_bucketed"}
+
 
 def _noise_guarded(c: dict, ks: list[str]) -> dict:
     """Noise guard: on a host with 3-10x hypervisor steal, a single
@@ -372,7 +380,7 @@ def pick_neighbor_engine(shardable_only: bool = False) -> str:
     c = _noise_guarded(c, keys)
     host = float(c["neighbors_runs_ns"])
     dev_engines = {s: float(c[k]) for s, k in _NEIGHBOR_ENGINES.items()
-                   if s != "runs" and k in c
+                   if s != "runs" and k in c and s in _LINEAR_ENGINES
                    and not (shardable_only
                             and s not in _SHARDABLE_ENGINES)}
     best_dev = min(dev_engines, key=dev_engines.get)

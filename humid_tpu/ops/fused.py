@@ -49,14 +49,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# The feeder's in-place buffer updates donate their operand; backends
-# without donation support (the CPU backend tests run on) warn and copy
-# instead — functionally identical, so the warning is pure noise there.
-warnings.filterwarnings(
-    "ignore", message="Some donated buffers were not usable")
-
+from .._util import concat_aranges as _concat_aranges
 from .hamming import MASK_LO
 from .runs_device import _bitmap_positions, _quantize_n, segment_lane_masks
+
+
+class FusedCapacityExceeded(RuntimeError):
+    """The feeder's pre-run row estimate undershot and growing would
+    exceed the device budget — the pipeline falls back to the host
+    pass-1 path (re-reading the input) instead of OOMing mid-sort."""
+
+
+class _quiet_donation(warnings.catch_warnings):
+    """Scoped suppression of jax's donation warning around the feeder's
+    buffer updates ONLY: backends without donation support (the CPU
+    backend tests run on) warn and copy instead — functionally
+    identical, so the warning is pure noise there — while genuine
+    donation regressions elsewhere in the process keep warning.  (The
+    feeder runs on the main thread; catch_warnings' global-state swap
+    is safe there.)"""
+
+    def __enter__(self):
+        super().__enter__()
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable")
+        return self
 
 
 # ---------------------------------------------------------------------------
@@ -132,13 +149,23 @@ class DeviceFeeder:
     def _ensure_cap(self, need_rows: int) -> None:
         while self.n + need_rows > self.cap:
             add = self.cap  # double; quantized values stay quantized
-            self.buf = _grow_buf(self.buf, add=add, w=self.w)
+            if not fused_fits(self.cap + add, self.w):
+                # The pre-run row estimate undershot (e.g. an extreme
+                # compression ratio): growing past the HBM budget would
+                # OOM mid-sort.  Raise the typed signal so the caller
+                # can fall back to the host pass-1 path.
+                raise FusedCapacityExceeded(
+                    f"feeder would grow to {self.cap + add} rows, past "
+                    f"the device budget (estimate undershot)")
+            with _quiet_donation():
+                self.buf = _grow_buf(self.buf, add=add, w=self.w)
             self.cap += add
 
     def _flush(self, rows: int) -> None:
         chunk = self._take(rows)
         self._ensure_cap(rows)
-        self.buf = _update_buf(self.buf, chunk, jnp.int32(self.n))
+        with _quiet_donation():
+            self.buf = _update_buf(self.buf, chunk, jnp.int32(self.n))
         self.n += rows
 
     def finish(self):
@@ -355,14 +382,6 @@ def _fused_labels_jit(matches, orders, extra_a, extra_b, *, d_max: int,
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
-
-def _concat_aranges(lens: np.ndarray) -> np.ndarray:
-    """[0..lens[0]), [0..lens[1]), ... concatenated (vectorized)."""
-    total = int(lens.sum())
-    offs = np.repeat(
-        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
-    return np.arange(total, dtype=np.int64) - offs
-
 
 def fused_fits(n_rows: int, w: int) -> bool:
     """Conservative HBM budget check for the fused route: the read sort

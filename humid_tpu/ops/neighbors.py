@@ -810,12 +810,20 @@ def find_neighbor_pairs(
         # build, matmuls, and extraction run in one kernel with HBM
         # comm slots, and on a 1-device mesh the RDMA is skipped.
         # Explicit impl (mxu/xor/pallas) or a host shard keeps the XLA
-        # tile path.
-        _note_stat("impl", "pallas_ring")
+        # tile path; so do blocks past the ring's HBM sanity cap or
+        # rows whose match counts outgrow its VMEM top-K accumulator
+        # (RingLimitExceeded) — the XLA tiles below handle both.
         from ..parallel import sharded_neighbor_pairs_pallas_ring
+        from ..parallel.pallas_ring import RingLimitExceeded, ring_fits
 
-        return sharded_neighbor_pairs_pallas_ring(
-            packed, max_dist, word_length=word_length, cap_row=cap_row)
+        if ring_fits(u):
+            _note_stat("impl", "pallas_ring")
+            try:
+                return sharded_neighbor_pairs_pallas_ring(
+                    packed, max_dist, word_length=word_length,
+                    cap_row=cap_row)
+            except RingLimitExceeded:
+                _note_stat("impl", "mxu_ring_fallback")
 
     metric, tile = _resolve_metric(metric, impl, word_length, tile)
     data_host: np.ndarray = packed

@@ -110,10 +110,11 @@ def _local_subgraph(counts, indptr, indices, pa, pb, *, maximum, shard):
     indptr2 = np.concatenate([[0], np.cumsum(deg_o)]).astype(np.int64)
     tot = int(indptr2[-1])
     if tot:
+        from .._util import concat_aranges
+
         offs = np.repeat(indptr[owned_nodes], deg_o)
-        within = np.arange(tot, dtype=np.int64) - np.repeat(
-            indptr2[:-1], deg_o)
-        indices2 = np.searchsorted(owned_nodes, indices[offs + within])
+        indices2 = np.searchsorted(
+            owned_nodes, indices[offs + concat_aranges(deg_o)])
     else:
         indices2 = z
     cl = cluster_exact(counts[owned_nodes], indptr2, indices2,

@@ -238,10 +238,9 @@ def _bucketed_pairs(packed, ids, pairs, urows, max_dist, *, tile: int,
 def _expand_runs(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Concatenate [start, start+len) ranges into one index vector —
     shared ragged-gather helper of both mesh drivers."""
-    tot = int(lens.sum())
-    cum = np.cumsum(lens)
-    within = np.arange(tot, dtype=np.int64) - np.repeat(cum - lens, lens)
-    return np.repeat(starts, lens) + within
+    from .._util import concat_aranges
+
+    return np.repeat(starts, lens) + concat_aranges(lens)
 
 
 def _snake_assign(weights: np.ndarray, d: int):

@@ -304,6 +304,28 @@ _RING_CHUNK = 2048
 #: compute-hopeless long before it).
 _RING_MAX_BLOCK = 1 << 22
 
+#: cap_row ceiling: the VMEM top-K accumulator is (cap_row, chunk) and
+#: the per-chunk merge unrolls cap_row selects, so the overflow-retry
+#: ladder must not grow it unboundedly (the pre-round block cap used to
+#: bound it implicitly).  Rows with more matches than this raise
+#: RingLimitExceeded and the caller falls back to the XLA tile scan.
+_RING_MAX_CAP_ROW = 128
+
+
+class RingLimitExceeded(ValueError):
+    """The table exceeds the ring kernel's block or cap_row bounds —
+    callers fall back to the XLA dense tile scan."""
+
+
+def ring_fits(u: int, d: int | None = None) -> bool:
+    """Would the per-shard block fit the ring kernel's HBM sanity cap?"""
+    if d is None:
+        d = (data_mesh().devices.size
+             if jax.default_backend() == "tpu" else 1)
+    from ..ops.runs_device import _quantize_n
+
+    return _quantize_n(max(-(-u // max(d, 1)), 1)) <= _RING_MAX_BLOCK
+
 
 def sharded_neighbor_pairs_pallas_ring(
     packed: np.ndarray,
@@ -346,10 +368,11 @@ def sharded_neighbor_pairs_pallas_ring(
     if b > bc0:
         b = _round_up(b, bc0)
     if b > (block_cap or _RING_MAX_BLOCK):
-        raise ValueError(
+        raise RingLimitExceeded(
             f"per-shard block {b} exceeds block_cap "
             f"{block_cap or _RING_MAX_BLOCK}; shard the table first")
     bc = min(b, bc0)
+    cap_row = min(cap_row, _RING_MAX_CAP_ROW)
     bm = min(512, bc)
     while bc % bm:  # bc is a multiple of 128, not always of 512
         bm //= 2
@@ -385,7 +408,15 @@ def sharded_neighbor_pairs_pallas_ring(
         counts_h, topv_h = jax.device_get((counts, topv))
         row_max = int(counts_h.max(initial=0))
         if row_max > cap_row:
-            cap_row = min(1 << (row_max - 1).bit_length(), b)
+            if row_max > _RING_MAX_CAP_ROW:
+                # The (cap_row, chunk) VMEM accumulator and the
+                # cap_row-unrolled merge must stay bounded; rows this
+                # dense belong to the XLA tile scan.
+                raise RingLimitExceeded(
+                    f"row match count {row_max} exceeds the ring "
+                    f"kernel's cap_row ceiling {_RING_MAX_CAP_ROW}")
+            cap_row = min(1 << (row_max - 1).bit_length(),
+                          _RING_MAX_CAP_ROW)
             continue
         break
 
@@ -404,9 +435,9 @@ def sharded_neighbor_pairs_pallas_ring(
             # cnt[r] topv slots (one repeat + within-row iota instead of
             # a Python loop allocating per-row arrays).
             k = cnt[rows].astype(np.int64)
-            cum = np.cumsum(k)
-            within = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
-                cum - k, k)
+            from .._util import concat_aranges
+
+            within = concat_aranges(k)
             r_rep = np.repeat(rows, k)
             cols = topv_h[me, s, within, r_rep]
             ga = me * b + r_rep.astype(np.int64)

@@ -102,14 +102,19 @@ def _batch_words(batches, nt_to_take, header_umi_size):
 
 
 def _input_bytes_estimate(files) -> int:
-    """Approximate in-memory size of the parsed inputs (gz assumed ~4x)."""
+    """Approximate in-memory size of the parsed inputs (gz assumed ~4x).
+    Gzip is detected by CONTENT (magic bytes), matching the reader's
+    sniffing — a gzipped file without the .gz suffix must not be
+    underestimated 4x (the fused feeder sizes its device buffer from
+    this)."""
     total = 0
     for f in files:
         try:
             sz = os.path.getsize(f)
+            gz = _is_gzip_file(f)
         except OSError:
             return 1 << 62
-        total += sz * 4 if f.endswith(".gz") else sz
+        total += sz * 4 if gz else sz
     return total
 
 
@@ -517,7 +522,8 @@ def run(
     if (not edit and distance >= 1 and not neighbor_opts
             and not os.environ.get("HUMID_TPU_STRATEGY")
             and not os.environ.get("HUMID_TPU_IMPL")
-            and not os.environ.get("HUMID_TPU_UNIQUE")):
+            and not os.environ.get("HUMID_TPU_UNIQUE")
+            and os.environ.get("HUMID_TPU_OVERLAP_UNIQUE") != "1"):
         from ._backend import use_fused_pipeline
 
         if use_fused_pipeline():
@@ -540,9 +546,25 @@ def run(
                   and os.environ.get("HUMID_TPU_OVERLAP_UNIQUE") == "1")
     t = log.start("Reading data")
     if feeder is not None:
-        _, filtered = _pass1(files, nt_to_take, header_umi_size,
-                             batch_records, cache, span_accs=span_accs,
-                             feeder=feeder)
+        from .ops.fused import FusedCapacityExceeded
+
+        try:
+            _, filtered = _pass1(files, nt_to_take, header_umi_size,
+                                 batch_records, cache,
+                                 span_accs=span_accs, feeder=feeder)
+        except FusedCapacityExceeded:
+            # The pre-run row estimate undershot (extreme compression
+            # ratio): drop the fused route and re-read through the
+            # host path with FRESH accumulators (the partial cache and
+            # span tables saw only a prefix of the input).
+            feeder = None
+            if cache is not None:
+                cache.clear()
+            if span_accs is not None:
+                span_accs = [_span_acc_new(a["budget"],
+                                           a["hdr_parts"] is not None)
+                             for a in span_accs]
+    if feeder is not None:
         res.total = int(len(filtered))
         res.usable = int((~filtered).sum())
         log.end(t)

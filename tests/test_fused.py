@@ -345,3 +345,72 @@ def test_feeder_positions_and_growth():
     assert feeder.n == n
     assert np.array_equal(buf[:n], packed)
     assert np.all(buf[n:] == 0xFFFFFFFF)  # tail rows sort last
+
+
+def test_fused_capacity_fallback(tmp_path, monkeypatch):
+    """A feeder growth past the device budget (pre-run estimate
+    undershot) falls back to the host pass-1 path mid-run and still
+    produces byte-identical outputs (review r5 fix)."""
+    import functools
+
+    from humid_tpu import pipeline as P
+    from humid_tpu.ops import fused as F
+    from humid_tpu.pipeline import run
+
+    gen_dataset(np.random.default_rng(55), str(tmp_path), n_reads=3000,
+                n_files=1, umi_style="none")
+    files = [str(tmp_path / "file0.fastq")]
+    ref_dir = tmp_path / "ref"
+    run(files, dir_name=str(ref_dir), log_name=os.devnull,
+        write_dedup=True, write_annotated=True, run_stats=True)
+
+    monkeypatch.setenv("HUMID_TPU_FUSED", "1")
+    # Tiny initial estimate + chunk, and a budget that refuses growth:
+    # pass 1 starts fused, trips FusedCapacityExceeded, and re-reads.
+    monkeypatch.setattr(P, "_input_bytes_estimate", lambda files: 1)
+    monkeypatch.setattr(
+        F, "DeviceFeeder",
+        functools.partial(F.DeviceFeeder, chunk_rows=256))
+    monkeypatch.setattr(F, "fused_fits", lambda rows, w: rows <= 1024)
+    fb_dir = tmp_path / "fb"
+    res = run(files, dir_name=str(fb_dir), log_name=os.devnull,
+              write_dedup=True, write_annotated=True, run_stats=True)
+    assert res.extra["engine"]["strategy"] != "fused"
+    for f in sorted(os.listdir(ref_dir)):
+        assert (ref_dir / f).read_bytes() == (fb_dir / f).read_bytes(), f
+
+
+def test_overlap_unique_optin_excludes_fused(tmp_path, monkeypatch):
+    """HUMID_TPU_OVERLAP_UNIQUE=1 is an explicit unique-engine opt-in:
+    it keeps the overlapped host path even when the fused route is
+    forced on (review r5 fix)."""
+    from humid_tpu.pipeline import run
+
+    gen_dataset(np.random.default_rng(56), str(tmp_path), n_reads=500,
+                n_files=1, umi_style="none")
+    files = [str(tmp_path / "file0.fastq")]
+    monkeypatch.setenv("HUMID_TPU_FUSED", "1")
+    monkeypatch.setenv("HUMID_TPU_OVERLAP_UNIQUE", "1")
+    res = run(files, dir_name=str(tmp_path / "out"),
+              log_name=os.devnull, write_dedup=False)
+    assert res.extra["engine"]["strategy"] != "fused"
+    assert any(k.startswith("unique counting (overlapped)")
+               for k, _ in [(k, v) for k, v in
+                            res.extra["timings"].items()])
+
+
+def test_input_bytes_estimate_sniffs_gzip(tmp_path):
+    """Gzip detection is by content, not suffix — a renamed gz file
+    still gets the 4x in-memory scaling (review r5 fix)."""
+    import gzip as _gzip
+
+    from humid_tpu.pipeline import _input_bytes_estimate
+
+    plain = tmp_path / "x.fastq"
+    plain.write_bytes(b"@r\nACGT\n+\nIIII\n" * 1000)
+    gz_noext = tmp_path / "y.fastq"  # gzip content, plain suffix
+    with _gzip.open(gz_noext, "wb") as f:
+        f.write(b"@r\nACGT\n+\nIIII\n" * 1000)
+    sz = os.path.getsize(gz_noext)
+    assert _input_bytes_estimate([str(gz_noext)]) == 4 * sz
+    assert _input_bytes_estimate([str(plain)]) == os.path.getsize(plain)

@@ -433,3 +433,41 @@ def test_pallas_rdma_ring_block_beyond_old_cap():
                                  word_length=24, impl="xor")
     np.testing.assert_array_equal(a1, a2)
     np.testing.assert_array_equal(b1, b2)
+
+
+def test_pallas_ring_cap_row_ceiling():
+    """A row with more matches than the ring's VMEM top-K ceiling
+    raises RingLimitExceeded (the caller falls back to XLA tiles)
+    instead of growing the unrolled merge unboundedly (review r5)."""
+    from humid_tpu.parallel.pallas_ring import (
+        RingLimitExceeded, sharded_neighbor_pairs_pallas_ring)
+
+    rng = np.random.default_rng(90)
+    base = rng.integers(0, 4, 24).astype(np.uint8)
+    codes = np.tile(base, (1500, 1))
+    # Hundreds of distinct double-substitution neighbours of one base
+    # word (single subs max out at 72): at m=2 the base row's match
+    # count far exceeds _RING_MAX_CAP_ROW.
+    p1 = rng.integers(0, 12, 1499)
+    p2 = rng.integers(12, 24, 1499)
+    rows = np.arange(1, 1500)
+    codes[rows, p1] = (base[p1] + 1 + rng.integers(0, 3, 1499)) % 4
+    codes[rows, p2] = (base[p2] + 1 + rng.integers(0, 3, 1499)) % 4
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    with pytest.raises(RingLimitExceeded):
+        sharded_neighbor_pairs_pallas_ring(
+            uniq, 2, word_length=24, mesh=data_mesh(1), cap_row=4)
+
+
+def test_pallas_ring_block_limit_typed():
+    """The block sanity cap raises the typed RingLimitExceeded (a
+    ValueError subclass, so the old block_cap contract holds)."""
+    from humid_tpu.parallel.pallas_ring import (
+        RingLimitExceeded, sharded_neighbor_pairs_pallas_ring)
+
+    rng = np.random.default_rng(91)
+    codes = rng.integers(0, 4, size=(3000, 24)).astype(np.uint8)
+    uniq, _, _, _ = unique_words(W.pack_words(codes))
+    with pytest.raises(RingLimitExceeded):
+        sharded_neighbor_pairs_pallas_ring(
+            uniq, 1, word_length=24, mesh=data_mesh(1), block_cap=1024)
