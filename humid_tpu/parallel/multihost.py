@@ -44,6 +44,37 @@ def init_distributed(coordinator: str | None = None,
         )
     except RuntimeError:
         pass  # already initialized
+    # Force backend init NOW, while every host sits at the same early
+    # point: the local-topology exchange otherwise happens lazily at
+    # each host's FIRST jax op, and hosts reach that at wildly
+    # different times when pre-jax host work is range-proportional
+    # (measured: a 100M-read gz input's range spill put host 1 >10 min
+    # behind host 0's first jax op — past the 2-minute topology
+    # exchange timeout, killing the job at backend init).
+    jax.local_devices()
+
+
+def coordination_barrier(name: str, timeout_s: float = 7200.0) -> None:
+    """Block until EVERY process reaches this barrier, via the
+    jax.distributed coordination service (NOT a gloo collective).
+
+    Needed where per-host pre-collective work is legitimately skewed by
+    many minutes — e.g. the gzip range spill, where the last host
+    inflates the whole stream while host 0 stops at its range end.
+    The first gloo collective's context initialization has a hard ~30 s
+    key-value timeout, so a skewed arrival kills the job (measured at
+    100M-read gz scale); this barrier absorbs the skew with an
+    hour-scale timeout first.  No-op without a coordination client
+    (single process / injected-gather tests)."""
+    try:
+        from jax._src import distributed as _dist
+
+        client = getattr(_dist.global_state, "client", None)
+    except Exception:  # pragma: no cover - private API moved
+        client = None
+    if client is None:
+        return
+    client.wait_at_barrier(f"humid_tpu:{name}", int(timeout_s * 1000))
 
 
 def host_record_range(total_records: int, process_id: int | None = None,

@@ -376,6 +376,15 @@ def _compute_sharded(
         # output pass then run range-proportionally on the spill.
         files_local, start_offsets, spill_dir = spill_gz_ranges(
             files, lo, hi)
+        if jax.process_count() == n_proc:
+            # Spill durations are range-proportional (the LAST host
+            # inflates the whole stream), so hosts leave this point
+            # minutes apart at WGS scale — past the ~30 s gloo context
+            # init timeout of the first DCN gather.  Absorb the skew
+            # on the coordination service, which tolerates hours.
+            from .multihost import coordination_barrier
+
+            coordination_barrier("gz_spill")
     elif tables is not None and lo > 0:
         offs = [_offset_from_table(f, lo, t)
                 for f, t in zip(files, tables)]
