@@ -79,10 +79,22 @@ def main() -> int:
         # setting and a complete alternate unique-counting
         # implementation — fuzz it too.
         overlap = bool(rng.integers(0, 3) == 0)
+        # Fused device-resident pipeline dimension (round 5): the whole
+        # unique->neighbours(->labels) stretch through ops/fused.py.
+        # Excluded by the same phase-override rules as production
+        # routing (strategy / overlap opt-ins win), and -e runs ignore
+        # it by construction.
+        fused = (bool(rng.integers(0, 3) == 0) and strategy is None
+                 and not overlap)
         env_backup = {k: os.environ.get(k)
                       for k in ("HUMID_TPU_SPAN_CACHE",
                                 "HUMID_TPU_STRATEGY",
-                                "HUMID_TPU_OVERLAP_UNIQUE")}
+                                "HUMID_TPU_OVERLAP_UNIQUE",
+                                "HUMID_TPU_FUSED")}
+        if fused:
+            os.environ["HUMID_TPU_FUSED"] = "1"
+        else:
+            os.environ.pop("HUMID_TPU_FUSED", None)
         if span:
             os.environ["HUMID_TPU_SPAN_CACHE"] = "1"
         else:
@@ -101,8 +113,8 @@ def main() -> int:
             status = "ok"
         except Exception:
             failures.append((seed, dict(cfg, strategy=strategy,
-                                        overlap=overlap), span,
-                             traceback.format_exc()))
+                                        overlap=overlap, fused=fused),
+                             span, traceback.format_exc()))
             status = "FAIL"
         finally:
             for k, v in env_backup.items():
