@@ -52,6 +52,14 @@ def init_distributed(coordinator: str | None = None,
     # behind host 0's first jax op — past the 2-minute topology
     # exchange timeout, killing the job at backend init).
     jax.local_devices()
+    # Establish the gloo context with one tiny warm-up gather too: the
+    # FIRST collective's context initialization has a hard ~30 s
+    # key-value timeout, while collectives on an established context
+    # tolerate arbitrary host skew (verified by a 45 s-skew repro).
+    # WGS-scale runs legitimately skew hosts by minutes (gz inflates,
+    # cold page caches), so the context must exist before any of that.
+    if jax.process_count() > 1:
+        default_all_gather([np.zeros(1, np.int64)])
 
 
 def coordination_barrier(name: str, timeout_s: float = 7200.0) -> None:
