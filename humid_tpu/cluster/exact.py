@@ -52,14 +52,18 @@ class ClusterResult:
         return len(self.size)
 
 
-#: auto-selection gate for the component-parallel native variant.  Its
-#: serial union-find + grouping prologue costs ~3 extra O(u+E) sweeps,
-#: so it only wins when many cores amortize the per-component phase:
-#: measured on the 4-core dev host it LOSES (87 vs 48 ns/unique at 2.9M
-#: uniques — BASELINE.md round-4), so auto requires a genuinely
-#: many-core host on top of a size floor.  Explicit ``parallel=True``
-#: (or HUMID_TPU_CLUSTER=parallel) always honors the caller.
-_PARALLEL_MIN_U = 1 << 17
+#: auto-selection gate for the component-parallel native variant.
+#: Round-5 re-measurement (BASELINE.md, OMP_NUM_THREADS=1/2/4 trend at
+#: 2.9M AND 18M uniques, prologue already shrunk: one union per
+#: unordered edge + parallel root resolution) REFUTED the round-4
+#: ">=16 cores" extrapolation: the variant's fixed term GROWS with
+#: table size (375 ns/u at T=1/18M vs 88 sequential) because the
+#: component-grouped traversal replaces the sequential walk's linear
+#: streaming with cache-hostile per-component jumps — a cost no core
+#: count removes on this memory system.  Auto therefore stays
+#: sequential everywhere; ``parallel=True`` / HUMID_TPU_CLUSTER=
+#: parallel remain for machines whose own measurement disagrees.
+_PARALLEL_MIN_U = 1 << 62       # auto: never (measured; see above)
 _PARALLEL_MIN_CORES = 16
 
 
