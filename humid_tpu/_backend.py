@@ -376,7 +376,11 @@ def pick_neighbor_engine(shardable_only: bool = False) -> str:
                                 "neighbors_bucketed_ns",
                                 "neighbors_runs_device_ns")):
         c = engine_constants(refresh=True)  # stale cache: re-measure
-    keys = [k for k in _NEIGHBOR_ENGINES.values() if k in c]
+    # Noise-guard margins compare only the PICKABLE (linear) engines:
+    # the ring's dense-scale constant would fake a clear winner and
+    # suppress the refresh the guard exists for.
+    keys = [k for s, k in _NEIGHBOR_ENGINES.items()
+            if k in c and s in _LINEAR_ENGINES]
     c = _noise_guarded(c, keys)
     host = float(c["neighbors_runs_ns"])
     dev_engines = {s: float(c[k]) for s, k in _NEIGHBOR_ENGINES.items()
@@ -448,8 +452,11 @@ def use_fused_pipeline() -> bool:
     ratio = float(c["probe_u"]) / max(float(c["probe_n"]), 1.0)
     best_unique = min(float(c["unique_host_ns"]),
                       float(c.get("unique_device_ns", float("inf"))))
-    best_nb = min(float(c[k]) for k in _NEIGHBOR_ENGINES.values()
-                  if k in c)
+    # The phase-wise alternative can only be an engine the router can
+    # actually PICK for production tables (linear-constant engines) —
+    # the ring's small-probe dense constant must not set the bar.
+    best_nb = min(float(c[k]) for s, k in _NEIGHBOR_ENGINES.items()
+                  if k in c and s in _LINEAR_ENGINES)
     alt = best_unique + best_nb * ratio
     return float(c["pipeline_fused_ns"]) < 0.9 * alt
 

@@ -63,8 +63,7 @@ class ClusterResult:
 #: count removes on this memory system.  Auto therefore stays
 #: sequential everywhere; ``parallel=True`` / HUMID_TPU_CLUSTER=
 #: parallel remain for machines whose own measurement disagrees.
-_PARALLEL_MIN_U = 1 << 62       # auto: never (measured; see above)
-_PARALLEL_MIN_CORES = 16
+_PARALLEL_AUTO = False          # auto: never (measured; see above)
 
 
 def cluster_exact(
@@ -79,10 +78,12 @@ def cluster_exact(
     """Cluster unique words given exact-duplicate ``counts`` and CSR
     adjacency (ascending neighbour lists).
 
-    ``parallel=None`` auto-selects the component-parallel native variant
-    (bit-identical; clusters in distinct connected components cannot
-    interact, so they run concurrently and renumber by seed rank —
-    VERDICT r3 #8) above ``_PARALLEL_MIN_U`` nodes."""
+    ``parallel=None`` follows ``_PARALLEL_AUTO`` (measured: sequential
+    everywhere on this class of machine — see the gate comment above);
+    ``parallel=True`` / HUMID_TPU_CLUSTER=parallel force the
+    component-parallel native variant (bit-identical; clusters in
+    distinct connected components cannot interact, so they run
+    concurrently and renumber by seed rank — VERDICT r3 #8)."""
     counts = np.ascontiguousarray(counts, dtype=np.int64)
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int64)
@@ -96,9 +97,7 @@ def cluster_exact(
             elif env in ("seq", "sequential"):
                 parallel = False
             else:
-                parallel = (len(counts) >= _PARALLEL_MIN_U
-                            and (os.cpu_count() or 1)
-                            >= _PARALLEL_MIN_CORES)
+                parallel = _PARALLEL_AUTO
         labels, max_leaf, max_count, size = _native.cluster(
             counts, indptr, indices, bool(maximum), parallel=parallel
         )

@@ -723,9 +723,22 @@ def find_neighbor_pairs(
         if word_length is None:
             raise ValueError("pallas_ring strategy requires word_length")
         from ..parallel import sharded_neighbor_pairs_pallas_ring
+        from ..parallel.pallas_ring import RingLimitExceeded
 
-        return sharded_neighbor_pairs_pallas_ring(
-            packed, max_dist, word_length=word_length, cap_row=cap_row)
+        try:
+            return sharded_neighbor_pairs_pallas_ring(
+                packed, max_dist, word_length=word_length,
+                cap_row=cap_row)
+        except RingLimitExceeded:
+            # Block or per-row match counts beyond the kernel's bounds:
+            # complete via the XLA tile scan rather than fail a forced
+            # route (impl pinned so the dense path cannot re-upgrade
+            # back to the ring).
+            _note_stat("impl", "mxu_ring_fallback")
+            return find_neighbor_pairs(
+                packed, max_dist, metric="hamming", strategy="dense",
+                impl="mxu", word_length=word_length, tile=tile,
+                cap_row=cap_row, cap_total=cap_total)
     if strategy in ("sharded", "sharded_bucketed"):
         if metric == "edit":
             # Unshifted pigeonhole buckets do not bound edit distance,
@@ -766,10 +779,19 @@ def find_neighbor_pairs(
             if word_length is None:
                 raise ValueError("pallas_ring impl requires word_length")
             from ..parallel import sharded_neighbor_pairs_pallas_ring
+            from ..parallel.pallas_ring import RingLimitExceeded
 
-            return sharded_neighbor_pairs_pallas_ring(
-                packed, max_dist, word_length=word_length,
-                cap_row=cap_row)
+            try:
+                return sharded_neighbor_pairs_pallas_ring(
+                    packed, max_dist, word_length=word_length,
+                    cap_row=cap_row)
+            except RingLimitExceeded:
+                _note_stat("impl", "mxu_ring_fallback")
+                return find_neighbor_pairs(
+                    packed, max_dist, metric="hamming",
+                    strategy="dense", impl="mxu",
+                    word_length=word_length, tile=tile,
+                    cap_row=cap_row, cap_total=cap_total)
         # "sharded" auto-upgrades to the pigeonhole-bucketed mesh search
         # when it applies (subquadratic per-chip work); the dense ring
         # remains for distance 0 / unknown word length / explicit choice.

@@ -396,6 +396,12 @@ def _pass1(files, nt_to_take, header_umi_size, batch_records,
                 _drain(inflight.popleft())
         while inflight:
             _drain(inflight.popleft())
+    if feeder is not None:
+        # Flush the staged remainder HERE, not at first device use:
+        # the final flush can also trip FusedCapacityExceeded (estimate
+        # undershot surfacing only at the tail), and the caller's
+        # host-path fallback wraps THIS call.
+        feeder.finish()
     if not filt_parts:
         wl = header_umi_size + sum(nt_to_take)
         return (None if feeder is not None
@@ -517,13 +523,24 @@ def run(
     # exists.  Phase-level env overrides (strategy/impl/unique) pin
     # their phase to a specific engine and therefore exclude the fused
     # route; HUMID_TPU_FUSED=1/0 forces it outright (_backend).
+    # Overlapped unique counting sorts key runs on the packing pool
+    # while the reader streams, leaving only a k-way merge after EOF.
+    # It wins when cores outnumber the I/O pipeline (production hosts);
+    # on small hosts the extra key materialization contends with
+    # framing, so it is opt-in (HUMID_TPU_OVERLAP_UNIQUE=1).
+    overlapped = (W.num_lanes(wl) <= 2 and _merge_unique_runs is not None
+                  and _encode_pack is not None
+                  and os.environ.get("HUMID_TPU_OVERLAP_UNIQUE") == "1")
     feeder = None
     fused_fp = None
-    if (not edit and distance >= 1 and not neighbor_opts
+    if (not edit and distance >= 1 and not neighbor_opts and not overlapped
             and not os.environ.get("HUMID_TPU_STRATEGY")
             and not os.environ.get("HUMID_TPU_IMPL")
-            and not os.environ.get("HUMID_TPU_UNIQUE")
-            and os.environ.get("HUMID_TPU_OVERLAP_UNIQUE") != "1"):
+            and not os.environ.get("HUMID_TPU_UNIQUE")):
+        # ``not overlapped`` (the EFFECTIVE predicate, not the raw env
+        # var): an OVERLAP_UNIQUE=1 opt-in that cannot engage (wide
+        # words, missing extension) must not also forfeit the fused
+        # route.
         from ._backend import use_fused_pipeline
 
         if use_fused_pipeline():
@@ -536,14 +553,6 @@ def run(
             n_est = max(_input_bytes_estimate(files) // 200, 1 << 10)
             if fused_fits(n_est, W.num_lanes(wl)):
                 feeder = DeviceFeeder(W.num_lanes(wl), n_est)
-    # Overlapped unique counting sorts key runs on the packing pool
-    # while the reader streams, leaving only a k-way merge after EOF.
-    # It wins when cores outnumber the I/O pipeline (production hosts);
-    # on small hosts the extra key materialization contends with
-    # framing, so it is opt-in (HUMID_TPU_OVERLAP_UNIQUE=1).
-    overlapped = (W.num_lanes(wl) <= 2 and _merge_unique_runs is not None
-                  and _encode_pack is not None
-                  and os.environ.get("HUMID_TPU_OVERLAP_UNIQUE") == "1")
     t = log.start("Reading data")
     if feeder is not None:
         from .ops.fused import FusedCapacityExceeded
