@@ -329,6 +329,17 @@ def cluster_dispatch(counts, indptr, indices, *, maximum: bool,
                                              len(counts))
             return cluster_max_from_components(counts, indptr, indices,
                                                cc)
+    if (not maximum and pairs is not None
+            and os.environ.get("HUMID_TPU_CLUSTER") == "device"):
+        # Off-by-default device formulation of DIRECTIONAL clustering
+        # (SURVEY §7 step 5): per-component rounds of masked climbs +
+        # descent spreads, bit-exact vs the host walk (validated by
+        # fuzz).  The host walk stays the measured default
+        # (docs/design.md §4 round-5 analysis).
+        from .cluster.directional_device import (
+            cluster_directional_device)
+
+        return cluster_directional_device(counts, pairs[0], pairs[1])
     return cluster_exact(counts, indptr, indices, maximum=maximum)
 
 

@@ -337,3 +337,95 @@ def test_cluster_sharded_matches_exact():
                 owned_cat = np.sort(np.concatenate(
                     [o[0] for o in outs]))
                 np.testing.assert_array_equal(owned_cat, np.arange(u))
+
+
+def _random_pair_graph(rng, u, e_factor=2.0, count_hi=50):
+    n_edges = int(u * e_factor)
+    if n_edges:
+        a = rng.integers(0, u, n_edges)
+        b = rng.integers(0, u, n_edges)
+        keep = a != b
+        pa = np.minimum(a, b)[keep].astype(np.int64)
+        pb = np.maximum(a, b)[keep].astype(np.int64)
+        from humid_tpu.ops.neighbors import _dedupe_pairs
+
+        pa, pb = _dedupe_pairs(pa, pb)
+    else:
+        pa = pb = np.zeros(0, np.int64)
+    counts = rng.integers(1, count_hi, u).astype(np.int64)
+    return counts, pa, pb
+
+
+def test_directional_device_matches_exact():
+    """The device formulation of DIRECTIONAL clustering (SURVEY §7
+    step 5, round-5 prototype): per-component rounds of masked
+    hill-climbs + descent spreads equal the host walk bit-exactly —
+    random graphs, TIE-HEAVY graphs (counts from {1,2,4} maximize
+    ambiguous >=2x frontiers), deep doubling chains, and the
+    reference's own 2-4-8-10-3 chain."""
+    from humid_tpu.cluster.directional_device import (
+        cluster_directional_device)
+    from humid_tpu.cluster.exact import cluster_exact
+    from humid_tpu.ops import pairs_to_csr
+
+    rng = np.random.default_rng(77)
+
+    def check(counts, pa, pb):
+        indptr, indices = pairs_to_csr(pa, pb, len(counts))
+        ref = cluster_exact(counts, indptr, indices, maximum=False)
+        got = cluster_directional_device(counts, pa, pb)
+        np.testing.assert_array_equal(got.labels, ref.labels)
+        np.testing.assert_array_equal(got.max_leaf, ref.max_leaf)
+        np.testing.assert_array_equal(got.max_count, ref.max_count)
+        np.testing.assert_array_equal(got.size, ref.size)
+
+    # Reference chain (tests/test_cluster.cc:73-137 semantics): counts
+    # 2-4-8-10-3 in a path; splits into {2,4,8} maxLeaf=8 and {10,3}.
+    counts = np.array([2, 4, 8, 10, 3], np.int64)
+    pa = np.array([0, 1, 2, 3], np.int64)
+    pb = np.array([1, 2, 3, 4], np.int64)
+    check(counts, pa, pb)
+
+    # Deep doubling chain: one component, many sequential clusters.
+    u = 40
+    counts = (1 << (np.arange(u, dtype=np.int64) % 20))
+    pa = np.arange(u - 1, dtype=np.int64)
+    pb = pa + 1
+    check(counts, pa, pb)
+
+    for trial in range(8):
+        u = int(rng.integers(2, 500))
+        counts, pa, pb = _random_pair_graph(
+            rng, u, e_factor=float(rng.uniform(0, 4)))
+        check(counts, pa, pb)
+    # Tie-heavy: tiny count alphabet, dense-ish graphs.
+    for trial in range(8):
+        u = int(rng.integers(2, 400))
+        counts, pa, pb = _random_pair_graph(rng, u, e_factor=3.0, count_hi=5)
+        counts = np.choose(counts % 3, [1, 2, 4]).astype(np.int64)
+        check(counts, pa, pb)
+    # Edgeless + empty.
+    check(np.array([3, 1, 2], np.int64), np.zeros(0, np.int64),
+          np.zeros(0, np.int64))
+    got = cluster_directional_device(np.zeros(0, np.int64),
+                                     np.zeros(0, np.int64),
+                                     np.zeros(0, np.int64))
+    assert got.num_clusters == 0
+
+
+def test_directional_device_dispatch_route(monkeypatch):
+    """HUMID_TPU_CLUSTER=device routes directional clustering through
+    the device formulation in cluster_dispatch."""
+    from humid_tpu import pipeline as P
+    from humid_tpu.cluster.exact import cluster_exact
+    from humid_tpu.ops import pairs_to_csr
+
+    rng = np.random.default_rng(79)
+    counts, pa, pb = _random_pair_graph(rng, 300)
+    indptr, indices = pairs_to_csr(pa, pb, len(counts))
+    ref = cluster_exact(counts, indptr, indices, maximum=False)
+    monkeypatch.setenv("HUMID_TPU_CLUSTER", "device")
+    got = P.cluster_dispatch(counts, indptr, indices, maximum=False,
+                             pairs=(pa, pb))
+    np.testing.assert_array_equal(got.labels, ref.labels)
+    np.testing.assert_array_equal(got.max_leaf, ref.max_leaf)
