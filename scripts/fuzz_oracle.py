@@ -86,15 +86,25 @@ def main() -> int:
         # it by construction.
         fused = (bool(rng.integers(0, 3) == 0) and strategy is None
                  and not overlap)
+        # Cluster-route dimension: sequential native walk (default) /
+        # component-parallel OpenMP / the round-5 device formulation of
+        # directional clustering — all bit-exact by contract.
+        cluster_route = [None, "parallel", "device"][
+            int(rng.integers(0, 3)) if rng.integers(0, 2) else 0]
         env_backup = {k: os.environ.get(k)
                       for k in ("HUMID_TPU_SPAN_CACHE",
                                 "HUMID_TPU_STRATEGY",
                                 "HUMID_TPU_OVERLAP_UNIQUE",
-                                "HUMID_TPU_FUSED")}
+                                "HUMID_TPU_FUSED",
+                                "HUMID_TPU_CLUSTER")}
         if fused:
             os.environ["HUMID_TPU_FUSED"] = "1"
         else:
             os.environ.pop("HUMID_TPU_FUSED", None)
+        if cluster_route is not None:
+            os.environ["HUMID_TPU_CLUSTER"] = cluster_route
+        else:
+            os.environ.pop("HUMID_TPU_CLUSTER", None)
         if span:
             os.environ["HUMID_TPU_SPAN_CACHE"] = "1"
         else:
@@ -113,7 +123,8 @@ def main() -> int:
             status = "ok"
         except Exception:
             failures.append((seed, dict(cfg, strategy=strategy,
-                                        overlap=overlap, fused=fused),
+                                        overlap=overlap, fused=fused,
+                                        cluster=cluster_route),
                              span, traceback.format_exc()))
             status = "FAIL"
         finally:
