@@ -31,6 +31,11 @@ PYTHONPATH="$REPO:${PYTHONPATH:-}" \
 HUMID_TPU_STRATEGY=bucketed HUMID_TPU_IMPL=pallas \
 python -m humid_tpu -d "$D/tpu" -s -a -l /dev/null "$D/hw.fastq"
 
+# Fused device-resident pipeline on silicon: the same input through
+# ops/fused.py's resident-table programs must match byte-for-byte too.
+PYTHONPATH="$REPO:${PYTHONPATH:-}" HUMID_TPU_FUSED=1 \
+python -m humid_tpu -d "$D/fused" -s -a -l /dev/null "$D/hw.fastq"
+
 PYTHONPATH="$REPO:${PYTHONPATH:-}" python - <<'EOF'
 import jax
 print(f"backend: {jax.default_backend()} ({jax.devices()})")
@@ -45,8 +50,14 @@ for f in "$D"/ref/*; do
     echo "DIFF $b"
     status=1
   fi
+  if cmp -s "$f" "$D/fused/$b"; then
+    echo "OK (fused) $b"
+  else
+    echo "DIFF (fused) $b"
+    status=1
+  fi
 done
-[ $status -eq 0 ] && echo "hardware Pallas gate OK"
+[ $status -eq 0 ] && echo "hardware Pallas + fused gates OK"
 [ $status -eq 0 ] || exit $status
 
 # Pallas RDMA ring kernel on silicon: a block far beyond the old
