@@ -65,16 +65,24 @@ def _directional_rounds(counts, comp, ea, eb, *, u: int):
     ea/eb [E] int32 undirected edges (both endpoint orders are derived
     here).  Returns (cluster_seed [u] — the owning cluster's seed node
     per node, max_leaf_of_seed [u] — scatter at seed positions)."""
-    # Directed edge list (x -> y) with both orientations.
+    # Directed edge list (x -> y) with both orientations; the count
+    # eligibility predicates are loop-invariant for the WHOLE call, so
+    # hoist them out of every masked sweep.
     ex = jnp.concatenate([ea, eb])
     ey = jnp.concatenate([eb, ea])
     cx = counts[ex]
     cy = counts[ey]
     comp_x = comp[ex]
+    grow_ok = cy >= 2 * cx      # climb:   y at least doubles x
+    shrink_ok = cx >= 2 * cy    # descent: x at least doubles y
 
     def round_body(state):
         cluster_seed, max_leaf_at_seed, _ = state
         unassigned = cluster_seed < 0
+        # Assignments do not change during the climb (step 3 is the
+        # first write), so the per-edge unassigned gather is
+        # round-invariant for the climb sweeps.
+        unassigned_ey = unassigned[ey]
 
         # 1. Seed per component: min unassigned node, scattered at the
         # component's min-node slot (comp labels ARE node indices).
@@ -85,8 +93,7 @@ def _directional_rounds(counts, comp, ea, eb, *, u: int):
         # climb node of component c (INF when inactive).
         def climb_body(_, cur):
             at_cur = cur[comp_x] == ex
-            elig = (at_cur & (cluster_seed[ey] < 0)
-                    & (cy >= 2 * cx))
+            elig = at_cur & unassigned_ey & grow_ok
             nxt = jnp.full(u, _INF, jnp.int32).at[
                 jnp.where(elig, comp_x, u)].min(
                 jnp.where(elig, ey, _INF), mode="drop")
@@ -116,7 +123,7 @@ def _directional_rounds(counts, comp, ea, eb, *, u: int):
         def descent_body(_, st):
             cs, nm = st
             src_ok = nm[ex]
-            elig = src_ok & (cs[ey] < 0) & (cx >= 2 * cy)
+            elig = src_ok & (cs[ey] < 0) & shrink_ok
             # Components are disjoint, so conflicting scatters cannot
             # happen; scatter the source's cluster seed.
             upd = jnp.full(u, -1, jnp.int32).at[
@@ -163,25 +170,28 @@ def cluster_directional_device(counts, pa, pb,
 
             comp = connected_components_device(
                 np.asarray(pa, np.int32), np.asarray(pb, np.int32), u)
-    counts32 = np.asarray(counts, np.int64)
-    if counts32.max(initial=0) > _INF // 2:
+    counts64 = np.asarray(counts, np.int64)
+    if counts64.max(initial=0) > _INF // 2:
+        # 2*count must stay within int32 (the doubling eligibility
+        # compare); callers route such tables to the host walk
+        # (pipeline.cluster_dispatch pre-checks this bound).
         raise ValueError("counts exceed the device formulation's "
                          "int32 doubling range")
     cluster_seed, max_leaf_at_seed = _directional_rounds(
-        jnp.asarray(counts32.astype(np.int32)),
+        jnp.asarray(counts64.astype(np.int32)),
         jnp.asarray(np.asarray(comp, np.int32)),
         jnp.asarray(np.asarray(pa, np.int32)),
         jnp.asarray(np.asarray(pb, np.int32)), u=u)
     cluster_seed = np.asarray(cluster_seed).astype(np.int64)
     max_leaf_at_seed = np.asarray(max_leaf_at_seed).astype(np.int64)
 
-    # Final ids = ascending rank of the cluster seeds (reference order).
-    seeds = np.unique(cluster_seed)
-    labels = np.searchsorted(seeds, cluster_seed) + 1
-    k = len(seeds)
+    # Final ids = ascending rank of the cluster seeds (reference order;
+    # shared renumber helper of the -x device route).
+    from .labelprop import renumber_components
+
+    labels, k, seeds = renumber_components(cluster_seed)
     max_leaf = max_leaf_at_seed[seeds]
-    max_count = np.asarray(counts, np.int64)[max_leaf]
-    size = np.bincount(labels - 1, weights=np.asarray(counts, np.int64),
+    max_count = counts64[max_leaf]
+    size = np.bincount(labels - 1, weights=counts64,
                        minlength=k).astype(np.int64)
-    return ClusterResult(labels.astype(np.int64), max_leaf, max_count,
-                         size)
+    return ClusterResult(labels, max_leaf, max_count, size)

@@ -314,9 +314,10 @@ def cluster_dispatch(counts, indptr, indices, *, maximum: bool,
     cluster/labelprop.py) and finalizes ids/size/maxCount/maxLeaf
     bit-exactly on host (cluster_max_from_components — only components
     with a shared max count re-walk the DFS tie-break).  Directional
-    clustering is inherently sequential (hill-climb restarts,
-    order-dependent descent, cluster.cc:39-69) and stays on the native
-    host path everywhere.
+    clustering defaults to the native host walk (the measured winner,
+    docs/design.md §4); ``HUMID_TPU_CLUSTER=device`` opts into the
+    round-5 device formulation (cluster/directional_device.py, within
+    its int32 count-doubling range).
     """
     if maximum and pairs is not None and len(counts) > device_threshold:
         from ._backend import use_device_engine
@@ -330,12 +331,15 @@ def cluster_dispatch(counts, indptr, indices, *, maximum: bool,
             return cluster_max_from_components(counts, indptr, indices,
                                                cc)
     if (not maximum and pairs is not None
-            and os.environ.get("HUMID_TPU_CLUSTER") == "device"):
+            and os.environ.get("HUMID_TPU_CLUSTER") == "device"
+            and (len(counts) == 0
+                 or int(np.max(counts)) < (1 << 30))):
         # Off-by-default device formulation of DIRECTIONAL clustering
         # (SURVEY §7 step 5): per-component rounds of masked climbs +
         # descent spreads, bit-exact vs the host walk (validated by
         # fuzz).  The host walk stays the measured default
-        # (docs/design.md §4 round-5 analysis).
+        # (docs/design.md §4 round-5 analysis) and also serves counts
+        # beyond the device formulation's int32 doubling range.
         from .cluster.directional_device import (
             cluster_directional_device)
 

@@ -33,8 +33,13 @@ python -m humid_tpu -d "$D/tpu" -s -a -l /dev/null "$D/hw.fastq"
 
 # Fused device-resident pipeline on silicon: the same input through
 # ops/fused.py's resident-table programs must match byte-for-byte too.
-PYTHONPATH="$REPO:${PYTHONPATH:-}" HUMID_TPU_FUSED=1 \
-python -m humid_tpu -d "$D/fused" -s -a -l /dev/null "$D/hw.fastq"
+# Phase-level overrides are SCRUBBED (env -u): any ambient
+# strategy/impl/unique/overlap knob would silently exclude the fused
+# route and turn this leg into a false pass.
+env -u HUMID_TPU_STRATEGY -u HUMID_TPU_IMPL -u HUMID_TPU_UNIQUE \
+    -u HUMID_TPU_OVERLAP_UNIQUE \
+    PYTHONPATH="$REPO:${PYTHONPATH:-}" HUMID_TPU_FUSED=1 \
+    python -m humid_tpu -d "$D/fused" -s -a -l /dev/null "$D/hw.fastq"
 
 PYTHONPATH="$REPO:${PYTHONPATH:-}" python - <<'EOF'
 import jax

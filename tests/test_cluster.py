@@ -429,3 +429,27 @@ def test_directional_device_dispatch_route(monkeypatch):
                              pairs=(pa, pb))
     np.testing.assert_array_equal(got.labels, ref.labels)
     np.testing.assert_array_equal(got.max_leaf, ref.max_leaf)
+
+
+def test_directional_device_count_bound(monkeypatch):
+    """Counts past the device formulation's int32 doubling range keep
+    the host walk (dispatch pre-check) instead of raising mid-run."""
+    from humid_tpu import pipeline as P
+    from humid_tpu.cluster.directional_device import (
+        cluster_directional_device)
+    from humid_tpu.ops import pairs_to_csr
+
+    counts = np.array([1 << 31, 3, 2], np.int64)
+    pa = np.array([0, 1], np.int64)
+    pb = np.array([1, 2], np.int64)
+    indptr, indices = pairs_to_csr(pa, pb, 3)
+    monkeypatch.setenv("HUMID_TPU_CLUSTER", "device")
+    got = P.cluster_dispatch(counts, indptr, indices, maximum=False,
+                             pairs=(pa, pb))
+    ref = cluster_exact(counts, indptr, indices, maximum=False)
+    np.testing.assert_array_equal(got.labels, ref.labels)
+    # The module itself still guards direct callers.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="doubling range"):
+        cluster_directional_device(counts, pa, pb)
