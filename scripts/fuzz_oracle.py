@@ -91,12 +91,21 @@ def main() -> int:
         # directional clustering — all bit-exact by contract.
         cluster_route = [None, "parallel", "device"][
             int(rng.integers(0, 3)) if rng.integers(0, 2) else 0]
+        # -e verifier dimension: native banded DP vs the device
+        # pairwise banded-Levenshtein kernel.
+        edit_verify = (["host", "device"][int(rng.integers(0, 2))]
+                       if edit and rng.integers(0, 2) else None)
         env_backup = {k: os.environ.get(k)
                       for k in ("HUMID_TPU_SPAN_CACHE",
                                 "HUMID_TPU_STRATEGY",
                                 "HUMID_TPU_OVERLAP_UNIQUE",
                                 "HUMID_TPU_FUSED",
-                                "HUMID_TPU_CLUSTER")}
+                                "HUMID_TPU_CLUSTER",
+                                "HUMID_TPU_EDIT_VERIFY")}
+        if edit_verify is not None:
+            os.environ["HUMID_TPU_EDIT_VERIFY"] = edit_verify
+        else:
+            os.environ.pop("HUMID_TPU_EDIT_VERIFY", None)
         if fused:
             os.environ["HUMID_TPU_FUSED"] = "1"
         else:
